@@ -1,0 +1,33 @@
+"""Global numeric configuration for the TPU-native engine.
+
+The reference SDK enables float64 globally on import
+(libs/nox-py/python/elodin/__init__.py:45).  We keep that default for
+source compatibility and for the 1e-6 CPU-match target, but expose a
+policy hook so benchmarks and large production runs can drop to f32 /
+bf16 where the physics tolerates it (TPU f64 is emulated and slow).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Default element dtype for floating-point components.  "f64" matches the
+# reference; set ELODIN_FLOAT_POLICY=f32 to trade accuracy for TPU speed.
+_FLOAT_POLICY = os.environ.get("ELODIN_FLOAT_POLICY", "f64")
+
+
+def default_float():
+    import jax.numpy as jnp
+
+    return jnp.float64 if _FLOAT_POLICY == "f64" else jnp.float32
+
+
+def set_float_policy(policy: str) -> None:
+    global _FLOAT_POLICY
+    if policy not in ("f64", "f32"):
+        raise ValueError("float policy must be 'f64' or 'f32'")
+    _FLOAT_POLICY = policy

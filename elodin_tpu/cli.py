@@ -1,0 +1,176 @@
+"""Sim argv subcommands: run | bench | components | params | plan
+(libs/nox-py/src/world_builder.rs:92-119,543-860).
+
+Every sim built on this SDK is simultaneously a CLI: ``python main.py bench
+--ticks 100`` benchmarks it headless, ``components`` dumps its schema, and
+``run`` serves it (with telemetry once the DB plane is attached).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_args(argv: list[str]):
+    parser = argparse.ArgumentParser(prog="elodin-sim", add_help=True)
+    sub = parser.add_subparsers(dest="command")
+
+    run_p = sub.add_parser("run")
+    run_p.add_argument("addr", nargs="?", default="[::]:2240")
+    run_p.add_argument("--no-s10", action="store_true")
+    run_p.add_argument("--liveness-port", type=int, default=None)
+    run_p.add_argument("--optimize", action="store_true")
+
+    bench_p = sub.add_parser("bench")
+    bench_p.add_argument("--ticks", type=int, default=1000)
+    bench_p.add_argument("--profile", action="store_true")
+    bench_p.add_argument("--detail", action="store_true")
+
+    sub.add_parser("components")
+    sub.add_parser("params")
+
+    plan_p = sub.add_parser("plan")
+    plan_p.add_argument("out_dir")
+    plan_p.add_argument("addr", nargs="?", default="[::]:2240")
+
+    if argv and argv[0] not in ("run", "bench", "components", "params", "plan"):
+        # bare `python main.py` serves like `run`
+        argv = ["run"] + argv
+    if not argv:
+        argv = ["run"]
+    return parser.parse_args(argv)
+
+
+def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
+            telemetry_rate=None, max_ticks=None, is_canceled=None,
+            pre_step=None, post_step=None, db_path=None, backend="tpu"):
+    import os
+
+    args = _parse_args(sys.argv[1:])
+    cmd = args.command or "run"
+
+    if cmd == "components":
+        world.set_sim_time_step(1.0 / simulation_rate)
+        meta, _cols = world.snapshot()
+        out = []
+        for name, comp in meta.components.items():
+            out.append(
+                {
+                    "name": name,
+                    "type": comp.ty.ty.value,
+                    "shape": list(comp.ty.shape),
+                    "metadata": comp.metadata,
+                    "entities": [
+                        meta.entity_metadata[e].name
+                        if e in meta.entity_metadata
+                        else str(e)
+                        for e in meta.comp_entities[name]
+                    ],
+                }
+            )
+        print(json.dumps(out, indent=2, ensure_ascii=False))
+        return None
+
+    if cmd == "params":
+        from . import monte_carlo
+
+        print(monte_carlo.spec_json())
+        return None
+
+    if cmd == "plan":
+        from . import monte_carlo
+
+        spec = json.loads(monte_carlo.spec_json())
+        variables = {
+            k: {"dist": "fixed", "value": v.get("default")}
+            for k, v in spec.get("params", {}).items()
+        }
+        monte_carlo.materialize_plan(
+            {"monte_carlo": {"n_samples": 1, "variables": variables}},
+            f"{args.out_dir}/plan.csv",
+        )
+        return None
+
+    if cmd == "bench":
+        exec_ = world.build(
+            system,
+            simulation_rate=simulation_rate,
+            telemetry_rate=telemetry_rate,
+        )
+        exec_.record_history = False
+        t0 = time.perf_counter()
+        exec_.run(args.ticks, show_progress=False)
+        _ = time.perf_counter() - t0
+        profile = exec_.profile()
+        tpt = exec_.ticks_per_telemetry
+        print(f"= tick time:          {profile['tick']:.3f} ms (batch of {tpt} ticks)")
+        print(f"build time:           {profile['build']:.3f} ms")
+        print(f"real_time_factor:     {profile['real_time_factor']:.3f}")
+        if args.profile:
+            import pathlib
+
+            out_dir = pathlib.Path(sys.argv[0]).resolve().parent / "profile_output"
+            out_dir.mkdir(parents=True, exist_ok=True)
+            (out_dir / "profile-metrics.json").write_text(
+                json.dumps(
+                    {
+                        "build_time_ms": profile["build"],
+                        "real_time_factor": profile["real_time_factor"],
+                        "ticks": args.ticks,
+                    },
+                    indent=2,
+                )
+            )
+        return exec_
+
+    # -- run ---------------------------------------------------------------
+    env_max = os.environ.get("ELODIN_MAX_TICKS")
+    if env_max is not None:
+        max_ticks = int(env_max) if max_ticks is None else min(max_ticks, int(env_max))
+
+    db_path = db_path or os.environ.get("ELODIN_DB_PATH")
+    exec_ = world.build(
+        system,
+        simulation_rate=simulation_rate,
+        telemetry_rate=telemetry_rate,
+        max_ticks=max_ticks,
+        db_path=db_path,
+    )
+
+    from .step_context import StepContext
+
+    ctx = StepContext(exec_)
+    dt = 1.0 / simulation_rate
+    tick = 0
+    server = None
+    try:
+        from .db.server import serve_exec
+
+        server = serve_exec(exec_, args.addr) if cmd == "run" else None
+    except Exception:
+        server = None
+
+    try:
+        while max_ticks is None or tick < max_ticks:
+            if is_canceled is not None and is_canceled():
+                break
+            if pre_step is not None:
+                pre_step(tick, ctx)
+            t0 = time.perf_counter()
+            exec_.run(1, show_progress=False)
+            tick += 1
+            if post_step is not None:
+                post_step(tick - 1, ctx)
+            if generate_real_time:
+                elapsed = time.perf_counter() - t0
+                if elapsed < dt:
+                    time.sleep(dt - elapsed)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if server is not None:
+            server.stop()
+    return exec_

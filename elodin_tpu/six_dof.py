@@ -1,0 +1,185 @@
+"""Rigid-body six-dof pipeline and integrators.
+
+Fused TPU re-design of the reference factory
+``clear_forces |> effectors |> calc_accel |> integrator``
+(libs/nox-py/src/six_dof.rs:161-203) and its integrators
+(src/integrator/semi_implicit.rs:17-62, src/integrator/rk4.rs:53-130).
+
+Unlike the reference — which composes per-entity expressions through a Rust
+tracer and vmaps each map separately — the integrator math here is written
+directly against the batched ``(n, k)`` component columns, so XLA sees one
+flat elementwise graph per tick and fuses it into a couple of kernels.
+The RK4 quaternion handling matches the reference exactly: each stage applies
+``u = u0 + (dt*factor) * du`` through the nonlinear SpatialTransform ⊕
+SpatialMotion add (normalize after a first-order world-frame quaternion
+increment), and the final update folds the Runge-Kutta-weighted twist through
+a single ⊕.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from .spatial import sixdof_accel, stf_add_motion
+from .system import LambdaSystem, Pipe, System, SystemBuilder, as_system
+
+WORLD_POS = "world_pos"
+WORLD_VEL = "world_vel"
+WORLD_ACCEL = "world_accel"
+FORCE = "force"
+INERTIA = "inertia"
+
+
+class Integrator(enum.Enum):
+    Rk4 = "rk4"
+    SemiImplicit = "semi-implicit"
+
+
+def _rows(builder: SystemBuilder, name: str, entity_ids):
+    return builder.rows_of(name, entity_ids)
+
+
+def _gather(builder: SystemBuilder, name: str, entity_ids):
+    return builder.gather(name, entity_ids)
+
+
+def _scatter(builder: SystemBuilder, name: str, entity_ids, value):
+    builder.scatter(name, entity_ids, value)
+
+
+def _intersection(builder: SystemBuilder, names):
+    sets = [set(builder.entities_of(n)) for n in names]
+    out = sets[0]
+    for s in sets[1:]:
+        out &= s
+    ids = sorted(out)
+    if not ids:
+        raise RuntimeError(f"six_dof: no entity has all of {names}")
+    return ids
+
+
+def clear_forces(builder: SystemBuilder) -> None:
+    """Zero the force column (libs/nox-py/src/six_dof.rs:148-150)."""
+    col = builder.column(FORCE)
+    builder.cols[FORCE] = jnp.zeros_like(col)
+
+
+def calc_accel(builder: SystemBuilder) -> None:
+    """world_accel = R(q) * ((R(q)^-1 force) / inertia)
+    (libs/nox-py/src/six_dof.rs:137-146)."""
+    ids = _intersection(builder, [FORCE, INERTIA, WORLD_POS])
+    force = _gather(builder, FORCE, ids)
+    inertia = _gather(builder, INERTIA, ids)
+    pos = _gather(builder, WORLD_POS, ids)
+    _scatter(builder, WORLD_ACCEL, ids, sixdof_accel(force, inertia, pos))
+
+
+class _SixDofSystem(System):
+    def __init__(self, time_step, effectors, integrator: Integrator):
+        self.time_step = time_step
+        self.pipe = Pipe(
+            LambdaSystem(clear_forces, "clear_forces"),
+            as_system(effectors),
+            LambdaSystem(calc_accel, "calc_accel"),
+        )
+        self.integrator = integrator
+
+    def _dt(self, builder: SystemBuilder):
+        if self.time_step is not None:
+            return self.time_step
+        return builder.column("simulation_time_step")[0]
+
+    def call(self, builder: SystemBuilder) -> None:
+        if self.integrator == Integrator.SemiImplicit:
+            self.pipe.call(builder)
+            self._semi_implicit(builder)
+        else:
+            self._rk4(builder)
+
+    def _semi_implicit(self, builder: SystemBuilder) -> None:
+        """v' = v + dt*a; x' = x ⊕ dt*v'  (symplectic Euler,
+        libs/nox-py/src/integrator/semi_implicit.rs:17-32)."""
+        dt = self._dt(builder)
+        v_ids = _intersection(builder, [WORLD_VEL, WORLD_ACCEL])
+        vel = _gather(builder, WORLD_VEL, v_ids)
+        acc = _gather(builder, WORLD_ACCEL, v_ids)
+        vel = vel + dt * acc
+        _scatter(builder, WORLD_VEL, v_ids, vel)
+        x_ids = _intersection(builder, [WORLD_POS, WORLD_VEL])
+        pos = _gather(builder, WORLD_POS, x_ids)
+        vel = _gather(builder, WORLD_VEL, x_ids)
+        _scatter(builder, WORLD_POS, x_ids, stf_add_motion(pos, dt * vel))
+
+    def _rk4(self, builder: SystemBuilder) -> None:
+        """Classic RK4 over U=(pos,vel), DU=(vel,accel)
+        (libs/nox-py/src/integrator/rk4.rs:79-126).  Stage sequence:
+
+        for factor in (0, 1/2, 1/2, 1):
+            (pos, vel) := u0 ⊕ dt*factor*du ; pipe() ; k_i := (vel, accel)
+        u := u0 ⊕ (dt/6)*(k1 + 2 k2 + 2 k3 + k4)
+
+        force/world_accel columns keep their last-stage (k4) values, exactly
+        like the reference."""
+        dt = self._dt(builder)
+        u_ids = _intersection(builder, [WORLD_POS, WORLD_VEL])
+        du_ids = _intersection(builder, [WORLD_VEL, WORLD_ACCEL])
+
+        pos0 = _gather(builder, WORLD_POS, u_ids)
+        vel0 = _gather(builder, WORLD_VEL, u_ids)
+
+        def set_u(pos, vel):
+            _scatter(builder, WORLD_POS, u_ids, pos)
+            _scatter(builder, WORLD_VEL, u_ids, vel)
+
+        def read_du():
+            return (
+                _gather(builder, WORLD_VEL, du_ids),
+                _gather(builder, WORLD_ACCEL, du_ids),
+            )
+
+        def stage(factor):
+            # u := u0 + dt*factor*du(current)
+            dv, da = read_du()
+            # align du rows onto u rows (u_ids == du_ids in practice; if not,
+            # map via entity ids)
+            if du_ids != u_ids:
+                pos_map = {e: i for i, e in enumerate(du_ids)}
+                sel = jnp.asarray(
+                    np.array([pos_map[e] for e in u_ids], dtype=np.int32)
+                )
+                dv, da = dv[sel], da[sel]
+            f = dt * factor
+            set_u(stf_add_motion(pos0, f * dv), vel0 + f * da)
+            self.pipe.call(builder)
+            return read_du()
+
+        k1 = stage(0.0)
+        k2 = stage(0.5)
+        k3 = stage(0.5)
+        k4 = stage(1.0)
+
+        dv = (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]) * (1.0 / 6.0)
+        da = (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]) * (1.0 / 6.0)
+        if du_ids != u_ids:
+            pos_map = {e: i for i, e in enumerate(du_ids)}
+            sel = jnp.asarray(np.array([pos_map[e] for e in u_ids], dtype=np.int32))
+            dv, da = dv[sel], da[sel]
+        set_u(stf_add_motion(pos0, dt * dv), vel0 + dt * da)
+
+
+def six_dof(time_step=None, sys=None, integrator=Integrator.Rk4) -> System:
+    """Six-dof system factory (libs/nox-py/src/lib.rs:107-126)."""
+    if isinstance(integrator, str):
+        integrator = Integrator(integrator)
+    return _SixDofSystem(time_step, sys, integrator)
+
+
+def increment_sim_tick(builder: SystemBuilder) -> None:
+    """Always-piped tick counter (libs/nox-py/src/globals.rs:42-44)."""
+    builder.cols["tick"] = builder.cols["tick"] + 1
+
+
+increment_sim_tick_system = LambdaSystem(increment_sim_tick, "increment_sim_tick")

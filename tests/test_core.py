@@ -1,0 +1,546 @@
+"""Core ECS + six-dof golden-value tests.
+
+Same behavioral contract as the reference suite
+(/root/reference/libs/nox-py/python/tests/test_all.py): golden values from
+Julia/Simulink for six-dof, map/map_seq equivalence, graph folds, seeds.
+Written against the built-in DataFrame shim (polars is unavailable here).
+"""
+
+import typing as ty
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as np
+import numpy
+import pytest
+from jax import random
+
+import elodin as el
+from elodin_tpu.dataframe import DataFrame, assert_frame_equal
+
+X = ty.Annotated[jax.Array, el.Component("x", el.ComponentType.F64)]
+Y = ty.Annotated[jax.Array, el.Component("y", el.ComponentType.F64)]
+Effect = ty.Annotated[jax.Array, el.Component("e", el.ComponentType.F64)]
+E = ty.Annotated[el.Edge, el.Component("test_edge")]
+
+
+def test_basic_system():
+    @el.system
+    def foo(x: el.Query[X]) -> el.Query[X]:
+        return x.map(X, lambda x: x * 2)
+
+    @el.system
+    def bar(q: el.Query[X, Y]) -> el.Query[X]:
+        return q.map(X, lambda x, y: x * y)
+
+    @el.map
+    def baz(x: X, z: Effect) -> X:
+        return x + z
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+        y: Y
+
+    @dataclass
+    class EffectArchetype(el.Archetype):
+        e: Effect
+
+    sys = foo.pipe(bar).pipe(baz)
+    w = el.World()
+    w.spawn(Test(np.array([1.0]), np.array([500.0])), "e1")
+    w.spawn(
+        [Test(np.array([15.0]), np.array([500.0])), EffectArchetype(np.array([15.0]))],
+        "e2",
+    )
+    exec = w.build(sys)
+    exec.run()
+    exec.run()
+    df = exec.history(["e1.x", "e2.x", "e1.y", "e2.y"])
+    expected = DataFrame(
+        {
+            "e1.x": [1.0, 1000.0, 1000000.0],
+            "e2.x": [15.0, 15015.0, 15015015.0],
+            "e1.y": [500.0, 500.0, 500.0],
+            "e2.y": [500.0, 500.0, 500.0],
+        }
+    )
+    assert_frame_equal(df.drop("time"), expected)
+
+
+def test_six_dof():
+    w = el.World()
+    w.spawn(
+        el.Body(
+            world_pos=el.SpatialTransform(linear=np.array([0.0, 0.0, 0.0])),
+            world_vel=el.SpatialMotion(linear=np.array([1.0, 0.0, 0.0])),
+            inertia=el.SpatialInertia(1.0),
+        ),
+        "e1",
+    )
+    exec = w.build(el.six_dof(1.0 / 60.0))
+    exec.run()
+    df = exec.history("e1.world_pos")
+    x = df["e1.world_pos"][-1]
+    assert np.allclose(x.to_numpy()[:4], np.array([0.0, 0.0, 0.0, 1.0]))
+    assert np.allclose(x.to_numpy()[4:], np.array([0.01666667, 0.0, 0.0]))
+
+
+def test_spatial_integration():
+    @el.map
+    def integrate_velocity(world_pos: el.WorldPos, world_vel: el.WorldVel) -> el.WorldPos:
+        linear = world_pos.linear() + world_vel.linear()
+        angular = world_pos.angular().integrate_body(world_vel.angular())
+        return el.SpatialTransform(linear=linear, angular=angular)
+
+    w = el.World()
+    w.spawn(
+        el.Body(
+            world_pos=el.SpatialTransform(linear=np.array([0.0, 0.0, 0.0])),
+            world_vel=el.SpatialMotion(
+                linear=np.array([1.0, 0.0, 0.0]),
+                angular=np.array([np.pi / 2, 0.0, 0.0]),
+            ),
+            inertia=el.SpatialInertia(1.0),
+        ),
+        "e1",
+    )
+    exec = w.build(integrate_velocity)
+    exec.run()
+    exec.run()
+    df = exec.history("e1.world_pos")
+    pos = df["e1.world_pos"][-1]
+    assert (pos[4:] == [2.0, 0.0, 0.0]).all()
+    assert np.allclose(
+        pos.to_numpy()[:4], np.array([0.97151626, 0.0, 0.0, 0.23697292])
+    )
+
+
+def test_graph():
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+
+    @dataclass
+    class EdgeArchetype(el.Archetype):
+        edge: E
+
+    @el.system
+    def fold_test(graph: el.GraphQuery[E], x: el.Query[X]) -> el.Query[X]:
+        return graph.edge_fold(x, x, X, np.array(5.0), lambda x, a, b: x + a + b)
+
+    w = el.World()
+    a = w.spawn(Test(np.array([1.0])), "e1")
+    b = w.spawn(Test(np.array([2.0])), "e2")
+    c = w.spawn(Test(np.array([2.0])), "e3")
+    w.spawn(EdgeArchetype(el.Edge(a, b)))
+    w.spawn(EdgeArchetype(el.Edge(a, c)))
+    w.spawn(EdgeArchetype(el.Edge(b, c)))
+    exec = w.build(fold_test)
+    exec.run()
+    df = exec.history(["e1.x", "e2.x", "e3.x"])
+    expected = DataFrame(
+        {"e1.x": [1.0, 11.0], "e2.x": [2.0, 9.0], "e3.x": [2.0, 2.0]}
+    )
+    assert_frame_equal(df.drop("time"), expected)
+
+
+def test_seed():
+    @el.system
+    def foo(x: el.Query[X]) -> el.Query[X]:
+        return x.map(X, lambda x: x * 2)
+
+    @el.system
+    def bar(q: el.Query[X, Y]) -> el.Query[X]:
+        return q.map(X, lambda x, y: x * y)
+
+    @el.system
+    def seed_mul(s: el.Query[el.Seed], q: el.Query[X]) -> el.Query[X]:
+        return q.map(X, lambda x: x * s[0])
+
+    @el.system
+    def seed_sample(s: el.Query[el.Seed], q: el.Query[X, Y]) -> el.Query[Y]:
+        def sample_inner(x, y):
+            key = random.key(s[0])
+            key = random.fold_in(key, x)
+            scaler = random.uniform(key, minval=1.0, maxval=2.0)
+            return y * scaler
+
+        return q.map(Y, sample_inner)
+
+    @dataclass
+    class Globals(el.Archetype):
+        seed: el.Seed
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+        y: Y
+
+    sys = foo.pipe(bar).pipe(seed_mul).pipe(seed_sample)
+    w = el.World()
+    w.spawn(Globals(seed=np.array(2)))
+    w.spawn(Test(np.array(1.0), np.array(500.0)), "e1")
+    w.spawn(Test(np.array(15.0), np.array(500.0)), "e2")
+    exec = w.build(sys)
+    exec.run()
+    df = exec.history(["e1.x", "e2.x", "e1.y", "e2.y"])
+    assert np.isclose(df["e1.x"][-1], 2000.0)
+    assert np.isclose(df["e2.x"][-1], 30000.0)
+    assert 500.0 <= df["e1.y"][-1] <= 1000.0
+    assert 500.0 <= df["e2.y"][-1] <= 1000.0
+
+
+def test_archetype_name():
+    @dataclass
+    class TestArchetype(el.Archetype):
+        x: X
+
+    assert TestArchetype.archetype_name() == "test_archetype"
+    assert el.Body.archetype_name() == "body"
+
+
+def test_spatial_vector_algebra():
+    @el.map
+    def double_vec(v: el.WorldVel) -> el.WorldVel:
+        return v + v
+
+    w = el.World()
+    w.spawn(el.Body(world_vel=el.SpatialMotion(linear=np.array([1.0, 0.0, 0.0]))), "e1")
+    exec = w.build(double_vec)
+    exec.run()
+    df = exec.history("e1.world_vel")
+    expected = DataFrame(
+        {
+            "e1.world_vel": [
+                [0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
+                [0.0, 0.0, 0.0, 2.0, 0.0, 0.0],
+            ]
+        }
+    )
+    assert_frame_equal(df.drop("time"), expected)
+
+
+@pytest.mark.parametrize(
+    "omega,expected",
+    [
+        (
+            [0.0, 0.0, 1.0],
+            [0.0, 0.0, 0.479425538604203, 0.8775825618903728, 0.0, 0.0, 0.0],
+        ),
+        (
+            [0.0, 1.0, 0.0],
+            [0.0, 0.479425538604203, 0.0, 0.8775825618903728, 0.0, 0.0, 0.0],
+        ),
+        (
+            [1.0, 1.0, 0.0],
+            [0.45936268493243, 0.45936268493243, 0.0, 0.76024459707606, 0.0, 0.0, 0.0],
+        ),
+    ],
+)
+def test_six_dof_ang_vel_int(omega, expected):
+    # golden values from Julia and Simulink (reference test_all.py:230-290)
+    w = el.World()
+    w.spawn(
+        el.Body(
+            world_pos=el.SpatialTransform(linear=np.array([0.0, 0.0, 0.0])),
+            world_vel=el.SpatialMotion(angular=np.array(omega)),
+            inertia=el.SpatialInertia(1.0),
+        ),
+        "e1",
+    )
+    exec = w.build(el.six_dof(1.0 / 120.0))
+    exec.run(120)
+    df = exec.history("e1.world_pos")
+    x = df["e1.world_pos"][-1]
+    assert np.isclose(x.to_numpy(), np.array(expected), rtol=1e-5).all()
+
+
+def test_six_dof_force():
+    w = el.World()
+    w.spawn(
+        el.Body(
+            world_pos=el.SpatialTransform(linear=np.array([0.0, 0.0, 0.0])),
+            world_vel=el.SpatialMotion(angular=np.array([0.0, 0.0, 0.0])),
+            inertia=el.SpatialInertia(1.0),
+        ),
+        "e1",
+    )
+
+    @el.map
+    def constant_force(_: el.Force) -> el.Force:
+        return el.SpatialForce(linear=np.array([1.0, 0.0, 0.0]))
+
+    exec = w.build(el.six_dof(1.0 / 120.0, constant_force))
+    exec.run(120)
+    df = exec.history(["e1.world_pos", "e1.world_vel", "e1.world_accel"])
+    assert np.isclose(
+        df["e1.world_pos"][-1].to_numpy(),
+        np.array([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]),
+        rtol=1e-5,
+    ).all()
+
+
+def test_skew():
+    arr = np.array([1.0, 2.0, 3.0])
+    assert np.isclose(
+        el.skew(arr),
+        np.array([[0.0, -3.0, 2.0], [3.0, 0.0, -1.0], [-2.0, 1.0, 0.0]]),
+    ).all()
+
+
+def test_external_control_waiting():
+    ExternalControl = ty.Annotated[
+        jax.Array,
+        el.Component(
+            "external_control", el.ComponentType.F64, metadata={"external_control": "true"}
+        ),
+    ]
+
+    @el.map
+    def use_external_control(x: X, ext: ExternalControl) -> X:
+        return x + ext
+
+    @dataclass
+    class TestWithExternal(el.Archetype):
+        x: X
+        external_control: ExternalControl
+
+    w = el.World()
+    w.spawn(TestWithExternal(np.array(1.0), np.array(0.0)), "e1")
+    exec = w.build(use_external_control)
+    exec.run(3)
+    df = exec.history("e1.x")
+    assert len(df) >= 3
+    assert np.isclose(df["e1.x"][-1], 1.0)
+
+
+def test_map_seq_single_entity():
+    @el.system
+    def double_x_seq(q: el.Query[X]) -> el.Query[X]:
+        return q.map_seq(X, lambda x: x * 2)
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+
+    w = el.World()
+    w.spawn(Test(np.array(5.0)), "e1")
+    exec = w.build(double_x_seq)
+    exec.run()
+    exec.run()
+    df = exec.history("e1.x")
+    assert_frame_equal(df.drop("time"), DataFrame({"e1.x": [5.0, 10.0, 20.0]}))
+
+
+def test_map_seq_multiple_entities():
+    @el.system
+    def double_x_seq(q: el.Query[X]) -> el.Query[X]:
+        return q.map_seq(X, lambda x: x * 2)
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+
+    w = el.World()
+    w.spawn(Test(np.array(1.0)), "e1")
+    w.spawn(Test(np.array(2.0)), "e2")
+    w.spawn(Test(np.array(3.0)), "e3")
+    exec = w.build(double_x_seq)
+    exec.run()
+    exec.run()
+    df = exec.history(["e1.x", "e2.x", "e3.x"])
+    assert_frame_equal(
+        df.drop("time"),
+        DataFrame(
+            {
+                "e1.x": [1.0, 2.0, 4.0],
+                "e2.x": [2.0, 4.0, 8.0],
+                "e3.x": [3.0, 6.0, 12.0],
+            }
+        ),
+    )
+
+
+def test_map_seq_multiple_outputs():
+    @el.system
+    def swap_xy_seq(q: el.Query[X, Y]) -> el.Query[X, Y]:
+        return q.map_seq((X, Y), lambda x, y: (y, x))
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+        y: Y
+
+    w = el.World()
+    w.spawn(Test(np.array(1.0), np.array(10.0)), "e1")
+    w.spawn(Test(np.array(2.0), np.array(20.0)), "e2")
+    exec = w.build(swap_xy_seq)
+    exec.run()
+    df = exec.history(["e1.x", "e1.y", "e2.x", "e2.y"])
+    assert_frame_equal(
+        df.drop("time"),
+        DataFrame(
+            {
+                "e1.x": [1.0, 10.0],
+                "e1.y": [10.0, 1.0],
+                "e2.x": [2.0, 20.0],
+                "e2.y": [20.0, 2.0],
+            }
+        ),
+    )
+
+
+@pytest.mark.parametrize("n_entities", [1, 2])
+def test_map_vs_map_seq_match(n_entities):
+    @el.system
+    def with_map(q: el.Query[X, Y]) -> el.Query[X]:
+        return q.map(X, lambda x, y: x * y + 1.0)
+
+    @el.system
+    def with_map_seq(q: el.Query[X, Y]) -> el.Query[X]:
+        return q.map_seq(X, lambda x, y: x * y + 1.0)
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+        y: Y
+
+    dfs = []
+    for sys in (with_map, with_map_seq):
+        w = el.World()
+        vals = [(2.0, 3.0), (4.0, 5.0)][:n_entities]
+        for i, (x, y) in enumerate(vals):
+            w.spawn(Test(np.array(x), np.array(y)), f"e{i + 1}")
+        exec = w.build(sys)
+        exec.run()
+        dfs.append(exec.history([f"e{i + 1}.x" for i in range(n_entities)]))
+    assert_frame_equal(dfs[0].drop("time"), dfs[1].drop("time"))
+    if n_entities == 2:
+        assert_frame_equal(
+            dfs[0].drop("time"),
+            DataFrame({"e1.x": [2.0, 7.0], "e2.x": [4.0, 21.0]}),
+        )
+
+
+def test_query_no_entities_raises():
+    Z = ty.Annotated[jax.Array, el.Component("z_unused", el.ComponentType.F64)]
+
+    @el.system
+    def with_map(q: el.Query[Z]) -> el.Query[Z]:
+        return q.map(Z, lambda z: z * 2.0)
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+
+    w = el.World()
+    w.spawn(Test(np.array(1.0)), "e1")
+    with pytest.raises(Exception):
+        exec = w.build(with_map)
+        exec.run()
+
+
+def test_map_seq_preserves_cond_semantics():
+    import jax.lax as lax
+
+    BranchTaken = ty.Annotated[jax.Array, el.Component("branch_taken", el.ComponentType.F64)]
+
+    @el.system
+    def cond_sys(q: el.Query[X]) -> el.Query[X, BranchTaken]:
+        def conditional_compute(x):
+            result = lax.cond(x > 5.0, lambda _: x * 2.0, lambda _: x * 10.0, operand=None)
+            branch = lax.cond(x > 5.0, lambda _: 1.0, lambda _: 0.0, operand=None)
+            return result, branch
+
+        return q.map_seq((X, BranchTaken), conditional_compute)
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+        branch_taken: BranchTaken
+
+    w = el.World()
+    w.spawn(Test(np.array(3.0), np.array(0.0)), "e1")
+    w.spawn(Test(np.array(10.0), np.array(0.0)), "e2")
+    exec = w.build(cond_sys)
+    exec.run()
+    df = exec.history(["e1.x", "e2.x", "e1.branch_taken", "e2.branch_taken"])
+    assert np.isclose(df["e1.x"][-1], 30.0)
+    assert np.isclose(df["e2.x"][-1], 20.0)
+    assert np.isclose(df["e1.branch_taken"][-1], 0.0)
+    assert np.isclose(df["e2.branch_taken"][-1], 1.0)
+
+
+def test_map_with_cond_also_works():
+    import jax.lax as lax
+
+    @el.map
+    def conditional_double(x: X) -> X:
+        return lax.cond(x > 5.0, lambda _: x * 2.0, lambda _: x * 10.0, operand=None)
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+
+    w = el.World()
+    w.spawn(Test(np.array(3.0)), "e1")
+    w.spawn(Test(np.array(10.0)), "e2")
+    w.spawn(Test(np.array(1.0)), "e3")
+    exec = w.build(conditional_double)
+    exec.run()
+    df = exec.history(["e1.x", "e2.x", "e3.x"])
+    assert np.isclose(df["e1.x"][-1], 30.0)
+    assert np.isclose(df["e2.x"][-1], 20.0)
+    assert np.isclose(df["e3.x"][-1], 10.0)
+
+
+def test_map_seq_decorator():
+    @el.map_seq
+    def double_x(x: X) -> X:
+        return x * 2
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+
+    w = el.World()
+    w.spawn(Test(np.array(5.0)), "e1")
+    w.spawn(Test(np.array(7.0)), "e2")
+    exec = w.build(double_x)
+    exec.run()
+    exec.run()
+    df = exec.history(["e1.x", "e2.x"])
+    assert_frame_equal(
+        df.drop("time"),
+        DataFrame({"e1.x": [5.0, 10.0, 20.0], "e2.x": [7.0, 14.0, 28.0]}),
+    )
+
+
+def test_map_seq_decorator_multiple_inputs_outputs():
+    @el.map_seq
+    def compute_xy(x: X, y: Y) -> tuple[X, Y]:
+        return x + y, x * y
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+        y: Y
+
+    w = el.World()
+    w.spawn(Test(np.array(2.0), np.array(3.0)), "e1")
+    w.spawn(Test(np.array(4.0), np.array(5.0)), "e2")
+    exec = w.build(compute_xy)
+    exec.run()
+    df = exec.history(["e1.x", "e1.y", "e2.x", "e2.y"])
+    assert_frame_equal(
+        df.drop("time"),
+        DataFrame(
+            {
+                "e1.x": [2.0, 5.0],
+                "e1.y": [3.0, 6.0],
+                "e2.x": [4.0, 9.0],
+                "e2.y": [5.0, 20.0],
+            }
+        ),
+    )
