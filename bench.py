@@ -1,0 +1,99 @@
+"""Headline benchmark: batched 6-dof entity throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's best single-process throughput, derived from its CI
+RTF numbers — three-body at RTF 3079.6 and 120 Hz = ~1.1M entity-steps/s
+(BASELINE.md "Derived entity-throughput").  The reference cannot batch the
+entity axis (process per sim); this engine runs the identical RK4 + quaternion
+pipeline over an (N, k) column in HBM with lax.scan over ticks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_ENTITY_STEPS = 1.1e6  # three-body derived, BASELINE.md
+
+
+def bench_entity_steps(n_bodies: int, ticks: int, dtype: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    import elodin_tpu as el
+    from elodin_tpu.models import build_batched_sixdof
+    from elodin_tpu.six_dof import increment_sim_tick_system
+    from elodin_tpu.system import Pipe, SystemBuilder, as_system
+
+    if dtype == "f32":
+        el.set_float_policy("f32")
+    world, system = build_batched_sixdof(n_bodies)
+    meta, cols = world.snapshot()
+    if dtype == "f32":
+        cols = {
+            k: v.astype("float32") if v.dtype.kind == "f" else v
+            for k, v in cols.items()
+        }
+    full = Pipe(increment_sim_tick_system, as_system(system))
+
+    def step(state):
+        b = SystemBuilder(meta, dict(state))
+        full.call(b)
+        return b.cols
+
+    def run(state):
+        return jax.lax.fori_loop(0, ticks, lambda _i, s: step(s), state)
+
+    state = {k: jnp.asarray(v) for k, v in cols.items()}
+    fn = jax.jit(run, donate_argnums=0).lower(state).compile()
+
+    # warm-up run (also validates donation), then timed
+    state = fn(state)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state = fn(state)
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t0
+
+    import numpy as np
+
+    pos = np.asarray(state["world_pos"])
+    assert np.isfinite(pos).all(), "non-finite state after bench"
+    return {
+        "entity_steps_per_sec": n_bodies * ticks / wall,
+        "wall_s": wall,
+        "n_bodies": n_bodies,
+        "ticks": ticks,
+    }
+
+
+def main() -> None:
+    import jax
+
+    n_bodies = int(os.environ.get("BENCH_BODIES", "8192"))
+    ticks = int(os.environ.get("BENCH_TICKS", "1000"))
+
+    f64 = bench_entity_steps(n_bodies, ticks, "f64")
+    value = f64["entity_steps_per_sec"]
+
+    result = {
+        "metric": "entity_steps_per_sec_batched_6dof_rk4_f64",
+        "value": round(value, 1),
+        "unit": "entity-steps/s",
+        "vs_baseline": round(value / BASELINE_ENTITY_STEPS, 3),
+        "n_bodies": n_bodies,
+        "ticks": ticks,
+        "wall_s": round(f64["wall_s"], 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

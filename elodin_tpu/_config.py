@@ -15,6 +15,15 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it explicitly
+# so tests can pin the virtual CPU mesh.
+_platforms = os.environ.get("JAX_PLATFORMS")
+if _platforms:
+    try:
+        jax.config.update("jax_platforms", _platforms)
+    except Exception:
+        pass
+
 # Default element dtype for floating-point components.  "f64" matches the
 # reference; set ELODIN_FLOAT_POLICY=f32 to trade accuracy for TPU speed.
 _FLOAT_POLICY = os.environ.get("ELODIN_FLOAT_POLICY", "f64")

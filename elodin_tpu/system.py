@@ -120,6 +120,14 @@ class System:
     def pipe(self, other: "System") -> "System":
         return Pipe(self, as_system(other))
 
+    def __or__(self, other) -> "System":
+        """``a | b`` pipes systems, matching the reference SDK sugar
+        (examples/ball/sim.py:118-120)."""
+        return self.pipe(other)
+
+    def __ror__(self, other) -> "System":
+        return as_system(other).pipe(self)
+
     # parity with the pyo3 System.system() used by the reference decorator
     def system(self) -> "System":
         return self

@@ -177,6 +177,43 @@ class WorldBuilder:
             )
         return entity_id
 
+    def spawn_batch(self, archetype, count: int, name_prefix: str | None = None) -> list[EntityId]:
+        """TPU-first extension: spawn ``count`` entities at once from an
+        archetype whose arrays carry a leading batch axis (or are broadcast).
+
+        The reference can only spawn one entity per call
+        (world_builder.rs:262); batching the spawn keeps million-entity world
+        construction off the Python hot path."""
+        arrays = archetype.arrays()
+        data = archetype.component_data()
+        first_id = self.entity_len
+        ids = [EntityId(first_id + i) for i in range(count)]
+        self.entity_len += count
+        for arr, component in zip(arrays, data):
+            if component.ty is None:
+                value0 = np.asarray(arr)
+                shape = value0.shape[1:] if value0.shape[:1] == (count,) else value0.shape
+                component = component._with_ty(
+                    component_type_of_value(np.zeros(shape, dtype=value0.dtype))
+                )
+            ty = component.ty
+            arr = np.asarray(arr)
+            if arr.shape != (count,) + ty.shape:
+                arr = np.broadcast_to(arr.reshape(ty.shape), (count,) + ty.shape)
+            arr = arr.astype(ty.dtype, copy=False)
+            col = self.columns.get(component.name)
+            if col is None:
+                col = Column(component)
+                self.columns[component.name] = col
+            col.entity_ids.extend(range(first_id, first_id + count))
+            col.values.extend(arr)
+        if name_prefix is not None:
+            for i, eid in enumerate(ids):
+                self.entity_metadata[int(eid)] = EntityMetadata(
+                    int(eid), f"{name_prefix}{i}"
+                )
+        return ids
+
     def insert(self, entity_id: EntityId, spawnable) -> None:
         archetypes = spawnable if isinstance(spawnable, list) else [spawnable]
         for archetype in archetypes:
