@@ -1,8 +1,11 @@
 import os
 import sys
 
-# Virtual 8-device CPU mesh for sharding tests; must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests run on a virtual 8-device CPU mesh. The harness environment exports
+# JAX_PLATFORMS=axon (the real TPU tunnel); override it — remote-compiling
+# every tiny test program through the tunnel is both slow and lacks f64
+# linalg. Must happen before jax import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
