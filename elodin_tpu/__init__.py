@@ -174,6 +174,7 @@ class World(WorldBuilder):
             sim_time_step=1.0 / simulation_rate,
             max_ticks=max_ticks,
             telemetry_rate=telemetry_rate,
+            db_path=db_path,
         )
 
     def run(

@@ -1,0 +1,85 @@
+"""Archive export: per-component files in arrow/parquet/csv
+(parity: libs/db save_archive + export CLI, src/export.rs)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+
+def _arrow_table(store) -> pa.Table:
+    n = store.len
+    time = pa.array(store.timestamps[:n], type=pa.timestamp("us"))
+    values = store.values[:n]
+    name = store.name or f"{store.component_id:016x}"
+    if store.elem_count == 1:
+        data = pa.array(values[:, 0])
+    else:
+        data = pa.FixedSizeListArray.from_arrays(
+            pa.array(values.reshape(-1)), store.elem_count
+        )
+    return pa.table({"time": time, name: data})
+
+
+def save_archive(db, path: str, fmt: str = "arrow_ipc") -> None:
+    out = Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    for store in db.components.values():
+        if store.len == 0:
+            continue
+        name = store.name or f"{store.component_id:016x}"
+        table = _arrow_table(store)
+        if fmt in ("arrow", "arrow_ipc"):
+            import pyarrow.ipc as ipc
+
+            with ipc.new_file(str(out / f"{name}.arrow"), table.schema) as w:
+                w.write_table(table)
+        elif fmt in ("parquet", "pq"):
+            import pyarrow.parquet as pq
+
+            pq.write_table(table, str(out / f"{name}.parquet"))
+        elif fmt == "csv":
+            # flatten vector columns for csv
+            n = store.len
+            cols = {"time": store.timestamps[:n]}
+            if store.elem_count == 1:
+                cols[name] = store.values[:n, 0]
+            else:
+                labels = (store.metadata.get("element_names") or "").split(",")
+                for i in range(store.elem_count):
+                    label = labels[i] if i < len(labels) and labels[i] else str(i)
+                    cols[f"{name}.{label}"] = store.values[:n, i]
+            import csv as _csv
+
+            with open(out / f"{name}.csv", "w", newline="") as f:
+                w = _csv.writer(f)
+                w.writerow(cols.keys())
+                for row in zip(*cols.values()):
+                    w.writerow(row)
+        else:
+            raise ValueError(f"unknown archive format {fmt!r}")
+
+
+def export_csv_joined(db, out_path: str) -> None:
+    """Single wide CSV joined on time (export.rs --join mode)."""
+    import pandas as pd
+
+    frames = []
+    for store in db.components.values():
+        if store.len == 0:
+            continue
+        n = store.len
+        name = store.name or f"{store.component_id:016x}"
+        data = {"time": store.timestamps[:n]}
+        if store.elem_count == 1:
+            data[name] = store.values[:n, 0]
+        else:
+            for i in range(store.elem_count):
+                data[f"{name}[{i}]"] = store.values[:n, i]
+        frames.append(pd.DataFrame(data).set_index("time"))
+    if not frames:
+        return
+    df = frames[0].join(frames[1:], how="outer")
+    df.to_csv(out_path)

@@ -1,0 +1,433 @@
+"""elodin-db server: TCP telemetry store + message bus
+(parity: libs/db/src/lib.rs — Server::run :1673, handle_conn :1701, message
+dispatch :1985+).
+
+asyncio-based (one task per connection) over the shared ``Database``.  The
+reference runs a single-threaded io_uring executor (stellarator); the
+contract preserved here is the same one SURVEY §1 L5 calls out: telemetry IO
+never blocks the simulation step loop — the sim thread appends to the store
+under a lock and subscribers drain on their own tasks.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import socket
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from . import msgs as M
+from .storage import Database, now_timestamp_us
+from .vtable import PRIM_NP, VTable, build_table_vtable
+
+
+class Connection:
+    def __init__(self, server: "Server", reader, writer):
+        self.server = server
+        self.db = server.db
+        self.reader = reader
+        self.writer = writer
+        self.vtables: dict[bytes, VTable] = {}
+        self.stream_tasks: list[asyncio.Task] = []
+        self.sub_queue: asyncio.Queue | None = None
+        self.msg_subs: set[bytes] = set()
+        self.send_lock = asyncio.Lock()
+
+    async def send(self, data: bytes) -> None:
+        async with self.send_lock:
+            self.writer.write(data)
+            await self.writer.drain()
+
+    async def run(self) -> None:
+        try:
+            while True:
+                hdr = await self.reader.readexactly(4)
+                n = int.from_bytes(hdr, "little")
+                buf = await self.reader.readexactly(n)
+                pkt = M.parse_packet(buf)
+                await self.handle(pkt)
+        except (asyncio.IncompleteReadError, ConnectionError):
+            pass
+        finally:
+            for t in self.stream_tasks:
+                t.cancel()
+            if self.sub_queue is not None:
+                self.server.remove_subscriber(self.sub_queue)
+            self.writer.close()
+
+    # -- dispatch (libs/db/src/lib.rs:1985+) ------------------------------
+
+    async def handle(self, pkt: M.Packet) -> None:
+        if pkt.ty == M.TY_TABLE:
+            self.handle_table(pkt)
+            return
+        if pkt.ty == M.TY_MSG_WITH_TIMESTAMP:
+            ts = int.from_bytes(pkt.body[:8], "little", signed=True)
+            self.db.msg_log(pkt.id).append(ts, pkt.body[8:])
+            self.server.notify_msg(pkt.id, ts, pkt.body[8:])
+            return
+        if pkt.ty != M.TY_MSG:
+            return
+
+        cls = M.MSG_TYPES.get(pkt.id)
+        if cls is None:
+            # user message -> append to log
+            ts = now_timestamp_us()
+            self.db.msg_log(pkt.id).append(ts, pkt.body)
+            self.server.notify_msg(pkt.id, ts, pkt.body)
+            return
+
+        msg = cls.decode(pkt.body)
+        handler = getattr(self, f"on_{cls.__name__}", None)
+        if handler is not None:
+            await handler(msg, pkt.req_id)
+
+    def handle_table(self, pkt: M.Packet) -> None:
+        vt = self.vtables.get(pkt.id) or self.db.vtables.get(pkt.id)
+        if vt is None:
+            return
+        default_ts = now_timestamp_us()
+        touched = []
+        for f in vt.realize_fields(pkt.body):
+            cid = f["component_id"]
+            if cid is None or f["ty"] is None:
+                continue
+            store = self.db.get_or_create(cid, f["ty"], f["shape"])
+            ts = f["timestamp"] if f["timestamp"] is not None else default_ts
+            store.append(ts, f["data"])
+            touched.append(cid)
+        if touched:
+            self.server.notify_table(touched, default_ts)
+
+    # -- message handlers --------------------------------------------------
+
+    async def on_VTableMsg(self, msg: M.VTableMsg, req_id: int) -> None:
+        self.vtables[msg.id] = msg.vtable
+        self.db.vtables[msg.id] = msg.vtable
+
+    async def on_Stream(self, msg: M.Stream, req_id: int) -> None:
+        if self.sub_queue is None:
+            self.sub_queue = asyncio.Queue(maxsize=1024)
+            self.server.add_subscriber(self.sub_queue)
+        task = asyncio.ensure_future(self._stream_loop(msg, req_id))
+        self.stream_tasks.append(task)
+
+    async def _stream_loop(self, msg: M.Stream, req_id: int) -> None:
+        """Real-time: push the latest row of every component on each commit,
+        preceded by a vtable describing the layout
+        (libs/db/src/vtable_stream.rs)."""
+        sent_layout: tuple | None = None
+        while True:
+            component_ids, ts = await self.sub_queue.get()
+            with self.db.lock:
+                comps = [
+                    self.db.components[cid]
+                    for cid in component_ids
+                    if cid in self.db.components
+                ]
+                rows = [(c, c.latest()) for c in comps if c.len > 0]
+            if not rows:
+                continue
+            layout_key = tuple(c.component_id for c, _ in rows)
+            if layout_key != sent_layout:
+                vt_id = bytes([2, len(self.stream_tasks) & 0xFF])
+                fields = []
+                offset = 8  # leading shared timestamp
+                for c, _ in rows:
+                    pad = (-offset) % c.dtype.itemsize
+                    offset += pad
+                    fields.append(
+                        (c.name or f"{c.component_id:016x}", c.prim, c.shape,
+                         offset, c.row_nbytes)
+                    )
+                    offset += c.row_nbytes
+                vt = build_table_vtable(fields, timestamp_offset=0)
+                vtm = M.VTableMsg(vt_id, vt)
+                await self.send(vtm.packet(req_id))
+                sent_layout = layout_key
+                self._stream_vt_id = vt_id
+                self._stream_fields = fields
+            body = bytearray(np.int64(ts).tobytes())
+            for (c, (row_ts, row)), f in zip(rows, self._stream_fields):
+                pad = f[3] - len(body)
+                if pad > 0:
+                    body += b"\x00" * pad
+                body += row.tobytes()
+            await self.send(
+                M.frame(M.TY_TABLE, self._stream_vt_id, bytes(body), req_id)
+            )
+
+    async def on_GetTimeSeries(self, msg: M.GetTimeSeries, req_id: int) -> None:
+        store = self.db.components.get(msg.component_id)
+        if store is None:
+            await self.send(
+                M.ErrorResponse(
+                    f"component {msg.component_id:#x} not found"
+                ).packet(req_id)
+            )
+            return
+        ts, values = store.range(msg.start, msg.stop, msg.limit)
+        body = (
+            np.uint64(len(ts)).tobytes()
+            + np.ascontiguousarray(ts, dtype="<i8").tobytes()
+            + np.ascontiguousarray(values, dtype=store.dtype).tobytes()
+        )
+        await self.send(M.frame(M.TY_TIME_SERIES, msg.id, body, req_id))
+
+    async def on_GetSchema(self, msg: M.GetSchema, req_id: int) -> None:
+        store = self.db.components.get(msg.component_id)
+        if store is None:
+            await self.send(M.ErrorResponse("component not found").packet(req_id))
+            return
+        await self.send(M.SchemaMsg(store.prim, store.shape).packet(req_id))
+
+    async def on_GetComponentMetadata(self, msg, req_id: int) -> None:
+        store = self.db.components.get(msg.component_id)
+        if store is None:
+            await self.send(M.ErrorResponse("component not found").packet(req_id))
+            return
+        await self.send(
+            M.ComponentMetadata(
+                store.component_id, store.name or "", store.metadata
+            ).packet(req_id)
+        )
+
+    async def on_SetComponentMetadata(self, msg, req_id: int) -> None:
+        store = self.db.components.get(msg.component_id)
+        if store is not None:
+            store.name = msg.name
+            store.metadata.update(msg.metadata)
+        else:
+            self.server.pending_metadata[msg.component_id] = (
+                msg.name,
+                dict(msg.metadata),
+            )
+
+    async def on_DumpMetadata(self, msg, req_id: int) -> None:
+        comps = [
+            M.ComponentMetadata(s.component_id, s.name or "", s.metadata)
+            for s in self.db.components.values()
+        ]
+        msg_meta = [
+            log.metadata
+            for log in self.db.msg_logs.values()
+            if isinstance(log.metadata, M.MsgMetadata)
+        ]
+        await self.send(M.DumpMetadataResp(comps, msg_meta, {}).packet(req_id))
+
+    async def on_DumpSchema(self, msg, req_id: int) -> None:
+        schemas = {
+            s.component_id: M.SchemaMsg(s.prim, s.shape)
+            for s in self.db.components.values()
+        }
+        await self.send(M.DumpSchemaResp(schemas).packet(req_id))
+
+    async def on_GetEarliestTimestamp(self, msg, req_id: int) -> None:
+        await self.send(
+            M.EarliestTimestamp(self.db.earliest_timestamp()).packet(req_id)
+        )
+
+    async def on_SetMsgMetadata(self, msg: M.SetMsgMetadata, req_id: int) -> None:
+        self.db.msg_log(msg.id).metadata = msg.metadata
+
+    async def on_MsgStream(self, msg: M.MsgStream, req_id: int) -> None:
+        self.msg_subs.add(msg.msg_id)
+        self.server.msg_subscribers.setdefault(msg.msg_id, []).append(
+            (self, req_id)
+        )
+
+    async def on_GetMsgs(self, msg: M.GetMsgs, req_id: int) -> None:
+        log = self.db.msg_log(msg.msg_id)
+        batch = log.range(msg.start, msg.stop, msg.limit)
+        await self.send(M.MsgBatch(batch).packet(req_id))
+
+    async def on_SQLQuery(self, msg: M.SQLQuery, req_id: int) -> None:
+        try:
+            table = self.server.sql(msg.query)
+            import pyarrow as pa
+            import pyarrow.ipc as ipc
+            import io
+
+            sink = io.BytesIO()
+            with ipc.new_stream(sink, table.schema) as w:
+                w.write_table(table)
+            await self.send(M.ArrowIPC(sink.getvalue()).packet(req_id))
+            await self.send(M.ArrowIPC(None).packet(req_id))
+        except Exception as e:  # noqa: BLE001
+            await self.send(M.ErrorResponse(str(e)).packet(req_id))
+
+    async def on_SaveArchive(self, msg: M.SaveArchive, req_id: int) -> None:
+        try:
+            self.server.save_archive(msg.path, msg.format)
+            await self.send(M.ArchiveSaved(msg.path).packet(req_id))
+        except Exception as e:  # noqa: BLE001
+            await self.send(M.ErrorResponse(str(e)).packet(req_id))
+
+
+class Server:
+    """TCP server wrapper with its own event-loop thread."""
+
+    def __init__(self, db: Database, addr: str = "127.0.0.1:0"):
+        self.db = db
+        self.addr = addr
+        self.subscribers: list[asyncio.Queue] = []
+        self.msg_subscribers: dict[bytes, list] = {}
+        self.pending_metadata: dict[int, tuple] = {}
+        self.loop: asyncio.AbstractEventLoop | None = None
+        self._thread: threading.Thread | None = None
+        self._server = None
+        self.port: int | None = None
+        self._started = threading.Event()
+
+    # -- pub/sub ---------------------------------------------------------
+
+    def add_subscriber(self, q: asyncio.Queue) -> None:
+        self.subscribers.append(q)
+
+    def remove_subscriber(self, q: asyncio.Queue) -> None:
+        if q in self.subscribers:
+            self.subscribers.remove(q)
+
+    def notify_table(self, component_ids, ts) -> None:
+        # apply deferred metadata
+        for cid in component_ids:
+            pend = self.pending_metadata.pop(cid, None)
+            if pend is not None:
+                store = self.db.components.get(cid)
+                if store is not None:
+                    store.name = pend[0]
+                    store.metadata.update(pend[1])
+        if self.loop is None:
+            return
+        for q in list(self.subscribers):
+            self.loop.call_soon_threadsafe(self._offer, q, (component_ids, ts))
+
+    @staticmethod
+    def _offer(q: asyncio.Queue, item) -> None:
+        try:
+            q.put_nowait(item)
+        except asyncio.QueueFull:
+            pass
+
+    def notify_msg(self, msg_id: bytes, ts: int, data: bytes) -> None:
+        subs = self.msg_subscribers.get(msg_id)
+        if not subs or self.loop is None:
+            return
+        body = np.int64(ts).tobytes() + data
+        for conn, req_id in list(subs):
+            pkt = M.frame(M.TY_MSG_WITH_TIMESTAMP, msg_id, body, req_id)
+            fut = asyncio.run_coroutine_threadsafe(conn.send(pkt), self.loop)
+            fut.add_done_callback(lambda f: f.exception())
+
+    # -- sql / export ------------------------------------------------------
+
+    def sql(self, query: str):
+        from .sql import run_sql
+
+        return run_sql(self.db, query)
+
+    def save_archive(self, path: str, fmt: str) -> None:
+        from .export import save_archive
+
+        save_archive(self.db, path, fmt)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    async def _bind(self) -> None:
+        host, _, port = self.addr.rpartition(":")
+        host = host.strip("[]") or "127.0.0.1"
+        if host == "::":
+            host = None
+        self._server = await asyncio.start_server(
+            self._on_conn, host, int(port)
+        )
+        self.port = self._server.sockets[0].getsockname()[1]
+        self._started.set()
+
+    async def _on_conn(self, reader, writer) -> None:
+        conn = Connection(self, reader, writer)
+        await conn.run()
+
+    def start(self) -> "Server":
+        def run():
+            self.loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(self.loop)
+            try:
+                self.loop.run_until_complete(self._bind())
+            except Exception:
+                self._started.set()
+                return
+            try:
+                self.loop.run_forever()
+            finally:
+                for task in asyncio.all_tasks(self.loop):
+                    task.cancel()
+                try:
+                    self.loop.run_until_complete(
+                        self.loop.shutdown_asyncgens()
+                    )
+                except Exception:
+                    pass
+                self.loop.close()
+
+        self._thread = threading.Thread(target=run, daemon=True, name="elodin-db")
+        self._thread.start()
+        self._started.wait(timeout=10)
+        return self
+
+    def stop(self) -> None:
+        if self.loop is not None and self.loop.is_running():
+            if self._server is not None:
+                self.loop.call_soon_threadsafe(self._server.close)
+            self.loop.call_soon_threadsafe(self.loop.stop)
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self.db.flush()
+
+
+def serve_exec(exec_, addr: str = "127.0.0.1:2240") -> Server:
+    """Attach a DB server to a running Exec: every telemetry batch is
+    mirrored into the store off the device loop (the async host-callback tap
+    of SURVEY §2; mirrors commit_world_head_unified,
+    libs/nox-py/src/impeller2_server.rs:390)."""
+    db = Database(getattr(exec_, "db_path", None))
+    server = Server(db, addr).start()
+    meta = exec_.meta
+
+    id_to_name = {eid: m.name for eid, m in meta.entity_metadata.items()}
+    from .vtable import component_id_of
+
+    # precompute per-(entity, component) store descriptors
+    plan = []
+    for comp_name, ids in meta.comp_entities.items():
+        comp = meta.components[comp_name]
+        for i, eid in enumerate(ids):
+            ename = id_to_name.get(eid)
+            qual = f"{ename}.{comp_name}" if ename else f"{eid}.{comp_name}"
+            cid = component_id_of(qual)
+            store = db.get_or_create(cid, comp.ty.ty.value, comp.ty.shape, qual)
+            store.metadata.update(comp.metadata)
+            plan.append((comp_name, i, cid, store))
+
+    def commit_batch(ts_us: np.ndarray, stacked: dict) -> None:
+        touched = []
+        with db.lock:
+            for comp_name, row, cid, store in plan:
+                col = stacked.get(comp_name)
+                if col is None:
+                    continue
+                store.append_batch(ts_us, col[:, row])
+                touched.append(cid)
+        server.notify_table(touched, int(ts_us[-1]))
+
+    exec_.on_commit_batch = commit_batch
+    # seed initial state (init_db, impeller2_server.rs:229)
+    if getattr(exec_, "cols", None):
+        ts0 = np.asarray([int(
+            exec_._history.start_timestamp.timestamp() * 1e6
+        )], dtype=np.int64)
+        init = {k: np.asarray(v)[None] for k, v in exec_.cols.items()}
+        commit_batch(ts0, init)
+    return server

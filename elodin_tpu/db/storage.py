@@ -1,0 +1,231 @@
+"""Time-series component store (parity: libs/db — DB/State, per-component
+append-only series, msg logs).
+
+The reference preallocates 8 GB sparse files per component and mmaps them
+(libs/db/src/lib.rs:240+).  This store keeps a growable numpy buffer per
+component with optional directory persistence in a simple layout:
+
+    <db_path>/
+      components/<name>/{schema.json, timestamps.bin, data.bin}
+      msgs/<id_hex>/{meta.json, log.bin}
+      assets/…
+
+Writes append to memory and (when persisted) to the files; reads slice the
+in-memory arrays.  Enough for sim serving, export, and replay; a C++ mmap
+engine can replace the hot path behind the same interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .vtable import PRIM_NP, component_id_of
+
+
+def now_timestamp_us() -> int:
+    return time.time_ns() // 1000
+
+
+class ComponentStore:
+    def __init__(self, component_id: int, prim: str, shape: tuple,
+                 name: str | None = None, path: Path | None = None):
+        self.component_id = component_id
+        self.prim = prim
+        self.shape = tuple(int(s) for s in shape)
+        self.name = name
+        self.metadata: dict[str, str] = {}
+        self.dtype = PRIM_NP[prim]
+        self.elem_count = int(np.prod(self.shape)) if self.shape else 1
+        self.row_nbytes = self.elem_count * self.dtype.itemsize
+        cap = 1024
+        self.timestamps = np.zeros(cap, dtype="<i8")
+        self.values = np.zeros((cap, self.elem_count), dtype=self.dtype)
+        self.len = 0
+        self.path = path
+        self._ts_file = None
+        self._data_file = None
+        if path is not None:
+            path.mkdir(parents=True, exist_ok=True)
+            (path / "schema.json").write_text(
+                json.dumps(
+                    {
+                        "component_id": component_id,
+                        "name": name,
+                        "prim": prim,
+                        "shape": list(self.shape),
+                    }
+                )
+            )
+            self._ts_file = open(path / "timestamps.bin", "ab")
+            self._data_file = open(path / "data.bin", "ab")
+
+    def _grow(self, need: int) -> None:
+        cap = len(self.timestamps)
+        if self.len + need <= cap:
+            return
+        new_cap = max(cap * 2, self.len + need)
+        self.timestamps = np.resize(self.timestamps, new_cap)
+        self.values = np.resize(self.values, (new_cap, self.elem_count))
+
+    def append(self, timestamp: int, data: bytes | np.ndarray) -> None:
+        arr = (
+            np.frombuffer(data, dtype=self.dtype, count=self.elem_count)
+            if isinstance(data, (bytes, bytearray, memoryview))
+            else np.asarray(data, dtype=self.dtype).reshape(-1)
+        )
+        self._grow(1)
+        self.timestamps[self.len] = timestamp
+        self.values[self.len] = arr
+        self.len += 1
+        if self._ts_file is not None:
+            self._ts_file.write(np.int64(timestamp).tobytes())
+            self._data_file.write(arr.tobytes())
+
+    def append_batch(self, timestamps: np.ndarray, values: np.ndarray) -> None:
+        n = len(timestamps)
+        self._grow(n)
+        self.timestamps[self.len : self.len + n] = timestamps
+        self.values[self.len : self.len + n] = values.reshape(n, -1)
+        self.len += n
+        if self._ts_file is not None:
+            self._ts_file.write(np.asarray(timestamps, dtype="<i8").tobytes())
+            self._data_file.write(
+                np.ascontiguousarray(values, dtype=self.dtype).tobytes()
+            )
+
+    def range(self, start: int, stop: int, limit: int | None = None):
+        ts = self.timestamps[: self.len]
+        lo = int(np.searchsorted(ts, start, side="left"))
+        hi = int(np.searchsorted(ts, stop, side="left"))
+        if limit is not None and hi - lo > limit:
+            idx = np.linspace(lo, hi - 1, limit).astype(int)
+            return ts[idx], self.values[idx]
+        return ts[lo:hi], self.values[lo:hi]
+
+    def latest(self):
+        if self.len == 0:
+            return None
+        return int(self.timestamps[self.len - 1]), self.values[self.len - 1]
+
+    def flush(self) -> None:
+        if self._ts_file is not None:
+            self._ts_file.flush()
+            self._data_file.flush()
+
+    @staticmethod
+    def load(path: Path) -> "ComponentStore":
+        schema = json.loads((path / "schema.json").read_text())
+        store = ComponentStore(
+            schema["component_id"], schema["prim"], tuple(schema["shape"]),
+            schema.get("name"),
+        )
+        ts = np.fromfile(path / "timestamps.bin", dtype="<i8")
+        data = np.fromfile(path / "data.bin", dtype=store.dtype).reshape(
+            len(ts), store.elem_count
+        )
+        store.timestamps = ts.copy()
+        store.values = data.copy()
+        store.len = len(ts)
+        store.path = path
+        store._ts_file = open(path / "timestamps.bin", "ab")
+        store._data_file = open(path / "data.bin", "ab")
+        return store
+
+
+class MsgLog:
+    def __init__(self, msg_id: bytes, path: Path | None = None):
+        self.msg_id = msg_id
+        self.entries: list[tuple[int, bytes]] = []
+        self.metadata: dict | None = None
+        self.path = path
+        self._file = None
+        if path is not None:
+            path.mkdir(parents=True, exist_ok=True)
+            self._file = open(path / "log.bin", "ab")
+
+    def append(self, timestamp: int, data: bytes) -> None:
+        self.entries.append((timestamp, bytes(data)))
+        if self._file is not None:
+            self._file.write(
+                np.int64(timestamp).tobytes()
+                + np.uint32(len(data)).tobytes()
+                + data
+            )
+
+    def range(self, start: int, stop: int, limit: int | None = None):
+        out = [e for e in self.entries if start <= e[0] < stop]
+        if limit is not None:
+            out = out[:limit]
+        return out
+
+
+class Database:
+    """In-process DB state shared by server connections and embedded sims."""
+
+    def __init__(self, path: str | None = None):
+        self.path = Path(path) if path else None
+        if self.path:
+            self.path.mkdir(parents=True, exist_ok=True)
+        self.components: dict[int, ComponentStore] = {}
+        self.msg_logs: dict[bytes, MsgLog] = {}
+        self.vtables: dict[bytes, object] = {}
+        self.lock = threading.RLock()
+        self.listeners: list = []  # callables(component_ids, timestamp)
+        self.recording = True
+        if self.path and (self.path / "components").is_dir():
+            for comp_dir in (self.path / "components").iterdir():
+                if (comp_dir / "schema.json").is_file():
+                    store = ComponentStore.load(comp_dir)
+                    self.components[store.component_id] = store
+
+    # -- components -----------------------------------------------------
+
+    def get_or_create(self, component_id: int, prim: str, shape,
+                      name: str | None = None) -> ComponentStore:
+        with self.lock:
+            store = self.components.get(component_id)
+            if store is None:
+                comp_path = None
+                if self.path:
+                    dir_name = name or f"{component_id:016x}"
+                    comp_path = self.path / "components" / dir_name
+                store = ComponentStore(component_id, prim, shape, name, comp_path)
+                self.components[component_id] = store
+            elif name and not store.name:
+                store.name = name
+            return store
+
+    def by_name(self, name: str) -> ComponentStore | None:
+        return self.components.get(component_id_of(name))
+
+    def msg_log(self, msg_id: bytes) -> MsgLog:
+        with self.lock:
+            log = self.msg_logs.get(msg_id)
+            if log is None:
+                p = self.path / "msgs" / msg_id.hex() if self.path else None
+                log = MsgLog(msg_id, p)
+                self.msg_logs[msg_id] = log
+            return log
+
+    def notify(self, component_ids, timestamp: int) -> None:
+        for fn in list(self.listeners):
+            try:
+                fn(component_ids, timestamp)
+            except Exception:
+                pass
+
+    def earliest_timestamp(self) -> int:
+        ts = [
+            int(s.timestamps[0]) for s in self.components.values() if s.len > 0
+        ]
+        return min(ts) if ts else 0
+
+    def flush(self) -> None:
+        for s in self.components.values():
+            s.flush()

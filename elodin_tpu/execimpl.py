@@ -119,10 +119,15 @@ class Exec:
         max_ticks: int | None = None,
         telemetry_rate: float | None = None,
         record_history: bool = True,
+        db_path: str | None = None,
     ):
         self.meta = meta
         self.sim_time_step = sim_time_step
         self.max_ticks = max_ticks
+        self.db_path = db_path
+        # async telemetry tap: set by db.server.serve_exec; called with
+        # (timestamps_us, stacked_cols) after each batch, off the device loop
+        self.on_commit_batch = None
         self.profiler = Profiler(sim_time_step)
         self.record_history = record_history
         # ticks between telemetry commits (>=1)
@@ -260,9 +265,12 @@ class Exec:
             ts = (
                 self._tick + (np.arange(1, n + 1) * stride)
             ) * self.sim_time_step
-            self._history.append_batch(
-                ts, {k: np.asarray(v) for k, v in stacked.items()}
-            )
+            stacked_np = {k: np.asarray(v) for k, v in stacked.items()}
+            self._history.append_batch(ts, stacked_np)
+            if self.on_commit_batch is not None:
+                start = self._history.start_timestamp.timestamp()
+                ts_us = ((start + ts) * 1e6).astype(np.int64)
+                self.on_commit_batch(ts_us, stacked_np)
             self.profiler.copy_s += time.perf_counter() - t1
         else:
             final, _ = fn(self.cols)

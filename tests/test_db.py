@@ -1,0 +1,233 @@
+"""DB + impeller2 protocol tests (parity model:
+libs/db/tests/src/lib.rs and python/tests/test_db.py — ephemeral server,
+wire round trips, streams, SQL, archive)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import elodin_tpu.db as edb
+from elodin_tpu.db import msgs as M
+from elodin_tpu.db.postcard import Reader, Writer, auto_msg_id, msg_id
+from elodin_tpu.db.vtable import VTable, build_table_vtable, component_id_of
+
+
+@pytest.fixture()
+def server(tmp_path):
+    srv = edb.Server.start(str(tmp_path / "db"))
+    yield srv
+    srv.stop()
+
+
+def test_postcard_roundtrip():
+    w = Writer()
+    w.varint(0).varint(127).varint(128).varint(300).varint(2**40)
+    w.zigzag(0).zigzag(-1).zigzag(1).zigzag(-(2**40))
+    w.string("héllo").bytes_(b"\x00\x01")
+    w.option(None, lambda w, v: w.varint(v)).option(5, lambda w, v: w.varint(v))
+    r = Reader(w.bytes())
+    assert [r.varint() for _ in range(5)] == [0, 127, 128, 300, 2**40]
+    assert [r.zigzag() for _ in range(4)] == [0, -1, 1, -(2**40)]
+    assert r.string() == "héllo"
+    assert r.bytes_() == b"\x00\x01"
+    assert r.option(lambda r: r.varint()) is None
+    assert r.option(lambda r: r.varint()) == 5
+
+
+def test_component_id_fnv1a():
+    # FNV-1a of "" is the offset basis
+    assert component_id_of("") == 0xCBF29CE484222325
+    # and known value for "a": (0xcbf29ce484222325 ^ 0x61) * 0x100000001b3
+    assert component_id_of("a") == ((0xCBF29CE484222325 ^ 0x61) * 0x100000001B3) % 2**64
+
+
+def test_msg_id_avoids_reserved_range():
+    for name in ["a", "b", "set_throttle", "race.collision", "x" * 40]:
+        assert msg_id(name)[0] != 224
+
+
+def test_vtable_roundtrip():
+    vt = build_table_vtable(
+        [
+            ("drone.imu.accel", "f64", (3,), 8, 24),
+            ("drone.cmd.throttle", "f64", (), 32, 8),
+        ],
+        timestamp_offset=0,
+    )
+    w = Writer()
+    vt.write(w)
+    vt2 = VTable.read(Reader(w.bytes()))
+    body = bytearray(40)
+    body[0:8] = np.int64(123456).tobytes()
+    body[8:32] = np.asarray([1.0, 2.0, 3.0]).tobytes()
+    body[32:40] = np.float64(0.42).tobytes()
+    fields = list(vt2.realize_fields(bytes(body)))
+    assert fields[0]["component_id"] == component_id_of("drone.imu.accel")
+    assert fields[0]["ty"] == "f64"
+    assert fields[0]["shape"] == (3,)
+    assert fields[0]["timestamp"] == 123456
+    np.testing.assert_allclose(
+        np.frombuffer(fields[0]["data"], dtype="<f8"), [1.0, 2.0, 3.0]
+    )
+    assert fields[1]["component_id"] == component_id_of("drone.cmd.throttle")
+
+
+def test_write_and_time_series(server):
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer(
+        {
+            "drone.imu.accel": edb.f64[3].labeled("x", "y", "z"),
+            "drone.cmd.throttle": edb.f64,
+        }
+    )
+    t0 = 1_000_000
+    for i in range(10):
+        writer.write(
+            timestamp_us=t0 + i * 1000,
+            values={
+                "drone.imu.accel": [0.0, 0.0, -9.81 + i],
+                "drone.cmd.throttle": 0.1 * i,
+            },
+        )
+    time.sleep(0.3)
+    ts, accel = client.time_series("drone.imu.accel", t0, t0 + 10_000)
+    assert len(ts) == 10
+    np.testing.assert_allclose(accel[0], [0.0, 0.0, -9.81])
+    np.testing.assert_allclose(accel[-1], [0.0, 0.0, -0.81])
+    sample = client.latest("drone.cmd.throttle")
+    assert sample is not None
+    np.testing.assert_allclose(sample.values, 0.9)
+    assert client.earliest_timestamp() == t0
+    writer.close()
+    client.close()
+
+
+def test_components_metadata(server):
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"v.pos": edb.f64[3].labeled("x", "y", "z")})
+    writer.write(timestamp_us=1, values={"v.pos": [1.0, 2.0, 3.0]})
+    time.sleep(0.3)
+    comps = client.components()
+    assert "v.pos" in comps
+    assert comps["v.pos"].shape == (3,)
+    assert comps["v.pos"].metadata.get("element_names") == "x,y,z"
+    writer.close()
+    client.close()
+
+
+def test_sql(server):
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"craft.alt": edb.f64})
+    for i in range(20):
+        writer.write(timestamp_us=i * 100, values={"craft.alt": float(i)})
+    time.sleep(0.3)
+    table = client.sql(
+        f"SELECT * FROM {edb.sql_table_name('craft.alt')} WHERE craft_alt > 15"
+    )
+    assert table.num_rows == 4
+    agg = client.sql(
+        f"SELECT max(craft_alt) AS peak FROM {edb.sql_table_name('craft.alt')}"
+    )
+    assert agg.to_pydict()["peak"][0] == 19.0
+    writer.close()
+    client.close()
+
+
+def test_msg_log_roundtrip(server):
+    client = edb.Client.connect(server.addr)
+    client.send_msg("race.collision", {"id": 1}, timestamp_us=500)
+    client.send_msg("race.collision", {"id": 2}, timestamp_us=600)
+    time.sleep(0.3)
+    msgs = client.get_msgs("race.collision")
+    assert [m[1]["id"] for m in msgs] == [1, 2]
+    assert [m[0] for m in msgs] == [500, 600]
+    client.close()
+
+
+def test_msg_stream(server):
+    client = edb.Client.connect(server.addr)
+    stream = client.msg_stream("events.ping")
+    got = []
+
+    def consume():
+        got.append(next(stream))
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    sender = edb.Client.connect(server.addr)
+    sender.send_msg("events.ping", "hello", timestamp_us=42)
+    t.join(timeout=5)
+    assert got and got[0][0] == 42 and got[0][1] == "hello"
+    stream.close()
+    client.close()
+    sender.close()
+
+
+def test_component_stream(server):
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"sat.temp": edb.f64})
+    writer.write(timestamp_us=1, values={"sat.temp": 20.0})
+    time.sleep(0.3)
+    stream = client.stream(["sat.temp"])
+    rows = []
+
+    def consume():
+        rows.append(next(stream))
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    writer.write(timestamp_us=2, values={"sat.temp": 21.5})
+    t.join(timeout=5)
+    assert rows, "no stream row received"
+    assert "sat.temp" in rows[0]
+    np.testing.assert_allclose(rows[0]["sat.temp"], 21.5)
+    stream.close()
+    writer.close()
+    client.close()
+
+
+def test_persistence_reload(tmp_path):
+    path = str(tmp_path / "db")
+    srv = edb.Server.start(path)
+    client = edb.Client.connect(srv.addr)
+    writer = client.table_writer({"x.y": edb.f64})
+    writer.write(timestamp_us=10, values={"x.y": 3.5})
+    time.sleep(0.3)
+    writer.close()
+    client.close()
+    srv.stop()
+
+    srv2 = edb.Server.start(path)
+    client2 = edb.Client.connect(srv2.addr)
+    ts, vals = client2.time_series("x.y", 0, 100)
+    assert len(ts) == 1 and vals[0] == 3.5
+    client2.close()
+    srv2.stop()
+
+
+def test_exec_db_integration(tmp_path):
+    """World.build + serve_exec: sim telemetry lands in the DB."""
+    import elodin as el
+    from jax import numpy as jnp
+    from elodin_tpu.db.server import serve_exec
+
+    w = el.World()
+    w.spawn(
+        el.Body(world_vel=el.SpatialMotion(linear=jnp.array([1.0, 0.0, 0.0]))),
+        "craft",
+    )
+    exec_ = w.build(el.six_dof(1.0 / 60.0), db_path=str(tmp_path / "db"))
+    server = serve_exec(exec_, "127.0.0.1:0")
+    try:
+        exec_.run(30)
+        client = edb.Client.connect(f"127.0.0.1:{server.port}")
+        ts, pos = client.time_series("craft.world_pos", 0, 2**62)
+        assert len(ts) == 31  # init + 30 ticks
+        np.testing.assert_allclose(pos[-1][4], 0.5, rtol=1e-6)
+        client.close()
+    finally:
+        server.stop()
