@@ -40,3 +40,12 @@ def set_float_policy(policy: str) -> None:
     if policy not in ("f64", "f32"):
         raise ValueError("float policy must be 'f64' or 'f32'")
     _FLOAT_POLICY = policy
+
+
+def _get_cache_dir() -> str:
+    """Cache directory for downloaded assets (EGM08 coefficients etc.),
+    mirroring el._get_cache_dir (libs/nox-py/src/lib.rs:129-141)."""
+    base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    path = os.path.join(base, "elodin")
+    os.makedirs(path, exist_ok=True)
+    return path
