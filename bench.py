@@ -92,7 +92,31 @@ def main() -> None:
         "wall_s": round(f64["wall_s"], 4),
         "device": str(jax.devices()[0]),
     }
+
+    if os.environ.get("BENCH_MC", "1") != "0":
+        try:
+            mc = bench_monte_carlo()
+            result["mc_rollouts_per_sec"] = round(mc["rollouts_per_s"], 1)
+            result["mc_10k_wall_s"] = round(mc["wall_s"], 4)
+            result["mc_soft_landing_frac"] = mc["soft_landing_frac"]
+        except Exception as e:  # noqa: BLE001
+            result["mc_error"] = str(e)
     print(json.dumps(result))
+
+
+def bench_monte_carlo(n: int = 10000, ticks: int = 2400) -> dict:
+    """10k-sample dispersed landing campaign (BASELINE.json: falcon9 MC
+    target < 60 s on v5e-8; measured per chip here)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "examples", "monte-carlo"))
+    try:
+        from batched import run_campaign as _mc
+
+        return _mc(n, ticks)
+    finally:
+        _sys.path.pop(0)
 
 
 if __name__ == "__main__":

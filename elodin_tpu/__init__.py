@@ -52,6 +52,7 @@ from .system import (  # noqa: F401
 )
 from .six_dof import Integrator, six_dof  # noqa: F401
 from .execimpl import Exec  # noqa: F401
+from .step_context import StepContext  # noqa: F401
 from .world import DEFAULT_TIME_STEP, WorldBuilder  # noqa: F401
 from .jaxsim import JaxSim  # noqa: F401
 from . import monte_carlo as monte_carlo  # noqa: F401

@@ -15,7 +15,7 @@ import json
 import os
 from pathlib import Path
 
-from .sample import lhs_units, sample_dist, materialize_plan  # noqa: F401
+from .sample import lhs_units, sample_dist, sample_plan, materialize_plan  # noqa: F401
 
 CONTEXT_ENV = "ELODIN_MONTE_CARLO_CONTEXT"
 
@@ -173,6 +173,7 @@ __all__ = [
     "spec_json",
     "lhs_units",
     "sample_dist",
+    "sample_plan",
     "materialize_plan",
     "BatchedCampaign",
     "run_batched",

@@ -59,6 +59,14 @@ def _run_one(sim_path: str, row: dict, out_dir: Path, max_ticks: int | None,
     ctx_path.write_text(json.dumps(ctx, indent=2))
     env = dict(os.environ)
     env[CONTEXT_ENV] = str(ctx_path)
+    # make sure the child can import the SDK regardless of its cwd
+    import elodin_tpu
+
+    sdk_root = str(Path(elodin_tpu.__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [sdk_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    sim_path = str(Path(sim_path).resolve())
     args = [sys.executable, sim_path, "run"]
     if max_ticks is not None:
         env["ELODIN_MAX_TICKS"] = str(max_ticks)

@@ -162,3 +162,50 @@ def test_rocket_external_fin_trim():
     exec_.run(10)
     trim = exec_.read_component("rocket.fin_control_trim")
     np.testing.assert_allclose(np.asarray(trim), 5.0)
+
+
+def test_drone_stabilizes_and_holds_altitude():
+    mod = load_module("drone", "main")
+    w = mod.build_world(tilt_deg=20.0)
+    exec_ = w.build(mod.build_system(), simulation_rate=mod.SIMULATION_RATE)
+    exec_.run(int(8 * mod.SIMULATION_RATE))  # 8 seconds
+    df = exec_.history("drone.world_pos")
+    final = df["drone.world_pos"][-1].to_numpy()
+    q, z = final[:4], final[6]
+    # level attitude recovered from the 20-degree tilt
+    tilt = 2 * np.degrees(np.arccos(np.clip(abs(q[3]), 0, 1)))
+    assert tilt < 3.0, f"drone still tilted {tilt:.1f} deg"
+    # altitude held near the 2 m setpoint
+    assert abs(z - 2.0) < 0.3, f"altitude {z:.2f}"
+
+
+def test_mc_batched_campaign_cpu():
+    mod = load_module("monte-carlo", "batched")
+    out = mod.run_campaign(128, 2400, seed=7)
+    assert out["landed_frac"] > 0.9
+    assert out["soft_landing_frac"] > 0.8
+    assert -6.0 < out["mean_touchdown_vz"] < 0.0
+
+
+def test_mc_process_campaign(tmp_path):
+    """Process-per-sample fallback runner end-to-end."""
+    from elodin_tpu.monte_carlo import run_campaign
+
+    sim = os.path.join(EXAMPLES, "monte-carlo", "main.py")
+    if not os.path.exists(sim):
+        pytest.skip("no process-mode main.py")
+    config = {
+        "monte_carlo": {
+            "n_samples": 2,
+            "seed": 1,
+            "variables": {
+                "start_altitude": {"dist": "uniform", "min": 1800, "max": 2200},
+            },
+        }
+    }
+    records = run_campaign(sim, config, tmp_path / "out", workers=2,
+                           max_ticks=50, timeout=300)
+    assert len(records) == 2
+    assert all(r["valid"] for r in records), records
+    assert (tmp_path / "out" / "results.csv").exists()
+    assert (tmp_path / "out" / "summary.json").exists()
