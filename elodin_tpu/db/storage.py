@@ -50,6 +50,7 @@ class ComponentStore:
         self.path = path
         self._ts_file = None
         self._data_file = None
+        self._native = None
         if path is not None:
             path.mkdir(parents=True, exist_ok=True)
             (path / "schema.json").write_text(
@@ -62,8 +63,32 @@ class ComponentStore:
                     }
                 )
             )
-            self._ts_file = open(path / "timestamps.bin", "ab")
-            self._data_file = open(path / "data.bin", "ab")
+            # prefer the native mmap appender (sparse prealloc + zero-copy,
+            # parity with the reference's storage engine); fall back to
+            # buffered file appends
+            try:
+                from ..native import NativeStore, available
+
+                if available():
+                    self._native = NativeStore(
+                        path / "timestamps.bin", path / "data.bin",
+                        self.row_nbytes,
+                    )
+                    if len(self._native):
+                        self._load_from_native()
+            except Exception:
+                self._native = None
+            if self._native is None:
+                self._ts_file = open(path / "timestamps.bin", "ab")
+                self._data_file = open(path / "data.bin", "ab")
+
+    def _load_from_native(self) -> None:
+        n = len(self._native)
+        ts = self._native.timestamps().copy()
+        vals = self._native.rows(self.dtype, self.elem_count).copy()
+        self.timestamps = ts
+        self.values = vals
+        self.len = n
 
     def _grow(self, need: int) -> None:
         cap = len(self.timestamps)
@@ -83,7 +108,11 @@ class ComponentStore:
         self.timestamps[self.len] = timestamp
         self.values[self.len] = arr
         self.len += 1
-        if self._ts_file is not None:
+        if self._native is not None:
+            self._native.append(
+                np.asarray([timestamp], dtype="<i8"), arr[None]
+            )
+        elif self._ts_file is not None:
             self._ts_file.write(np.int64(timestamp).tobytes())
             self._data_file.write(arr.tobytes())
 
@@ -93,7 +122,12 @@ class ComponentStore:
         self.timestamps[self.len : self.len + n] = timestamps
         self.values[self.len : self.len + n] = values.reshape(n, -1)
         self.len += n
-        if self._ts_file is not None:
+        if self._native is not None:
+            self._native.append(
+                np.asarray(timestamps, dtype="<i8"),
+                np.ascontiguousarray(values, dtype=self.dtype),
+            )
+        elif self._ts_file is not None:
             self._ts_file.write(np.asarray(timestamps, dtype="<i8").tobytes())
             self._data_file.write(
                 np.ascontiguousarray(values, dtype=self.dtype).tobytes()
@@ -114,7 +148,9 @@ class ComponentStore:
         return int(self.timestamps[self.len - 1]), self.values[self.len - 1]
 
     def flush(self) -> None:
-        if self._ts_file is not None:
+        if self._native is not None:
+            self._native.flush()
+        elif self._ts_file is not None:
             self._ts_file.flush()
             self._data_file.flush()
 
@@ -123,18 +159,17 @@ class ComponentStore:
         schema = json.loads((path / "schema.json").read_text())
         store = ComponentStore(
             schema["component_id"], schema["prim"], tuple(schema["shape"]),
-            schema.get("name"),
+            schema.get("name"), path,
         )
-        ts = np.fromfile(path / "timestamps.bin", dtype="<i8")
+        if store._native is not None:
+            return store  # loaded via the mmap header
+        raw_ts = np.fromfile(path / "timestamps.bin", dtype="<i8")
         data = np.fromfile(path / "data.bin", dtype=store.dtype).reshape(
-            len(ts), store.elem_count
+            len(raw_ts), store.elem_count
         )
-        store.timestamps = ts.copy()
+        store.timestamps = raw_ts.copy()
         store.values = data.copy()
-        store.len = len(ts)
-        store.path = path
-        store._ts_file = open(path / "timestamps.bin", "ab")
-        store._data_file = open(path / "data.bin", "ab")
+        store.len = len(raw_ts)
         return store
 
 
