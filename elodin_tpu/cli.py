@@ -141,8 +141,11 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
     )
 
     from .step_context import StepContext
+    from .tick_metrics import Liveness, TickMetrics
 
     ctx = StepContext(exec_)
+    metrics = TickMetrics()
+    liveness = Liveness(getattr(args, "liveness_port", None))
     dt = 1.0 / simulation_rate
     tick = 0
     server = None
@@ -158,19 +161,29 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
             if is_canceled is not None and is_canceled():
                 break
             if pre_step is not None:
-                pre_step(tick, ctx)
+                with metrics.phase("pre_step"):
+                    pre_step(tick, ctx)
             t0 = time.perf_counter()
-            exec_.run(1, show_progress=False)
+            with metrics.phase("run"):
+                exec_.run(1, show_progress=False)
             tick += 1
+            liveness.beat()
             if post_step is not None:
-                post_step(tick - 1, ctx)
+                with metrics.phase("post_step"):
+                    post_step(tick - 1, ctx)
             if generate_real_time:
-                elapsed = time.perf_counter() - t0
-                if elapsed < dt:
-                    time.sleep(dt - elapsed)
+                with metrics.phase("pacing"):
+                    elapsed = time.perf_counter() - t0
+                    if elapsed < dt:
+                        time.sleep(dt - elapsed)
     except KeyboardInterrupt:
         pass
     finally:
+        liveness.stop()
         if server is not None:
             server.stop()
+        metrics.print_summary()
+        metrics.write_summary_json(
+            {"profile": exec_.profile(), "max_ticks": max_ticks}
+        )
     return exec_

@@ -544,3 +544,69 @@ def test_map_seq_decorator_multiple_inputs_outputs():
             }
         ),
     )
+
+
+def test_dual_backend_verify():
+    """TPU-vs-CPU differential pattern (cranelift checkpoint-verifier model,
+    libs/nox-py/src/cranelift_compile.rs:70-85). On the CPU-only test mesh it
+    degrades to a determinism check."""
+    from elodin_tpu.verify import verify_step
+
+    w = el.World()
+    w.spawn(
+        el.Body(
+            world_vel=el.SpatialMotion(linear=np.array([1.0, 2.0, 3.0])),
+            world_pos=el.SpatialTransform(linear=np.array([0.0, 0.0, 100.0])),
+        ),
+        "b",
+    )
+    report = verify_step(w, el.six_dof(1.0 / 120.0))
+    assert "world_pos" in report
+
+
+def test_tick_metrics_histogram():
+    from elodin_tpu.tick_metrics import Log2Histogram, TickMetrics
+
+    h = Log2Histogram()
+    for us in [0.5, 1.5, 3.0, 100.0, 5000.0]:
+        h.observe_us(us)
+    s = h.summary()
+    assert s["count"] == 5
+    assert s["max_us"] == 5000.0
+    assert s["p50_us"] <= s["p99_us"]
+
+    m = TickMetrics()
+    with m.phase("run"):
+        pass
+    assert m.summary()["ticks"] == 1
+
+
+def test_sim_summary_json(tmp_path, monkeypatch):
+    from elodin_tpu.tick_metrics import TickMetrics
+
+    path = tmp_path / "summary.json"
+    monkeypatch.setenv("ELODIN_SIM_SUMMARY_JSON", str(path))
+    m = TickMetrics()
+    with m.phase("run"):
+        pass
+    m.write_summary_json({"rtf": 100.0})
+    import json
+
+    data = json.loads(path.read_text())
+    assert data["ticks"] == 1 and data["rtf"] == 100.0
+
+
+def test_checkpoint_first_tick(tmp_path, monkeypatch):
+    from elodin_tpu.verify import checkpoint_first_tick
+
+    monkeypatch.setenv("ELODIN_TPU_DEBUG_DIR", str(tmp_path / "dbg"))
+    w = el.World()
+    w.spawn(el.Body(world_vel=el.SpatialMotion(linear=np.array([1.0, 0, 0]))), "b")
+    exec_ = w.build(el.six_dof(1.0 / 120.0))
+    out = checkpoint_first_tick(exec_)
+    assert out is not None
+    import numpy
+    loaded = numpy.load(tmp_path / "dbg" / "tick0_inputs.npz")
+    assert "world_pos" in loaded
+    loaded2 = numpy.load(tmp_path / "dbg" / "tick1_outputs.npz")
+    assert loaded2["tick"][0] == 1
