@@ -1,0 +1,347 @@
+"""EQL — the telemetry expression query language.
+
+Parity target: libs/db/eql (PEG parser + formula registry compiling to
+DataFusion SQL).  Grammar kept: dotted component paths with optional element
+labels or array indices, arithmetic over aligned series, and method-style
+formulas::
+
+    a.world_pos[4]                      # element by index
+    rocket.mach                         # whole component
+    rocket.world_vel.norm()             # formula call
+    (a.x - b.x).abs()                   # arithmetic + formula
+    rocket.mach.time_slice(1.0, 2.0)    # time windowing
+    rocket.accel.fft()                  # spectra
+
+This implementation evaluates directly against the ``Database`` store and
+returns (time, values) numpy arrays — there is no SQL engine in the middle,
+so every formula is a vectorized numpy op.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from .storage import Database
+
+# -- AST ---------------------------------------------------------------------
+
+
+@dataclass
+class Series:
+    time: np.ndarray  # i64 us
+    values: np.ndarray  # (n,) or (n, k)
+    label: str
+
+    def binop(self, other, fn, sym):
+        if isinstance(other, Series):
+            # align on timestamps (inner join)
+            common, ia, ib = np.intersect1d(
+                self.time, other.time, return_indices=True
+            )
+            return Series(
+                common,
+                fn(self.values[ia], other.values[ib]),
+                f"({self.label} {sym} {other.label})",
+            )
+        return Series(self.time, fn(self.values, other), f"({self.label} {sym} {other})")
+
+
+class _Parser:
+    """Recursive-descent for the EQL grammar (eql/src/lib.rs peg block)."""
+
+    TOKEN = re.compile(
+        r"\s*(?:(?P<num>\d+\.\d+|\d+\.|\.\d+|\d+(?![\w.]))|(?P<ident>[A-Za-z_][\w]*)"
+        r"|(?P<op>[-+*/().\[\],]))"
+    )
+
+    def __init__(self, text: str):
+        self.tokens = []
+        pos = 0
+        while pos < len(text):
+            m = self.TOKEN.match(text, pos)
+            if not m:
+                if text[pos:].strip():
+                    raise ValueError(f"EQL parse error at {text[pos:]!r}")
+                break
+            pos = m.end()
+            if m.group("num"):
+                self.tokens.append(("num", float(m.group("num"))))
+            elif m.group("ident"):
+                self.tokens.append(("ident", m.group("ident")))
+            else:
+                self.tokens.append(("op", m.group("op")))
+        self.i = 0
+
+    def peek(self):
+        return self.tokens[self.i] if self.i < len(self.tokens) else (None, None)
+
+    def next(self):
+        tok = self.peek()
+        self.i += 1
+        return tok
+
+    def expect(self, op):
+        kind, val = self.next()
+        if kind != "op" or val != op:
+            raise ValueError(f"EQL: expected {op!r}, got {val!r}")
+
+    # expr := term (('+'|'-') term)*
+    def expr(self):
+        node = self.term()
+        while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
+            _, op = self.next()
+            node = ("binop", op, node, self.term())
+        return node
+
+    def term(self):
+        node = self.postfix()
+        while self.peek() == ("op", "*") or self.peek() == ("op", "/"):
+            _, op = self.next()
+            node = ("binop", op, node, self.postfix())
+        return node
+
+    # postfix := atom ( '.' ident [ '(' args ')' ] | '[' num ']' )*
+    def postfix(self):
+        node = self.atom()
+        while True:
+            kind, val = self.peek()
+            if (kind, val) == ("op", "."):
+                self.next()
+                k2, name = self.next()
+                if k2 != "ident":
+                    raise ValueError("EQL: expected identifier after '.'")
+                if self.peek() == ("op", "("):
+                    self.next()
+                    args = []
+                    while self.peek() != ("op", ")"):
+                        args.append(self.expr())
+                        if self.peek() == ("op", ","):
+                            self.next()
+                    self.expect(")")
+                    node = ("call", name, node, args)
+                else:
+                    node = ("field", node, name)
+            elif (kind, val) == ("op", "["):
+                self.next()
+                k2, idx = self.next()
+                if k2 != "num":
+                    raise ValueError("EQL: expected index")
+                self.expect("]")
+                node = ("index", node, int(idx))
+            else:
+                return node
+
+    def atom(self):
+        kind, val = self.next()
+        if kind == "num":
+            return ("num", val)
+        if kind == "ident":
+            return ("ident", val)
+        if (kind, val) == ("op", "("):
+            node = self.expr()
+            self.expect(")")
+            return node
+        raise ValueError(f"EQL: unexpected token {val!r}")
+
+
+# -- formulas (eql/src/formulas/) -------------------------------------------
+
+
+def _f_norm(s: Series, args):
+    v = np.linalg.norm(np.atleast_2d(s.values.T).T, axis=-1)
+    return Series(s.time, v, f"{s.label}.norm()")
+
+
+def _f_abs(s, args):
+    return Series(s.time, np.abs(s.values), f"{s.label}.abs()")
+
+
+def _f_sqrt(s, args):
+    return Series(s.time, np.sqrt(s.values), f"{s.label}.sqrt()")
+
+
+def _f_sign(s, args):
+    return Series(s.time, np.sign(s.values), f"{s.label}.sign()")
+
+
+def _f_degrees(s, args):
+    return Series(s.time, np.degrees(s.values), f"{s.label}.degrees()")
+
+
+def _f_radians(s, args):
+    return Series(s.time, np.radians(s.values), f"{s.label}.radians()")
+
+
+def _f_arccos(s, args):
+    return Series(s.time, np.arccos(np.clip(s.values, -1, 1)), f"{s.label}.arccos()")
+
+
+def _f_clip(s, args):
+    lo, hi = args
+    return Series(s.time, np.clip(s.values, lo, hi), f"{s.label}.clip()")
+
+
+def _f_atan2(s, args):
+    (other,) = args
+    if isinstance(other, Series):
+        common, ia, ib = np.intersect1d(s.time, other.time, return_indices=True)
+        return Series(
+            common, np.arctan2(s.values[ia], other.values[ib]), f"{s.label}.atan2()"
+        )
+    return Series(s.time, np.arctan2(s.values, other), f"{s.label}.atan2()")
+
+
+def _f_time_slice(s, args):
+    lo, hi = args
+    t0 = s.time[0] if len(s.time) else 0
+    mask = (s.time >= t0 + lo * 1e6) & (s.time < t0 + hi * 1e6)
+    return Series(s.time[mask], s.values[mask], f"{s.label}.time_slice()")
+
+
+def _f_fft(s, args):
+    spec = np.abs(np.fft.rfft(s.values, axis=0))
+    return Series(np.arange(len(spec)), spec, f"{s.label}.fft()")
+
+
+def _f_fftfreq(s, args):
+    dt = np.median(np.diff(s.time)) * 1e-6 if len(s.time) > 1 else 1.0
+    freqs = np.fft.rfftfreq(len(s.time), dt)
+    return Series(np.arange(len(freqs)), freqs, f"{s.label}.fftfreq()")
+
+
+def _f_angular(s, args):
+    return Series(s.time, s.values[..., :4] if s.values.ndim > 1 and s.values.shape[-1] == 7 else s.values[..., :3], f"{s.label}.angular()")
+
+
+def _f_linear(s, args):
+    k = s.values.shape[-1]
+    return Series(s.time, s.values[..., 4:] if k == 7 else s.values[..., 3:], f"{s.label}.linear()")
+
+
+FORMULAS = {
+    "norm": _f_norm,
+    "abs": _f_abs,
+    "sqrt": _f_sqrt,
+    "sign": _f_sign,
+    "degrees": _f_degrees,
+    "radians": _f_radians,
+    "arccos": _f_arccos,
+    "clip": _f_clip,
+    "atan2": _f_atan2,
+    "time_slice": _f_time_slice,
+    "fft": _f_fft,
+    "fftfreq": _f_fftfreq,
+    "angular": _f_angular,
+    "linear": _f_linear,
+}
+
+
+# -- evaluation --------------------------------------------------------------
+
+
+class Context:
+    """EQL evaluation context over a Database (eql Context, lib.rs:555)."""
+
+    def __init__(self, db: Database):
+        self.db = db
+
+    def _component(self, path: str) -> Series:
+        store = self.db.by_name(path)
+        if store is None:
+            raise KeyError(f"component {path!r} not found")
+        n = store.len
+        values = store.values[:n]
+        if store.elem_count == 1:
+            values = values[:, 0]
+        elif store.shape:
+            values = values.reshape((n,) + store.shape)
+        return Series(store.timestamps[:n].copy(), values.copy(), path)
+
+    def _element(self, path: str, label: str) -> Series | None:
+        """Resolve a trailing path part as an element label (e.g.
+        `pos.x` with element_names metadata)."""
+        store = self.db.by_name(path)
+        if store is None:
+            return None
+        labels = (store.metadata.get("element_names") or "").split(",")
+        if label not in labels:
+            return None
+        idx = labels.index(label)
+        n = store.len
+        return Series(
+            store.timestamps[:n].copy(),
+            store.values[:n, idx].copy(),
+            f"{path}.{label}",
+        )
+
+    def eval(self, node):
+        kind = node[0]
+        if kind == "num":
+            return node[1]
+        if kind == "ident":
+            return ("path", node[1])
+        if kind == "field":
+            base = self.eval(node[1])
+            if isinstance(base, tuple) and base[0] == "path":
+                path = f"{base[1]}.{node[2]}"
+                if self.db.by_name(path) is not None:
+                    return ("path", path)
+                elem = self._element(base[1], node[2])
+                if elem is not None:
+                    return elem
+                return ("path", path)  # may resolve with more parts
+            raise ValueError(f"cannot access field {node[2]} of {base}")
+        if kind == "index":
+            s = self._resolve(self.eval(node[1]))
+            return Series(s.time, s.values[..., node[2]], f"{s.label}[{node[2]}]")
+        if kind == "call":
+            name = node[1]
+            target = self._resolve(self.eval(node[2]))
+            fn = FORMULAS.get(name)
+            if fn is None:
+                raise KeyError(f"unknown EQL formula {name!r}")
+            args = [
+                self._resolve_or_scalar(self.eval(a)) for a in node[3]
+            ]
+            return fn(target, args)
+        if kind == "binop":
+            op = node[1]
+            a = self._resolve_or_scalar(self.eval(node[2]))
+            b = self._resolve_or_scalar(self.eval(node[3]))
+            ops = {
+                "+": (np.add, "+"),
+                "-": (np.subtract, "-"),
+                "*": (np.multiply, "*"),
+                "/": (np.divide, "/"),
+            }
+            fn, sym = ops[op]
+            if isinstance(a, Series):
+                return a.binop(b, fn, sym)
+            if isinstance(b, Series):
+                return Series(b.time, fn(a, b.values), f"({a} {sym} {b.label})")
+            return fn(a, b)
+        raise ValueError(f"bad node {node}")
+
+    def _resolve(self, v) -> Series:
+        if isinstance(v, tuple) and v[0] == "path":
+            return self._component(v[1])
+        if isinstance(v, Series):
+            return v
+        raise ValueError(f"expected a component series, got {v}")
+
+    def _resolve_or_scalar(self, v):
+        if isinstance(v, tuple) and v[0] == "path":
+            return self._component(v[1])
+        return v
+
+    def query(self, text: str) -> Series:
+        node = _Parser(text).expr()
+        out = self.eval(node)
+        return self._resolve(out) if not isinstance(out, Series) else out
+
+
+def eql(db: Database, text: str) -> Series:
+    return Context(db).query(text)

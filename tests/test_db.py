@@ -231,3 +231,38 @@ def test_exec_db_integration(tmp_path):
         client.close()
     finally:
         server.stop()
+
+
+def test_eql_queries():
+    from elodin_tpu.db.eql import eql
+    from elodin_tpu.db.storage import Database
+    from elodin_tpu.db.vtable import component_id_of
+
+    db = Database()
+    pos = db.get_or_create(component_id_of("a.world_pos"), "f64", (7,), "a.world_pos")
+    vel = db.get_or_create(component_id_of("a.world_vel"), "f64", (6,), "a.world_vel")
+    x = db.get_or_create(component_id_of("a.x"), "f64", (), "a.x")
+    x.metadata["element_names"] = ""
+    for i in range(100):
+        t = i * 1000
+        pos.append(t, np.array([0, 0, 0, 1, 3.0 * i, 4.0 * i, 0.0]))
+        vel.append(t, np.array([0, 0, 0, 1.0, 0.0, 0.0]))
+        x.append(t, np.float64(i))
+
+    s = eql(db, "a.world_pos[4]")
+    np.testing.assert_allclose(s.values[-1], 3.0 * 99)
+
+    s = eql(db, "a.world_pos.linear().norm()")
+    np.testing.assert_allclose(s.values[10], 5.0 * 10)  # 3-4-5 triangle
+
+    s = eql(db, "a.x * 2.0 + 1.0")
+    np.testing.assert_allclose(s.values[5], 11.0)
+
+    s = eql(db, "(a.world_pos[4] - a.world_pos[5]).abs()")
+    np.testing.assert_allclose(s.values[7], 7.0)
+
+    s = eql(db, "a.x.time_slice(0.0, 0.05)")
+    assert len(s.values) == 50
+
+    s = eql(db, "a.world_vel.linear()[0]")
+    np.testing.assert_allclose(s.values, 1.0)

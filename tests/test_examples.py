@@ -209,3 +209,23 @@ def test_mc_process_campaign(tmp_path):
     assert all(r["valid"] for r in records), records
     assert (tmp_path / "out" / "results.csv").exists()
     assert (tmp_path / "out" / "summary.json").exists()
+
+
+def test_linalg_ops_coverage():
+    mod = load_module("linalg", "main")
+    w = mod.build_world()
+    exec_ = w.build(mod.build_system(), simulation_rate=120.0)
+    exec_.run(10)
+    df = exec_.history(["linalg.mat_a", "linalg.chol_out", "linalg.svd_s",
+                        "linalg.solve_out", "linalg.det", "linalg.eig_vals"])
+    a = df["linalg.mat_a"][-1].to_numpy().reshape(4, 4)
+    chol = df["linalg.chol_out"][-1].to_numpy().reshape(4, 4)
+    np.testing.assert_allclose(chol @ chol.T, a, rtol=1e-8)
+    x = df["linalg.solve_out"][-1].to_numpy()
+    np.testing.assert_allclose(a @ x, np.arange(4.0) + 1.0, rtol=1e-8)
+    s = df["linalg.svd_s"][-1].to_numpy()
+    w_eig = np.sort(df["linalg.eig_vals"][-1].to_numpy())
+    # SPD: singular values == eigenvalues
+    np.testing.assert_allclose(np.sort(s), w_eig, rtol=1e-8)
+    det = float(df["linalg.det"][-1])
+    np.testing.assert_allclose(det, np.prod(w_eig), rtol=1e-8)
