@@ -33,6 +33,20 @@ def bench_entity_steps(n_bodies: int, ticks: int, dtype: str) -> dict:
 
     if dtype == "f32":
         el.set_float_policy("f32")
+    try:
+        return _bench_entity_steps_inner(n_bodies, ticks, dtype)
+    finally:
+        el.set_float_policy("f64")
+
+
+def _bench_entity_steps_inner(n_bodies: int, ticks: int, dtype: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from elodin_tpu.models import build_batched_sixdof
+    from elodin_tpu.six_dof import increment_sim_tick_system
+    from elodin_tpu.system import Pipe, SystemBuilder, as_system
+
     world, system = build_batched_sixdof(n_bodies)
     meta, cols = world.snapshot()
     if dtype == "f32":
@@ -92,6 +106,20 @@ def main() -> None:
         "wall_s": round(f64["wall_s"], 4),
         "device": str(jax.devices()[0]),
     }
+
+    if os.environ.get("BENCH_F32", "1") != "0":
+        try:
+            f32 = bench_entity_steps(
+                int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks, "f32"
+            )
+            result["f32_entity_steps_per_sec"] = round(
+                f32["entity_steps_per_sec"], 1
+            )
+            result["f32_vs_baseline"] = round(
+                f32["entity_steps_per_sec"] / BASELINE_ENTITY_STEPS, 3
+            )
+        except Exception as e:  # noqa: BLE001
+            result["f32_error"] = str(e)
 
     if os.environ.get("BENCH_MC", "1") != "0":
         try:

@@ -33,6 +33,7 @@ from .entity import (  # noqa: F401
     TotalEdge,
 )
 from .spatial import (  # noqa: F401
+    MRP,
     Quaternion,
     SpatialForce,
     SpatialInertia,

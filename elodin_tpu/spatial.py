@@ -524,3 +524,44 @@ for _cls, _name, _ty in (
     _cls.metadata = _Component(_name, _ty)
     _cls.__metadata__ = (_cls.metadata,)
 del _cls, _name, _ty
+
+
+class MRP(_SpatialBase):
+    """Modified Rodrigues Parameters (libs/nox/src/mrp.rs)."""
+
+    _width = 3
+
+    def __init__(self, arr=None):
+        self.inner = (
+            jnp.zeros(3, dtype=_config.default_float())
+            if arr is None
+            else _as_f(arr)
+        )
+
+    @staticmethod
+    def from_quaternion(q) -> "MRP":
+        qv = q.inner if isinstance(q, Quaternion) else jnp.asarray(q)
+        return MRP.from_array(qv[..., :3] / (qv[..., 3:4] + 1.0))
+
+    def to_quaternion(self) -> Quaternion:
+        m = self.inner
+        mag2 = jnp.sum(m * m, axis=-1, keepdims=True)
+        q = jnp.concatenate([2.0 * m, 1.0 - mag2], axis=-1) / (mag2 + 1.0)
+        return Quaternion.from_array(q)
+
+    def __add__(self, rhs: "MRP") -> "MRP":
+        return MRP.from_array(self.inner + rhs.inner)
+
+
+MRP.metadata = _Component("mrp_f64", _ComponentType(
+    __import__("elodin_tpu.component", fromlist=["PrimitiveType"]).PrimitiveType.F64, (3,)
+))
+MRP.__metadata__ = (MRP.metadata,)
+
+
+def _stf_mrp(self) -> MRP:
+    return MRP.from_quaternion(self.angular())
+
+
+SpatialTransform.mrp = _stf_mrp
+Quaternion.mrp = lambda self: MRP.from_quaternion(self)

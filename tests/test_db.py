@@ -266,3 +266,58 @@ def test_eql_queries():
 
     s = eql(db, "a.world_vel.linear()[0]")
     np.testing.assert_allclose(s.values, 1.0)
+
+
+def test_db_cli_export_merge_trim(tmp_path):
+    """elodin-db CLI subcommands (reference libs/db/src/main.rs surgery)."""
+    from elodin_tpu.db.__main__ import main as db_main
+    from elodin_tpu.db.storage import Database
+    from elodin_tpu.db.vtable import component_id_of
+
+    # build two dbs
+    for name, base in (("a", 0), ("b", 1000)):
+        db = Database(str(tmp_path / name))
+        s = db.get_or_create(component_id_of("v.x"), "f64", (), "v.x")
+        for i in range(10):
+            s.append(base + i, float(base + i))
+        db.flush()
+
+    db_main(["merge", str(tmp_path / "merged"), str(tmp_path / "a"), str(tmp_path / "b")])
+    merged = Database(str(tmp_path / "merged"))
+    assert merged.by_name("v.x").len == 20
+
+    db_main(["trim", str(tmp_path / "merged"), "--start-us", "1000"])
+    trimmed = Database(str(tmp_path / "merged"))
+    assert trimmed.by_name("v.x").len == 10
+
+    db_main(["export", str(tmp_path / "a"), "--output", str(tmp_path / "out"), "--format", "csv"])
+    assert (tmp_path / "out" / "v.x.csv").exists()
+
+    db_main(["compact", str(tmp_path / "a")])
+    db_main(["gen-cpp", str(tmp_path / "a"), "--output", str(tmp_path / "gen.hpp")])
+    assert "v.x" in (tmp_path / "gen.hpp").read_text()
+
+
+def test_follow_replication(tmp_path):
+    """leader -> follower mirroring (libs/db/src/follow.rs)."""
+    from elodin_tpu.db.follow import follow
+
+    leader = edb.Server.start(str(tmp_path / "leader"))
+    try:
+        f = follow(leader.addr, str(tmp_path / "follower"))
+        time.sleep(0.3)
+        client = edb.Client.connect(leader.addr)
+        writer = client.table_writer({"f.x": edb.f64})
+        for i in range(5):
+            writer.write(timestamp_us=i, values={"f.x": float(i)})
+        deadline = time.time() + 5
+        while time.time() < deadline and f.rows_mirrored < 5:
+            time.sleep(0.1)
+        store = f.db.by_name("f.x")
+        assert store is not None and store.len >= 5
+        np.testing.assert_allclose(store.values[4], 4.0)
+        f.stop()
+        writer.close()
+        client.close()
+    finally:
+        leader.stop()
