@@ -1,0 +1,124 @@
+"""UDP lockstep bridge for external SITL co-processes.
+
+Parity target: the reference's betaflight-SITL integration (docs cite
+native 4-8 kHz lockstep) and the UDP loopback controllers used as fake FSW
+in examples/monte-carlo/main.py:21-46.  Each tick the bridge sends selected
+component values to the controller and blocks (with timeout) for a control
+packet that is written back into ``external_control`` components before the
+next tick.
+
+Wire format (little-endian): state packet = u64 tick + concatenated f64
+component values in declaration order; command packet mirrors it for the
+write-back components.  A JSON mode is kept for script-friendly
+controllers.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+
+import numpy as np
+
+
+class UdpLockstep:
+    def __init__(self, exec_, send: list[str], recv: list[str],
+                 state_port: int, command_port: int,
+                 host: str = "127.0.0.1", timeout: float = 0.02,
+                 mode: str = "binary"):
+        self.exec = exec_
+        self.send_names = list(send)
+        self.recv_names = list(recv)
+        self.host = host
+        self.state_port = state_port
+        self.timeout = timeout
+        self.mode = mode
+        self._state_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._cmd_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._cmd_sock.bind((host, command_port))
+        self._cmd_sock.settimeout(timeout)
+        self._last_cmd: dict[str, np.ndarray] = {}
+        self.missed = 0
+
+        # wait_for_write components must receive a command before the sim
+        # proceeds (reference metadata contract, examples/rocket/main.py:64-71)
+        self.blocking = {
+            name: self._wait_for_write(name) for name in self.recv_names
+        }
+
+    def _wait_for_write(self, qualified: str) -> bool:
+        comp = qualified.split(".", 1)[1]
+        meta = self.exec.meta.components.get(comp)
+        if meta is None:
+            return False
+        return meta.metadata.get("wait_for_write", "false") == "true"
+
+    # -- per-tick ---------------------------------------------------------
+
+    def step(self, tick: int) -> None:
+        self._send_state(tick)
+        self._recv_commands(tick)
+        for name, value in self._last_cmd.items():
+            self.exec.write_component(name, value)
+
+    def _send_state(self, tick: int) -> None:
+        values = [
+            np.atleast_1d(np.asarray(self.exec.read_component(n), dtype="<f8"))
+            for n in self.send_names
+        ]
+        if self.mode == "json":
+            payload = json.dumps(
+                {
+                    "tick": tick,
+                    **{n: v.tolist() for n, v in zip(self.send_names, values)},
+                }
+            ).encode()
+        else:
+            payload = struct.pack("<Q", tick) + b"".join(
+                v.tobytes() for v in values
+            )
+        self._state_sock.sendto(payload, (self.host, self.state_port))
+
+    def _recv_commands(self, tick: int) -> None:
+        must_block = any(self.blocking.values())
+        deadline_tries = 50 if must_block else 1
+        for _ in range(deadline_tries):
+            try:
+                raw, _addr = self._cmd_sock.recvfrom(65536)
+            except (TimeoutError, socket.timeout):
+                self.missed += 1
+                continue
+            self._parse(raw)
+            return
+
+    def _parse(self, raw: bytes) -> None:
+        if self.mode == "json":
+            data = json.loads(raw.decode())
+            for n in self.recv_names:
+                key = n.split(".")[-1]
+                if key in data:
+                    self._last_cmd[n] = np.asarray(data[key], dtype=np.float64)
+                elif n in data:
+                    self._last_cmd[n] = np.asarray(data[n], dtype=np.float64)
+        else:
+            off = 8  # skip echoed tick
+            for n in self.recv_names:
+                comp = n.split(".", 1)[1]
+                meta = self.exec.meta.components[comp]
+                count = 1
+                for s in meta.ty.shape:
+                    count *= s
+                vals = np.frombuffer(raw, dtype="<f8", count=count, offset=off)
+                off += count * 8
+                self._last_cmd[n] = vals.copy()
+
+    def as_post_step(self):
+        def post_step(tick: int, _ctx) -> None:
+            self.step(tick)
+
+        return post_step
+
+    def close(self) -> None:
+        self._state_sock.close()
+        self._cmd_sock.close()

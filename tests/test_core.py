@@ -610,3 +610,61 @@ def test_checkpoint_first_tick(tmp_path, monkeypatch):
     assert "world_pos" in loaded
     loaded2 = numpy.load(tmp_path / "dbg" / "tick1_outputs.npz")
     assert loaded2["tick"][0] == 1
+
+
+def test_udp_lockstep_bridge():
+    """UDP lockstep with an external controller (betaflight-SITL pattern)."""
+    import socket
+    import struct
+    import threading
+
+    Ctrl = ty.Annotated[
+        jax.Array,
+        el.Component("ctrl", el.ComponentType.F64,
+                     metadata={"external_control": "true"}),
+    ]
+
+    @el.map
+    def apply_ctrl(x: X, c: Ctrl) -> X:
+        return x + c
+
+    @dataclass
+    class T(el.Archetype):
+        x: X
+        ctrl: Ctrl
+
+    w = el.World()
+    w.spawn(T(numpy.float64(0.0), numpy.float64(0.0)), "v")
+    exec_ = w.build(apply_ctrl)
+
+    from elodin_tpu.lockstep import UdpLockstep
+
+    # controller: echoes back tick-dependent command
+    state_port, cmd_port = 19301, 19302
+    bridge = UdpLockstep(
+        exec_, send=["v.x"], recv=["v.ctrl"],
+        state_port=state_port, command_port=cmd_port, timeout=0.5,
+    )
+    ctrl_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    ctrl_sock.bind(("127.0.0.1", state_port))
+    ctrl_sock.settimeout(5.0)
+
+    def controller():
+        for _ in range(3):
+            raw, _ = ctrl_sock.recvfrom(65536)
+            (tick,) = struct.unpack_from("<Q", raw)
+            cmd = struct.pack("<Qd", tick, 2.0)
+            ctrl_sock.sendto(cmd, ("127.0.0.1", cmd_port))
+
+    t = threading.Thread(target=controller, daemon=True)
+    t.start()
+    for tick in range(3):
+        bridge.step(tick)
+        exec_.run(1)
+    t.join(timeout=5)
+    bridge.close()
+    ctrl_sock.close()
+    # ctrl=2.0 applied on ticks 2 and 3 (first step's command arrives
+    # before the second run)
+    x = float(numpy.asarray(exec_.cols["x"])[0])
+    assert x >= 4.0, f"lockstep commands not applied: x={x}"
