@@ -169,7 +169,7 @@ class World(WorldBuilder):
     ) -> Exec:
         self.set_sim_time_step(1.0 / simulation_rate)
         meta, cols = self.snapshot()
-        return Exec(
+        exec_ = Exec(
             meta,
             cols,
             system,
@@ -178,6 +178,8 @@ class World(WorldBuilder):
             telemetry_rate=telemetry_rate,
             db_path=db_path,
         )
+        exec_.schematic_content = self.schematic_content
+        return exec_
 
     def run(
         self,

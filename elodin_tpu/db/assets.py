@@ -1,0 +1,124 @@
+"""Asset storage + HTTP server (parity: libs/db/src/assets_http.rs and the
+StoreAsset message [224,40]).
+
+Assets (KDL schematics, GLB models, skyboxes) are named blobs under
+``<db_path>/assets``; the HTTP server exposes GET/PUT on
+``http://<host>:<tcp_port + 1>/assets/<key>`` as the editor expects."""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+MAX_UPLOAD = 256 * 1024 * 1024
+
+
+class AssetStore:
+    def __init__(self, path: Path | None):
+        self.path = Path(path) / "assets" if path else None
+        self.mem: dict[str, bytes] = {}
+        if self.path:
+            self.path.mkdir(parents=True, exist_ok=True)
+
+    def put(self, key: str, data: bytes) -> None:
+        key = self._safe(key)
+        self.mem[key] = bytes(data)
+        if self.path:
+            dest = self.path / key
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            dest.write_bytes(data)
+
+    def get(self, key: str) -> bytes | None:
+        key = self._safe(key)
+        if key in self.mem:
+            return self.mem[key]
+        if self.path and (self.path / key).is_file():
+            return (self.path / key).read_bytes()
+        return None
+
+    def keys(self) -> list[str]:
+        out = set(self.mem)
+        if self.path:
+            out.update(
+                str(p.relative_to(self.path))
+                for p in self.path.rglob("*")
+                if p.is_file()
+            )
+        return sorted(out)
+
+    @staticmethod
+    def _safe(key: str) -> str:
+        key = key.lstrip("/")
+        if ".." in key.split("/"):
+            raise ValueError("invalid asset path")
+        return key
+
+
+class AssetHttpServer:
+    """GET/PUT /assets/<key>; port defaults to tcp_port + 1
+    (assets_http.rs assets_http_addr)."""
+
+    def __init__(self, store: AssetStore, port: int = 0,
+                 host: str = "127.0.0.1"):
+        self.store = store
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def do_GET(self):
+                if self.path == "/assets" or self.path == "/assets/":
+                    body = "\n".join(outer.store.keys()).encode()
+                    self._ok(body, "text/plain")
+                    return
+                if not self.path.startswith("/assets/"):
+                    self.send_error(404)
+                    return
+                key = self.path[len("/assets/"):]
+                data = outer.store.get(key)
+                if data is None:
+                    self.send_error(404)
+                    return
+                ctype = (
+                    "model/gltf-binary" if key.endswith(".glb")
+                    else "text/plain" if key.endswith(".kdl")
+                    else "application/octet-stream"
+                )
+                self._ok(data, ctype)
+
+            def do_PUT(self):
+                if not self.path.startswith("/assets/"):
+                    self.send_error(404)
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_UPLOAD:
+                    self.send_error(413)
+                    return
+                data = self.rfile.read(n)
+                try:
+                    outer.store.put(self.path[len("/assets/"):], data)
+                except ValueError:
+                    self.send_error(400)
+                    return
+                self.send_response(204)
+                self.end_headers()
+
+            def _ok(self, body: bytes, ctype: str):
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

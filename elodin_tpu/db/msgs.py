@@ -547,6 +547,21 @@ class ArchiveSaved(MsgBase):
 
 
 @dataclass
+class StoreAsset(MsgBase):
+    ID = bytes([224, 40])
+    key: str = ""
+    data: bytes = b""
+
+    def write(self, w: Writer) -> None:
+        w.string(self.key)
+        w.bytes_(self.data)
+
+    @classmethod
+    def read(cls, r: Reader) -> "StoreAsset":
+        return cls(r.string(), r.bytes_())
+
+
+@dataclass
 class UdpUnicast(MsgBase):
     ID = auto_msg_id("UdpUnicast")
     stream: Stream = dc_field(default_factory=Stream)
@@ -569,7 +584,7 @@ MSG_TYPES = {
         SetComponentMetadata, DumpMetadata, DumpMetadataResp,
         GetEarliestTimestamp, EarliestTimestamp, DumpSchema, DumpSchemaResp,
         StreamTimestamp, SQLQuery, ArrowIPC, ErrorResponse, MsgMetadata,
-        SetMsgMetadata, MsgStream, GetMsgs, MsgBatch, SaveArchive,
+        SetMsgMetadata, MsgStream, GetMsgs, MsgBatch, SaveArchive, StoreAsset,
         ArchiveSaved, UdpUnicast,
     ]
 }

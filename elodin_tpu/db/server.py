@@ -258,6 +258,9 @@ class Connection:
         except Exception as e:  # noqa: BLE001
             await self.send(M.ErrorResponse(str(e)).packet(req_id))
 
+    async def on_StoreAsset(self, msg: M.StoreAsset, req_id: int) -> None:
+        self.db.assets.put(msg.key, msg.data)
+
     async def on_SaveArchive(self, msg: M.SaveArchive, req_id: int) -> None:
         try:
             self.server.save_archive(msg.path, msg.format)
@@ -375,9 +378,22 @@ class Server:
         self._thread = threading.Thread(target=run, daemon=True, name="elodin-db")
         self._thread.start()
         self._started.wait(timeout=10)
+        # assets HTTP server at tcp_port + 1 (assets_http.rs assets_http_addr)
+        self.assets_http = None
+        try:
+            from .assets import AssetHttpServer
+
+            if self.port is not None:
+                self.assets_http = AssetHttpServer(
+                    self.db.assets, port=self.port + 1
+                )
+        except OSError:
+            self.assets_http = None
         return self
 
     def stop(self) -> None:
+        if getattr(self, "assets_http", None) is not None:
+            self.assets_http.stop()
         if self.loop is not None and self.loop.is_running():
             if self._server is not None:
                 self.loop.call_soon_threadsafe(self._server.close)
@@ -423,6 +439,9 @@ def serve_exec(exec_, addr: str = "127.0.0.1:2240") -> Server:
         server.notify_table(touched, int(ts_us[-1]))
 
     exec_.on_commit_batch = commit_batch
+    schematic = getattr(exec_, "schematic_content", None)
+    if schematic:
+        db.assets.put("schematic.kdl", schematic.encode())
     # seed initial state (init_db, impeller2_server.rs:229)
     if getattr(exec_, "cols", None):
         ts0 = np.asarray([int(

@@ -207,6 +207,9 @@ class Database:
         self.path = Path(path) if path else None
         if self.path:
             self.path.mkdir(parents=True, exist_ok=True)
+        from .assets import AssetStore
+
+        self.assets = AssetStore(self.path)
         self.components: dict[int, ComponentStore] = {}
         self.msg_logs: dict[bytes, MsgLog] = {}
         self.vtables: dict[bytes, object] = {}

@@ -1,0 +1,115 @@
+"""Tiled pairwise N-body gravity — the TotalEdge hot op as a Pallas kernel.
+
+The reference computes all-pairs interactions by folding per-edge
+expressions (libs/nox-py/src/graph.rs edge_fold over a complete digraph) —
+O(N^2) sequential work per entity.  On TPU the right shape is a tiled dense
+sweep like flash-attention: each (TILE_I) block of bodies accumulates force
+contributions from (TILE_J) blocks streamed through VMEM, so HBM traffic is
+O(N^2 / TILE) instead of O(N^2), and the inner math vectorizes on the VPU.
+
+``pairwise_gravity`` dispatches to the Pallas kernel on TPU (f32; Mosaic has
+no f64) and to the broadcast XLA reference elsewhere or for f64.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+TILE_I = 256
+TILE_J = 256
+
+
+def pairwise_gravity_reference(pos, mass, g: float = 6.6743e-11,
+                               eps: float = 0.0):
+    """Dense broadcast O(N^2) accelerations; any dtype/backend.
+
+    a_i = sum_j G m_j (x_j - x_i) / (|x_j - x_i|^2 + eps^2)^{3/2}"""
+    r = pos[None, :, :] - pos[:, None, :]  # (i, j, 3): vector i -> j
+    d2 = jnp.sum(r * r, axis=-1) + eps * eps
+    d2 = jnp.where(d2 == 0.0, 1.0, d2)  # self-interaction guard
+    inv_d3 = d2 ** (-1.5)
+    eye = jnp.eye(pos.shape[0], dtype=bool)
+    inv_d3 = jnp.where(eye, 0.0, inv_d3)
+    return g * jnp.einsum("ij,j,ijk->ik", inv_d3, mass, r)
+
+
+def _pallas_kernel(n: int, g: float, eps: float):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_i = -(-n // TILE_I)
+    n_j = -(-n // TILE_J)
+
+    def kernel(pos_i_ref, pos_j_ref, mass_j_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        pos_i = pos_i_ref[:]  # (TILE_I, 3)
+        pos_j = pos_j_ref[:]  # (TILE_J, 3)
+        mass_j = mass_j_ref[:]  # (TILE_J,)
+
+        # (TILE_I, TILE_J, 3) displacement block
+        r = pos_j[None, :, :] - pos_i[:, None, :]
+        d2 = jnp.sum(r * r, axis=-1) + eps * eps
+        d2 = jnp.where(d2 == 0.0, 1.0, d2)
+        inv_d3 = jax.lax.rsqrt(d2) / d2
+        # mask self-pairs (global indices equal)
+        gi = pl.program_id(0) * TILE_I + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_I, TILE_J), 0
+        )
+        gj = j * TILE_J + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_I, TILE_J), 1
+        )
+        valid = (gi != gj) & (gj < n) & (gi < n)
+        w = jnp.where(valid, inv_d3, 0.0) * mass_j[None, :]
+        out_ref[:] += g * jnp.einsum(
+            "ij,ijk->ik", w, r, preferred_element_type=jnp.float32
+        )
+
+    return kernel, n_i, n_j
+
+
+@functools.partial(jax.jit, static_argnames=("g", "eps"))
+def _pairwise_gravity_pallas(pos, mass, g: float, eps: float):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pos.shape[0]
+    pad = (-n) % TILE_I
+    pos_p = jnp.pad(pos.astype(jnp.float32), ((0, pad), (0, 0)))
+    mass_p = jnp.pad(mass.astype(jnp.float32), (0, pad))
+    kernel, n_i, n_j = _pallas_kernel(n, g, eps)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(pos_p.shape, jnp.float32),
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE_J, 3), lambda i, j: (j, 0)),
+            pl.BlockSpec((TILE_J,), lambda i, j: (j,)),
+        ],
+        out_specs=pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
+    )(pos_p, pos_p, mass_p)
+    return out[:n]
+
+
+def pairwise_gravity(pos, mass, g: float = 6.6743e-11, eps: float = 0.0,
+                     use_pallas: bool | None = None):
+    """All-pairs gravitational acceleration (N, 3).
+
+    Chooses the Pallas TPU kernel for f32 on TPU, the XLA broadcast
+    reference otherwise."""
+    pos = jnp.asarray(pos)
+    mass = jnp.asarray(mass)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if use_pallas is None:
+        use_pallas = on_tpu and pos.dtype == jnp.float32
+    if use_pallas:
+        return _pairwise_gravity_pallas(pos, mass, float(g), float(eps))
+    return pairwise_gravity_reference(pos, mass, g, eps)

@@ -321,3 +321,40 @@ def test_follow_replication(tmp_path):
         client.close()
     finally:
         leader.stop()
+
+
+def test_assets_store_and_http(tmp_path):
+    import urllib.request
+
+    srv = edb.Server.start(str(tmp_path / "db"))
+    try:
+        from elodin_tpu.db import msgs as M2
+
+        client = edb.Client.connect(srv.addr)
+        client._conn.send_bytes(
+            M2.StoreAsset("models/probe.glb", b"\x00GLBDATA").packet()
+        )
+        client._conn.send_bytes(
+            M2.StoreAsset("schematic.kdl", b"viewport name=V").packet()
+        )
+        time.sleep(0.3)
+        http_port = srv._server.port + 1
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{http_port}/assets/models/probe.glb", timeout=5
+        ).read()
+        assert body == b"\x00GLBDATA"
+        listing = urllib.request.urlopen(
+            f"http://127.0.0.1:{http_port}/assets", timeout=5
+        ).read().decode()
+        assert "schematic.kdl" in listing
+        # PUT path
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http_port}/assets/uploaded.txt",
+            data=b"hello",
+            method="PUT",
+        )
+        urllib.request.urlopen(req, timeout=5)
+        assert srv.db.assets.get("uploaded.txt") == b"hello"
+        client.close()
+    finally:
+        srv.stop()
