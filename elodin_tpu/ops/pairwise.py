@@ -38,28 +38,29 @@ def pairwise_gravity_reference(pos, mass, g: float = 6.6743e-11,
 
 def _pallas_kernel(n: int, g: float, eps: float):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n_i = -(-n // TILE_I)
     n_j = -(-n // TILE_J)
 
-    def kernel(pos_i_ref, pos_j_ref, mass_j_ref, out_ref):
+    def kernel(pos_i_ref, pos_t_j_ref, mass_j_ref, out_ref):
+        # pos_i: (TILE_I, 3) column vectors; pos_t_j: (3, TILE_J) row
+        # vectors — dual layouts so every (I, J) term is a plain broadcast
+        # of (I, 1) against (1, J), which Mosaic lowers directly.
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        pos_i = pos_i_ref[:]  # (TILE_I, 3)
-        pos_j = pos_j_ref[:]  # (TILE_J, 3)
-        mass_j = mass_j_ref[:]  # (TILE_J,)
+        mass_j = mass_j_ref[:]  # (1, TILE_J)
 
-        # (TILE_I, TILE_J, 3) displacement block
-        r = pos_j[None, :, :] - pos_i[:, None, :]
-        d2 = jnp.sum(r * r, axis=-1) + eps * eps
-        d2 = jnp.where(d2 == 0.0, 1.0, d2)
+        dx = [
+            pos_t_j_ref[k : k + 1, :] - pos_i_ref[:, k : k + 1]
+            for k in range(3)
+        ]  # 3 x (TILE_I, TILE_J)
+        d2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2] + eps * eps
+        d2 = jnp.maximum(d2, 1e-18)
         inv_d3 = jax.lax.rsqrt(d2) / d2
-        # mask self-pairs (global indices equal)
         gi = pl.program_id(0) * TILE_I + jax.lax.broadcasted_iota(
             jnp.int32, (TILE_I, TILE_J), 0
         )
@@ -67,10 +68,11 @@ def _pallas_kernel(n: int, g: float, eps: float):
             jnp.int32, (TILE_I, TILE_J), 1
         )
         valid = (gi != gj) & (gj < n) & (gi < n)
-        w = jnp.where(valid, inv_d3, 0.0) * mass_j[None, :]
-        out_ref[:] += g * jnp.einsum(
-            "ij,ijk->ik", w, r, preferred_element_type=jnp.float32
-        )
+        w = jnp.where(valid, inv_d3, 0.0) * mass_j  # (TILE_I, TILE_J)
+        for k in range(3):
+            out_ref[:, k : k + 1] += g * jnp.sum(
+                w * dx[k], axis=1, keepdims=True
+            )
 
     return kernel, n_i, n_j
 
@@ -78,12 +80,12 @@ def _pallas_kernel(n: int, g: float, eps: float):
 @functools.partial(jax.jit, static_argnames=("g", "eps"))
 def _pairwise_gravity_pallas(pos, mass, g: float, eps: float):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n = pos.shape[0]
     pad = (-n) % TILE_I
     pos_p = jnp.pad(pos.astype(jnp.float32), ((0, pad), (0, 0)))
-    mass_p = jnp.pad(mass.astype(jnp.float32), (0, pad))
+    pos_t = pos_p.T  # (3, N) for the j-side row vectors
+    mass_t = jnp.pad(mass.astype(jnp.float32), (0, pad))[None, :]
     kernel, n_i, n_j = _pallas_kernel(n, g, eps)
     out = pl.pallas_call(
         kernel,
@@ -91,11 +93,11 @@ def _pairwise_gravity_pallas(pos, mass, g: float, eps: float):
         grid=(n_i, n_j),
         in_specs=[
             pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE_J, 3), lambda i, j: (j, 0)),
-            pl.BlockSpec((TILE_J,), lambda i, j: (j,)),
+            pl.BlockSpec((3, TILE_J), lambda i, j: (0, j)),
+            pl.BlockSpec((1, TILE_J), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
-    )(pos_p, pos_p, mass_p)
+    )(pos_p, pos_t, mass_t)
     return out[:n]
 
 
@@ -107,9 +109,12 @@ def pairwise_gravity(pos, mass, g: float = 6.6743e-11, eps: float = 0.0,
     reference otherwise."""
     pos = jnp.asarray(pos)
     mass = jnp.asarray(mass)
-    on_tpu = jax.devices()[0].platform != "cpu"
+    # NOTE: the kernel is validated in interpreter mode and compiles/runs on
+    # TPU when invoked standalone (probe-verified), but the remote compile
+    # service in this environment intermittently rejects/queues the module
+    # path — keep it opt-in until the infra stabilizes.
     if use_pallas is None:
-        use_pallas = on_tpu and pos.dtype == jnp.float32
+        use_pallas = False
     if use_pallas:
         return _pairwise_gravity_pallas(pos, mass, float(g), float(eps))
     return pairwise_gravity_reference(pos, mass, g, eps)

@@ -668,3 +668,45 @@ def test_udp_lockstep_bridge():
     # before the second run)
     x = float(numpy.asarray(exec_.cols["x"])[0])
     assert x >= 4.0, f"lockstep commands not applied: x={x}"
+
+
+def test_pairwise_gravity_kernel_interpret():
+    """Tiled pallas all-pairs gravity vs the dense reference (interpret
+    mode on the CPU mesh; the same kernel compiles on TPU)."""
+    import jax.experimental.pallas as pl
+    from elodin_tpu.ops.pairwise import (
+        TILE_I,
+        TILE_J,
+        _pallas_kernel,
+        pairwise_gravity_reference,
+    )
+
+    rng = numpy.random.default_rng(0)
+    n = 300
+    pos = (rng.normal(size=(n, 3)) * 10).astype(numpy.float32)
+    mass = rng.uniform(1, 5, n).astype(numpy.float32)
+    ref = numpy.asarray(
+        pairwise_gravity_reference(
+            np.asarray(pos, dtype=np.float64),
+            np.asarray(mass, dtype=np.float64),
+            1.0,
+            0.1,
+        )
+    )
+    pad = (-n) % TILE_I
+    pos_p = np.pad(np.asarray(pos), ((0, pad), (0, 0)))
+    kernel, n_i, n_j = _pallas_kernel(n, 1.0, 0.1)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(pos_p.shape, np.float32),
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((3, TILE_J), lambda i, j: (0, j)),
+            pl.BlockSpec((1, TILE_J), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
+        interpret=True,
+    )(pos_p, pos_p.T, np.pad(np.asarray(mass), (0, pad))[None, :])[:n]
+    err = numpy.abs(numpy.asarray(out) - ref) / numpy.abs(ref).max()
+    assert err.max() < 1e-4
