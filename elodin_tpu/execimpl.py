@@ -309,6 +309,50 @@ class Exec:
             data[q] = series
         return DataFrame(data)
 
+    # -- checkpoint/resume (SURVEY §5: "the DB *is* the checkpoint") -------
+
+    def state_at(self, tick: int) -> dict:
+        """Component state snapshot at a recorded tick (0 = initial)."""
+        if not self.record_history:
+            raise RuntimeError("history recording is disabled")
+        out = {}
+        for name in self.meta.components:
+            series = self._history.series(name)
+            if tick >= len(series):
+                raise IndexError(f"tick {tick} not recorded")
+            out[name] = series[tick]
+        return out
+
+    def restore(self, tick: int) -> None:
+        """Rewind device state to a recorded tick and truncate history
+        after it (StepContext.truncate generalized, step_context.rs:342)."""
+        snapshot = self.state_at(tick)
+        self.cols = {
+            k: jnp.asarray(v, dtype=self.cols[k].dtype)
+            for k, v in snapshot.items()
+        }
+        h = self._history
+        keep = tick + 1
+        h.times = h.times[:keep]
+        for name in h.chunks:
+            series = h.series(name)[:keep]
+            h.chunks[name] = [series]
+        self._tick = int(np.asarray(snapshot.get("tick", tick)).max()) if "tick" in snapshot else tick
+        self._host_writes.clear()
+
+    def save_checkpoint(self, path: str) -> None:
+        """Write the live device state as an npz checkpoint."""
+        np.savez(
+            path, **{k: np.asarray(v) for k, v in self.cols.items()}
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        self.cols = {
+            k: jnp.asarray(data[k], dtype=self.cols[k].dtype)
+            for k in self.cols
+        }
+
     def history(self, components) -> DataFrame:
         df = self.history_frame(components)
         try:  # upgrade to real polars when available

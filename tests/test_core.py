@@ -710,3 +710,96 @@ def test_pairwise_gravity_kernel_interpret():
     )(pos_p, pos_p.T, np.pad(np.asarray(mass), (0, pad))[None, :])[:n]
     err = numpy.abs(numpy.asarray(out) - ref) / numpy.abs(ref).max()
     assert err.max() < 1e-4
+
+
+def test_checkpoint_restore_and_resume():
+    """Checkpoint/resume parity: restore() rewinds to a recorded tick and
+    re-running reproduces the identical trajectory."""
+    w = el.World()
+    w.spawn(
+        el.Body(world_vel=el.SpatialMotion(linear=np.array([1.0, 0.0, 0.0]))),
+        "b",
+    )
+    exec_ = w.build(el.six_dof(1.0 / 120.0))
+    exec_.run(20)
+    df1 = exec_.history("b.world_pos")
+    x20 = df1["b.world_pos"][-1].to_numpy().copy()
+
+    exec_.restore(10)
+    assert len(exec_.history("b.world_pos")) == 11
+    exec_.run(10)
+    df2 = exec_.history("b.world_pos")
+    assert len(df2) == 21
+    numpy.testing.assert_allclose(df2["b.world_pos"][-1].to_numpy(), x20, rtol=0, atol=0)
+
+
+def test_npz_checkpoint(tmp_path):
+    w = el.World()
+    w.spawn(
+        el.Body(world_vel=el.SpatialMotion(linear=np.array([2.0, 0.0, 0.0]))),
+        "b",
+    )
+    exec_ = w.build(el.six_dof(1.0 / 120.0))
+    exec_.run(5)
+    ckpt = str(tmp_path / "state.npz")
+    exec_.save_checkpoint(ckpt)
+    x5 = numpy.asarray(exec_.cols["world_pos"]).copy()
+    exec_.run(5)
+    exec_.load_checkpoint(ckpt)
+    numpy.testing.assert_allclose(numpy.asarray(exec_.cols["world_pos"]), x5)
+
+
+def test_telemetry_rate_decimation():
+    """telemetry_rate decimates history commits (ticks_per_telemetry,
+    impeller2_server.rs:558-628)."""
+    w = el.World()
+    w.spawn(
+        el.Body(world_vel=el.SpatialMotion(linear=np.array([1.0, 0.0, 0.0]))),
+        "b",
+    )
+    exec_ = w.build(el.six_dof(1.0 / 120.0), simulation_rate=120.0, telemetry_rate=30.0)
+    assert exec_.ticks_per_telemetry == 4
+    exec_.run(40)
+    df = exec_.history("b.world_pos")
+    assert len(df) == 11  # init + 40/4 commits
+    # final physics state matches an undecimated run
+    x = df["b.world_pos"][-1].to_numpy()[4]
+    numpy.testing.assert_allclose(x, 40 / 120.0, rtol=1e-9)
+
+
+def test_kdl_parser_on_example_schematics():
+    from elodin_tpu import kdl
+
+    doc = """
+    coordinate frame=ECEF // comment
+    hsplit {
+        tabs share=0.2 { hierarchy; schematic_tree }
+        tabs share=0.6 {
+            viewport name=Viewport pos="(0,0,0,0,0,0,3)" hdr=#true
+            graph "a.world_pos" name=Graph
+        }
+    }
+    object_3d b.world_pos {
+        sphere radius=0.2 emissivity=1.0 { color yellow }
+    }
+    line_3d b.world_pos line_width=10.0 perspective=#false { color yolk }
+    """
+    nodes = kdl.parse(doc)
+    names = [n.name for n in nodes]
+    assert names == ["coordinate", "hsplit", "object_3d", "line_3d"]
+    assert nodes[0].props["frame"] == "ECEF"
+    hsplit = nodes[1]
+    assert hsplit.children[0].props["share"] == 0.2
+    viewport = hsplit.children[1].children[0]
+    assert viewport.props["hdr"] is True
+    assert viewport.props["pos"] == "(0,0,0,0,0,0,3)"
+    comps = kdl.schematic_components(doc)
+    assert "a.world_pos" in comps and "b.world_pos" in comps
+
+    # every example schematic in the repo parses
+    import glob
+    import importlib.util
+    for path in glob.glob("examples/*/sim.py") + glob.glob("examples/*/main.py"):
+        src = open(path).read()
+        if "schematic(" not in src:
+            continue
