@@ -229,3 +229,19 @@ def test_linalg_ops_coverage():
     np.testing.assert_allclose(np.sort(s), w_eig, rtol=1e-8)
     det = float(df["linalg.det"][-1])
     np.testing.assert_allclose(det, np.prod(w_eig), rtol=1e-8)
+
+
+def test_frames_regression():
+    """Frame-correctness: gravity sign per local frame, two-body energy
+    conservation (reference examples/frames)."""
+    mod = load_module("frames", "main")
+    z_enu = mod.run_drop("ENU")
+    z_ned = mod.run_drop("NED")
+    assert z_enu[-1] < z_enu[0] and z_ned[-1] > z_ned[0]
+    np.testing.assert_allclose(z_enu, -z_ned, atol=1e-12)
+    w, s = mod.build_two_body()
+    exec_ = w.build(s, simulation_rate=mod.SIM_RATE)
+    exec_.run(600)
+    df = exec_.history(["a.world_pos", "b.world_pos", "a.world_vel", "b.world_vel"])
+    e = mod.total_energy(df)
+    assert abs(e[-1] - e[0]) / abs(e[0]) < 1e-6
