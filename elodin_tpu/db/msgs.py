@@ -547,6 +547,77 @@ class ArchiveSaved(MsgBase):
 
 
 @dataclass
+class SubscribeLastUpdated(MsgBase):
+    ID = bytes([224, 17])
+
+    def write(self, w: Writer) -> None:
+        pass
+
+    @classmethod
+    def read(cls, r: Reader) -> "SubscribeLastUpdated":
+        return cls()
+
+
+@dataclass
+class LastUpdated(MsgBase):
+    ID = bytes([224, 18])
+    timestamp: int = 0
+
+    def write(self, w: Writer) -> None:
+        w.zigzag(self.timestamp)
+
+    @classmethod
+    def read(cls, r: Reader) -> "LastUpdated":
+        return cls(r.zigzag())
+
+
+@dataclass
+class SetDbConfig(MsgBase):
+    ID = bytes([224, 19])
+    recording: bool | None = None
+
+    def write(self, w: Writer) -> None:
+        w.option(self.recording, lambda w, v: w.bool(v))
+
+    @classmethod
+    def read(cls, r: Reader) -> "SetDbConfig":
+        return cls(r.option(lambda r: r.bool()) if r.remaining() else None)
+
+
+@dataclass
+class GetDbSettings(MsgBase):
+    ID = bytes([224, 21])
+
+    def write(self, w: Writer) -> None:
+        pass
+
+    @classmethod
+    def read(cls, r: Reader) -> "GetDbSettings":
+        return cls()
+
+
+@dataclass
+class DbConfig(MsgBase):
+    ID = bytes([224, 20])
+    recording: bool = True
+    default_stream_time_step_ns: int = int(1e9 / 60)
+    metadata: dict = dc_field(default_factory=dict)
+
+    def write(self, w: Writer) -> None:
+        w.bool(self.recording)
+        w.varint(self.default_stream_time_step_ns // 1_000_000_000)
+        w.varint(self.default_stream_time_step_ns % 1_000_000_000)
+        w.map(self.metadata, lambda w, k: w.string(k), lambda w, v: w.string(v))
+
+    @classmethod
+    def read(cls, r: Reader) -> "DbConfig":
+        rec = r.bool()
+        ns = r.varint() * 1_000_000_000 + r.varint()
+        meta = r.map(lambda r: r.string(), lambda r: r.string()) if r.remaining() else {}
+        return cls(rec, ns, meta)
+
+
+@dataclass
 class StoreAsset(MsgBase):
     ID = bytes([224, 40])
     key: str = ""
@@ -584,7 +655,7 @@ MSG_TYPES = {
         SetComponentMetadata, DumpMetadata, DumpMetadataResp,
         GetEarliestTimestamp, EarliestTimestamp, DumpSchema, DumpSchemaResp,
         StreamTimestamp, SQLQuery, ArrowIPC, ErrorResponse, MsgMetadata,
-        SetMsgMetadata, MsgStream, GetMsgs, MsgBatch, SaveArchive, StoreAsset,
+        SetMsgMetadata, MsgStream, GetMsgs, MsgBatch, SaveArchive, StoreAsset, SubscribeLastUpdated, LastUpdated, SetDbConfig, GetDbSettings, DbConfig,
         ArchiveSaved, UdpUnicast,
     ]
 }

@@ -90,6 +90,7 @@ class Connection:
             return
         default_ts = now_timestamp_us()
         touched = []
+        max_ts = None
         for f in vt.realize_fields(pkt.body):
             cid = f["component_id"]
             if cid is None or f["ty"] is None:
@@ -97,9 +98,10 @@ class Connection:
             store = self.db.get_or_create(cid, f["ty"], f["shape"])
             ts = f["timestamp"] if f["timestamp"] is not None else default_ts
             store.append(ts, f["data"])
+            max_ts = ts if max_ts is None else max(max_ts, ts)
             touched.append(cid)
         if touched:
-            self.server.notify_table(touched, default_ts)
+            self.server.notify_table(touched, max_ts if max_ts is not None else default_ts)
 
     # -- message handlers --------------------------------------------------
 
@@ -108,11 +110,148 @@ class Connection:
         self.db.vtables[msg.id] = msg.vtable
 
     async def on_Stream(self, msg: M.Stream, req_id: int) -> None:
+        if isinstance(msg.behavior, M.FixedRateBehavior):
+            state = {
+                "playing": True,
+                "timestamp": None,
+                "timestep_ns": msg.behavior.timestep,
+                "frequency": msg.behavior.frequency,
+                "initial": msg.behavior.initial_timestamp,
+            }
+            self.server.stream_states[msg.id] = state
+            task = asyncio.ensure_future(
+                self._replay_loop(msg, state, req_id)
+            )
+            self.stream_tasks.append(task)
+            return
         if self.sub_queue is None:
             self.sub_queue = asyncio.Queue(maxsize=1024)
             self.server.add_subscriber(self.sub_queue)
         task = asyncio.ensure_future(self._stream_loop(msg, req_id))
         self.stream_tasks.append(task)
+
+    async def _replay_loop(self, msg: M.Stream, state: dict, req_id: int) -> None:
+        """Fixed-rate historical replay with SetStreamState control
+        (libs/db/src/vtable_stream.rs fixed-rate path + SetStreamState
+        dispatch)."""
+        if state["initial"] == "latest":
+            ts = max(
+                (int(s.timestamps[s.len - 1]) for s in self.db.components.values() if s.len),
+                default=0,
+            )
+        elif isinstance(state["initial"], int):
+            ts = state["initial"]
+        else:
+            ts = self.db.earliest_timestamp()
+        sent_layout = None
+        while True:
+            period = 1.0 / max(state["frequency"], 1)
+            if not state["playing"]:
+                await asyncio.sleep(period)
+                continue
+            if state["timestamp"] is not None:
+                ts = state.pop("timestamp")
+            with self.db.lock:
+                rows = []
+                for c in self.db.components.values():
+                    if c.len == 0:
+                        continue
+                    idx = int(np.searchsorted(c.timestamps[: c.len], ts, "right")) - 1
+                    if idx >= 0:
+                        rows.append((c, c.values[idx]))
+            if rows:
+                layout_key = tuple(c.component_id for c, _ in rows)
+                if layout_key != sent_layout:
+                    vt_id = bytes([3, msg.id & 0xFF])
+                    fields = []
+                    offset = 8
+                    for c, _ in rows:
+                        pad = (-offset) % c.dtype.itemsize
+                        offset += pad
+                        fields.append(
+                            (c.name or f"{c.component_id:016x}", c.prim,
+                             c.shape, offset, c.row_nbytes)
+                        )
+                        offset += c.row_nbytes
+                    vt = build_table_vtable(fields, timestamp_offset=0)
+                    await self.send(M.VTableMsg(vt_id, vt).packet(req_id))
+                    sent_layout = layout_key
+                    replay_fields = fields
+                    self._replay_cache = (vt_id, replay_fields)
+                vt_id, replay_fields = self._replay_cache
+                body = bytearray(np.int64(ts).tobytes())
+                for (c, row), f in zip(rows, replay_fields):
+                    pad = f[3] - len(body)
+                    if pad > 0:
+                        body += b"\x00" * pad
+                    body += row.tobytes()
+                await self.send(M.frame(M.TY_TABLE, vt_id, bytes(body), req_id))
+                await self.send(
+                    M.StreamTimestamp(ts, msg.id).packet(req_id)
+                )
+            ts += state["timestep_ns"] // 1000
+            await asyncio.sleep(period)
+
+    async def on_SetStreamState(self, msg: M.SetStreamState, req_id: int) -> None:
+        state = self.server.stream_states.get(msg.id)
+        if state is None:
+            return
+        if msg.playing is not None:
+            state["playing"] = msg.playing
+        if msg.timestamp is not None:
+            state["timestamp"] = msg.timestamp
+        if msg.time_step_ns is not None:
+            state["timestep_ns"] = msg.time_step_ns
+        if msg.frequency is not None:
+            state["frequency"] = msg.frequency
+
+    async def on_SubscribeLastUpdated(self, msg, req_id: int) -> None:
+        self.server.last_updated_subs.append((self, req_id))
+        ts = max(
+            (int(s.timestamps[s.len - 1]) for s in self.db.components.values() if s.len),
+            default=0,
+        )
+        await self.send(M.LastUpdated(ts).packet(req_id))
+
+    async def on_SetDbConfig(self, msg: M.SetDbConfig, req_id: int) -> None:
+        if msg.recording is not None:
+            self.db.recording = msg.recording
+
+    async def on_GetDbSettings(self, msg, req_id: int) -> None:
+        await self.send(M.DbConfig(self.db.recording).packet(req_id))
+
+    async def on_UdpUnicast(self, msg: M.UdpUnicast, req_id: int) -> None:
+        """Mirror the real-time stream to a UDP address
+        (libs/db UdpVTableStream / udp mirror)."""
+        import socket as _socket
+
+        host, _, port = msg.addr.rpartition(":")
+        sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        q: asyncio.Queue = asyncio.Queue(maxsize=256)
+        self.server.add_subscriber(q)
+
+        async def pump():
+            try:
+                while True:
+                    component_ids, ts = await q.get()
+                    with self.db.lock:
+                        rows = [
+                            (c, c.latest())
+                            for cid in component_ids
+                            if (c := self.db.components.get(cid)) and c.len
+                        ]
+                    for c, (row_ts, row) in rows:
+                        body = np.int64(row_ts).tobytes() + row.tobytes()
+                        sock.sendto(
+                            M.frame(M.TY_TABLE, bytes([4, 0]), body),
+                            (host or "127.0.0.1", int(port)),
+                        )
+            except asyncio.CancelledError:
+                self.server.remove_subscriber(q)
+                sock.close()
+                raise
+
+        self.stream_tasks.append(asyncio.ensure_future(pump()))
 
     async def _stream_loop(self, msg: M.Stream, req_id: int) -> None:
         """Real-time: push the latest row of every component on each commit,
@@ -277,6 +416,8 @@ class Server:
         self.addr = addr
         self.subscribers: list[asyncio.Queue] = []
         self.msg_subscribers: dict[bytes, list] = {}
+        self.stream_states: dict[int, dict] = {}
+        self.last_updated_subs: list = []
         self.pending_metadata: dict[int, tuple] = {}
         self.loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
@@ -306,6 +447,14 @@ class Server:
             return
         for q in list(self.subscribers):
             self.loop.call_soon_threadsafe(self._offer, q, (component_ids, ts))
+        if self.last_updated_subs:
+            pkt_by_req = {}
+            for conn, req_id in list(self.last_updated_subs):
+                pkt = pkt_by_req.setdefault(
+                    req_id, M.LastUpdated(int(ts)).packet(req_id)
+                )
+                fut = asyncio.run_coroutine_threadsafe(conn.send(pkt), self.loop)
+                fut.add_done_callback(lambda f: f.exception())
 
     @staticmethod
     def _offer(q: asyncio.Queue, item) -> None:

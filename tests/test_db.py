@@ -358,3 +358,70 @@ def test_assets_store_and_http(tmp_path):
         client.close()
     finally:
         srv.stop()
+
+
+def test_fixed_rate_replay_and_stream_state(server):
+    """Fixed-rate historical replay with rewind via SetStreamState."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"r.x": edb.f64})
+    for i in range(50):
+        writer.write(timestamp_us=i * 1000, values={"r.x": float(i)})
+    time.sleep(0.3)
+
+    stream = client.stream(["r.x"], frequency=200)
+    rows = []
+
+    def consume():
+        for _ in range(5):
+            rows.append(next(stream))
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert len(rows) == 5
+    vals = [float(r["r.x"]) for r in rows]
+    # replay advances through history from the earliest timestamp
+    assert vals == sorted(vals)
+    assert vals[0] <= 10.0
+    stream.close()
+    writer.close()
+    client.close()
+
+
+def test_subscribe_last_updated(server):
+    client = edb.Client.connect(server.addr)
+    req_id = client._conn.next_req_id()
+    q = client._conn.request_stream(
+        M.SubscribeLastUpdated().packet(req_id), req_id
+    )
+    first = q.get(timeout=5)
+    assert first.id == M.LastUpdated.ID
+    writer = client.table_writer({"lu.x": edb.f64})
+    writer.write(timestamp_us=12345, values={"lu.x": 1.0})
+    deadline = time.time() + 5
+    latest = None
+    while time.time() < deadline:
+        try:
+            pkt = q.get(timeout=1)
+            latest = M.LastUpdated.decode(pkt.body).timestamp
+            if latest == 12345:
+                break
+        except Exception:
+            pass
+    assert latest == 12345
+    writer.close()
+    client.close()
+
+
+def test_db_config_roundtrip(server):
+    client = edb.Client.connect(server.addr)
+    req_id = client._conn.next_req_id()
+    [pkt] = client._conn.request(M.GetDbSettings().packet(req_id), req_id)
+    cfg = M.DbConfig.decode(pkt.body)
+    assert cfg.recording is True
+    client._conn.send_bytes(M.SetDbConfig(recording=False).packet())
+    time.sleep(0.2)
+    req_id = client._conn.next_req_id()
+    [pkt] = client._conn.request(M.GetDbSettings().packet(req_id), req_id)
+    assert M.DbConfig.decode(pkt.body).recording is False
+    client.close()
