@@ -132,6 +132,8 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
         max_ticks = int(env_max) if max_ticks is None else min(max_ticks, int(env_max))
 
     db_path = db_path or os.environ.get("ELODIN_DB_PATH")
+    if db_path:
+        _capture_simulation_source(db_path)
     exec_ = world.build(
         system,
         simulation_rate=simulation_rate,
@@ -187,3 +189,72 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
             {"profile": exec_.profile(), "max_ticks": max_ticks}
         )
     return exec_
+
+
+def _capture_simulation_source(db_path: str) -> None:
+    """Snapshot the sim's project .py sources into the DB
+    (python/elodin/__init__.py:116-157): entrypoint + any loaded module under
+    the project root, with a sha256 manifest."""
+    import hashlib
+    import json
+    import pathlib
+    import shutil
+    import datetime
+
+    entry = pathlib.Path(sys.argv[0]).resolve()
+    if entry.suffix != ".py" or not entry.exists():
+        return
+    project_root = entry.parent
+    sources = {entry}
+    for mod in list(sys.modules.values()):
+        f = getattr(mod, "__file__", None)
+        if not f or not f.endswith(".py"):
+            continue
+        p = pathlib.Path(f)
+        try:
+            p = p.resolve()
+        except OSError:
+            continue
+        if not p.exists():
+            continue
+        try:
+            p.relative_to(project_root)
+        except ValueError:
+            continue
+        if "__pycache__" in p.parts or "site-packages" in str(p):
+            continue
+        sources.add(p)
+
+    source_root = pathlib.Path(db_path) / "simulation_source"
+    files_root = source_root / "files"
+    manifest_files = []
+    for src_path in sorted(sources):
+        rel = src_path.relative_to(project_root)
+        dest = files_root / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(src_path, dest)
+        data = src_path.read_bytes()
+        manifest_files.append(
+            {
+                "path": rel.as_posix(),
+                "sha256": hashlib.sha256(data).hexdigest(),
+                "size": len(data),
+            }
+        )
+    source_root.mkdir(parents=True, exist_ok=True)
+    (source_root / "manifest.json").write_text(
+        json.dumps(
+            {
+                "version": 1,
+                "entrypoint": entry.name,
+                "project_root": str(project_root),
+                "captured_at": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(),
+                "files": manifest_files,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+        + "\n"
+    )
