@@ -153,3 +153,93 @@ class Supervisor:
         for rp in self.running:
             rp.stop()
         self.running.clear()
+
+
+# -- TOML recipes + CLI (parity: s10 binary loading s10.toml,
+# libs/s10/src/recipe.rs serde with tag = "type") ---------------------------
+
+
+def load_toml(path: str) -> dict:
+    """Parse an s10.toml into {name: recipe} (Recipe enum tagged by
+    `type` = process | sim | group)."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    recipes = {}
+    for name, spec in data.get("recipes", data).items():
+        if not isinstance(spec, dict):
+            continue
+        recipes[name] = _recipe_from_dict(name, spec)
+    return recipes
+
+
+def _recipe_from_dict(name: str, spec: dict):
+    ty = spec.get("type", "process")
+    if ty == "process":
+        return ProcessRecipe(
+            name=name,
+            cmd=spec["cmd"],
+            args=[str(a) for a in spec.get("args", [])],
+            cwd=spec.get("cwd"),
+            env={k: str(v) for k, v in spec.get("env", {}).items()},
+            restart_policy=spec.get("restart_policy", "never"),
+        )
+    if ty == "sim":
+        return SimRecipe(
+            name=name,
+            path=spec["path"],
+            addr=spec.get("addr", "[::]:2240"),
+            env={k: str(v) for k, v in spec.get("env", {}).items()},
+        )
+    if ty == "group":
+        return GroupRecipe(
+            name=name,
+            recipes=[
+                _recipe_from_dict(n, s)
+                for n, s in spec.get("recipes", {}).items()
+            ],
+        )
+    raise ValueError(f"unknown recipe type {ty!r} for {name!r}")
+
+
+def run_recipes(recipes, watch: bool = False, poll: float = 0.2) -> Supervisor:
+    sup = Supervisor()
+    flat = []
+    for r in recipes.values() if isinstance(recipes, dict) else recipes:
+        if isinstance(r, GroupRecipe):
+            flat.extend(r.recipes)
+        else:
+            flat.append(r)
+    sup.start(flat)
+    return sup
+
+
+def main(argv=None) -> None:
+    import argparse
+    import time as _time
+
+    p = argparse.ArgumentParser(prog="s10")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    run_p = sub.add_parser("run")
+    run_p.add_argument("config", nargs="?", default="s10.toml")
+    run_p.add_argument("--once", action="store_true",
+                       help="exit when every recipe has exited")
+    args = p.parse_args(argv)
+
+    recipes = load_toml(args.config)
+    sup = run_recipes(recipes)
+    try:
+        while True:
+            sup.tick()
+            if args.once and all(rp.poll() is not None for rp in sup.running):
+                break
+            _time.sleep(0.2)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        sup.stop_all()
+
+
+if __name__ == "__main__":
+    main()

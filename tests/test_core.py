@@ -803,3 +803,34 @@ def test_kdl_parser_on_example_schematics():
         src = open(path).read()
         if "schematic(" not in src:
             continue
+
+
+def test_s10_toml_recipes(tmp_path):
+    """s10 recipe loading + supervision from TOML (libs/s10 parity)."""
+    from elodin_tpu import s10
+
+    cfg = tmp_path / "s10.toml"
+    out = tmp_path / "out.txt"
+    cfg.write_text(f"""
+[recipes.hello]
+type = "process"
+cmd = "/bin/sh"
+args = ["-c", "echo hi > {out}"]
+
+[recipes.grp]
+type = "group"
+[recipes.grp.recipes.world]
+type = "process"
+cmd = "/bin/sh"
+args = ["-c", "true"]
+""")
+    recipes = s10.load_toml(str(cfg))
+    assert set(recipes) == {"hello", "grp"}
+    sup = s10.run_recipes(recipes)
+    import time as _t
+
+    deadline = _t.time() + 5
+    while _t.time() < deadline and not out.exists():
+        _t.sleep(0.05)
+    sup.stop_all()
+    assert out.read_text().strip() == "hi"

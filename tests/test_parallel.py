@@ -1,0 +1,107 @@
+"""Mesh-sharding tests on the virtual 8-device CPU mesh: entity-axis
+sharding with cross-shard interactions, sample-axis campaigns."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import elodin_tpu as el
+from elodin_tpu.parallel import make_mesh, sharded_step, shard_cols
+from elodin_tpu.models import build_batched_sixdof
+from elodin_tpu.six_dof import increment_sim_tick_system
+from elodin_tpu.system import Pipe, SystemBuilder, as_system
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def _step_fn(meta, system):
+    full = Pipe(increment_sim_tick_system, as_system(system))
+
+    def step(state):
+        b = SystemBuilder(meta, dict(state))
+        full.call(b)
+        return b.cols
+
+    return step
+
+
+def test_entity_sharded_step_matches_single_device(mesh):
+    """Sharding the entity axis over ep must not change the physics."""
+    world, system = build_batched_sixdof(64)
+    meta, cols = world.snapshot()
+    step = _step_fn(meta, system)
+
+    # single device
+    ref = jax.jit(step)({k: jnp.asarray(v) for k, v in cols.items()})
+
+    fn, placed = sharded_step(step, mesh, cols)
+    out = fn(placed)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-12, atol=1e-12,
+            err_msg=k,
+        )
+    # body columns really are distributed over the ep axis
+    ws = out["world_pos"].sharding
+    assert len(ws.device_set) >= 2, "entity axis not distributed"
+
+
+def test_sample_sharded_campaign_matches_single_device(mesh):
+    """dp-sharded Monte Carlo equals the unsharded vmap computation."""
+    world, system = build_batched_sixdof(8)
+    meta, cols = world.snapshot()
+    step = _step_fn(meta, system)
+    vstep = jax.vmap(step)
+
+    n_samples = 16
+    batched = {
+        k: jnp.asarray(np.broadcast_to(v, (n_samples,) + v.shape).copy())
+        for k, v in cols.items()
+    }
+    ref = jax.jit(vstep)(batched)
+
+    fn, placed = sharded_step(vstep, mesh, batched, sample_axis=True)
+    out = fn(placed)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-12, atol=1e-12,
+            err_msg=k,
+        )
+
+
+def test_edge_fold_under_entity_sharding(mesh):
+    """TotalEdge n-body forces need cross-shard gathers; XLA inserts the
+    collectives and the result matches the unsharded run."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "n-body"))
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "nbody_main_shard",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "examples", "n-body", "main.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.pop(0)
+
+    w = mod.build_world(n_asteroids=14, seed=3)  # 16 bodies + globals
+    meta, cols = w.snapshot()
+    step = _step_fn(meta, mod.build_system())
+    ref = jax.jit(step)({k: jnp.asarray(v) for k, v in cols.items()})
+    fn, placed = sharded_step(step, mesh, cols)
+    out = fn(placed)
+    np.testing.assert_allclose(
+        np.asarray(out["force"]), np.asarray(ref["force"]), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["world_pos"]), np.asarray(ref["world_pos"]), rtol=1e-12
+    )
