@@ -178,6 +178,15 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
                     elapsed = time.perf_counter() - t0
                     if elapsed < dt:
                         time.sleep(dt - elapsed)
+        # the reference sim keeps serving the DB after max_ticks
+        # (impeller2_server.rs tick loop parks, server stays up); opt in via
+        # ELODIN_KEEP_ALIVE so scripted runs still terminate
+        if (
+            server is not None
+            and os.environ.get("ELODIN_KEEP_ALIVE", "0") == "1"
+        ):
+            while True:
+                time.sleep(0.5)
     except KeyboardInterrupt:
         pass
     finally:

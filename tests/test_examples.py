@@ -245,3 +245,30 @@ def test_frames_regression():
     df = exec_.history(["a.world_pos", "b.world_pos", "a.world_vel", "b.world_vel"])
     e = mod.total_energy(df)
     assert abs(e[-1] - e[0]) / abs(e[0]) < 1e-6
+
+
+def test_db_client_example():
+    """Full cross-process pipeline: sim serving over TCP, client reads live
+    telemetry + SQL + writes back (reference examples/db-client)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        ELODIN_MAX_TICKS="400",
+        ELODIN_SIM_ADDR="127.0.0.1:2271",
+        PYTHONPATH=os.pathsep.join(
+            [os.path.dirname(EXAMPLES)] + env.get("PYTHONPATH", "").split(os.pathsep)
+        ),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, "db-client", "main.py")],
+        env=env,
+        cwd=os.path.join(EXAMPLES, "db-client"),
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "sql rows: 5" in proc.stdout
+    assert "ground.station_temp" in proc.stdout
