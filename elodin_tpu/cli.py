@@ -124,6 +124,28 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
                     indent=2,
                 )
             )
+            # HLO/graph dumps (parity: bench --profile FLOP/HLO analysis +
+            # DOT graphs, world_builder.rs:890-1010)
+            import jax as _jax
+
+            lowered = _jax.jit(exec_._step).lower(exec_.cols)
+            (out_dir / "step.stablehlo.txt").write_text(lowered.as_text())
+            try:
+                compiled = lowered.compile()
+                (out_dir / "step.optimized_hlo.txt").write_text(
+                    compiled.as_text()
+                )
+                cost = compiled.cost_analysis()
+                if cost:
+                    (out_dir / "cost-analysis.json").write_text(
+                        json.dumps(
+                            {k: v for k, v in cost.items()
+                             if isinstance(v, (int, float))},
+                            indent=2, sort_keys=True,
+                        )
+                    )
+            except Exception:
+                pass
         return exec_
 
     # -- run ---------------------------------------------------------------

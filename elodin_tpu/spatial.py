@@ -71,7 +71,9 @@ def quat_inverse(q: Array) -> Array:
 
 
 def quat_normalize(q: Array) -> Array:
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # rsqrt keeps the hot path division-free (f64 divides are emulated and
+    # expensive on v5e); differs from q/|q| only in the last ulp
+    return q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True))
 
 
 def quat_rotate(q: Array, v: Array) -> Array:
