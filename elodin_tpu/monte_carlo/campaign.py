@@ -102,6 +102,10 @@ def run_campaign(sim_path: str, config: dict, out_dir: str | Path,
                  port_names: list[str] | None = None,
                  timeout: float | None = None,
                  resume: bool = False) -> list[dict]:
+    # admission budget (parity: libs/s10/src/admission.rs S10_MAX_INFLIGHT)
+    budget = os.environ.get("S10_MAX_INFLIGHT")
+    if budget:
+        workers = min(workers, max(1, int(budget)))
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     manifest_path = out_dir / "campaign.manifest.json"
