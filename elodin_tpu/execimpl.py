@@ -222,8 +222,8 @@ class Exec:
     def read_component(self, qualified: str) -> np.ndarray:
         comp, row = self._history.resolve(qualified)
         if comp in self._host_writes:
-            return self._host_writes[comp][row]
-        return np.asarray(self.cols[comp][row])
+            return np.atleast_1d(self._host_writes[comp][row])
+        return np.atleast_1d(np.asarray(self.cols[comp][row]))
 
     def _apply_host_writes(self) -> None:
         for comp, buf in self._host_writes.items():

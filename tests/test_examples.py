@@ -272,3 +272,10 @@ def test_db_client_example():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "sql rows: 5" in proc.stdout
     assert "ground.station_temp" in proc.stdout
+
+
+def test_betaflight_sitl_lockstep():
+    """External-process UDP lockstep at kHz rates (feature catalog §19)."""
+    mod = load_module("betaflight-sitl", "main")
+    rate = mod.run(ticks=1500)
+    assert rate > 300, f"lockstep too slow: {rate:.0f} Hz"
