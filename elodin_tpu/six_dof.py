@@ -80,7 +80,7 @@ def calc_accel(builder: SystemBuilder) -> None:
 class _SixDofSystem(System):
     def __init__(self, time_step, effectors, integrator: Integrator):
         self.time_step = time_step
-        self.pipe = Pipe(
+        self._pipe = Pipe(
             LambdaSystem(clear_forces, "clear_forces"),
             as_system(effectors),
             LambdaSystem(calc_accel, "calc_accel"),
@@ -94,7 +94,7 @@ class _SixDofSystem(System):
 
     def call(self, builder: SystemBuilder) -> None:
         if self.integrator == Integrator.SemiImplicit:
-            self.pipe.call(builder)
+            self._pipe.call(builder)
             self._semi_implicit(builder)
         else:
             self._rk4(builder)
@@ -153,7 +153,7 @@ class _SixDofSystem(System):
                 dv, da = dv[sel], da[sel]
             f = dt * factor
             set_u(stf_add_motion(pos0, f * dv), vel0 + f * da)
-            self.pipe.call(builder)
+            self._pipe.call(builder)
             return read_du()
 
         k1 = stage(0.0)

@@ -1,0 +1,152 @@
+"""Apollo-style lunar powered descent with ZEM/ZEV guidance.
+
+Parity target: reference examples/apollo-lander (host-side guidance via
+post_step callbacks).  TPU-first difference: the guidance law runs
+*in-graph* — zero-effort-miss/zero-effort-velocity terms are computed inside
+the jitted tick, so a dispersed Monte Carlo over initial conditions batches
+the whole guided descent on device."""
+
+import typing as ty
+from dataclasses import field
+
+import elodin as el
+import jax
+import jax.numpy as jnp
+from jax.numpy import linalg as la
+
+SIM_RATE = 50.0
+DT = 1.0 / SIM_RATE
+
+G_MOON = 1.62
+DRY_MASS = 4_700.0
+FUEL0 = 8_200.0
+MAX_THRUST = 45_000.0  # descent engine, N
+ISP = 311.0
+G0 = 9.81
+
+TARGET = jnp.array([0.0, 0.0, 0.0])
+T_GO_MIN = 2.0
+
+Fuel = ty.Annotated[jax.Array, el.Component("fuel", el.ComponentType.F64)]
+Throttle = ty.Annotated[jax.Array, el.Component("throttle", el.ComponentType.F64)]
+TGo = ty.Annotated[jax.Array, el.Component("t_go", el.ComponentType.F64)]
+Landed = ty.Annotated[jax.Array, el.Component("landed_vz", el.ComponentType.F64)]
+
+
+@el.dataclass
+class Lander(el.Archetype):
+    fuel: Fuel = field(default_factory=lambda: jnp.float64(FUEL0))
+    throttle: Throttle = field(default_factory=lambda: jnp.float64(0.0))
+    t_go: TGo = field(default_factory=lambda: jnp.float64(110.0))
+    landed_vz: Landed = field(default_factory=lambda: jnp.float64(0.0))
+
+
+@el.map
+def zem_zev_guidance(
+    pos: el.WorldPos, vel: el.WorldVel, inertia: el.Inertia, fuel: Fuel,
+    t_go_state: TGo,
+) -> tuple[Throttle, TGo, el.Force]:
+    """ZEM/ZEV guidance: a = 6*ZEM/t_go^2 - 2*ZEV/t_go - g with the classic
+    counting-down time-to-go (fixed-final-time formulation)."""
+    r = pos.linear()
+    v = vel.linear()
+    m = inertia.mass()
+    g = jnp.array([0.0, 0.0, -G_MOON])
+
+    t_go = jnp.maximum(t_go_state, T_GO_MIN)
+
+    zem = TARGET - (r + v * t_go + 0.5 * g * t_go**2)
+    zev = jnp.array([0.0, 0.0, -1.0]) - (v + g * t_go)
+    a_cmd = 6.0 * zem / t_go**2 - 2.0 * zev / t_go - g
+
+    # terminal phase: below 300 m track a feasibility-limited velocity
+    # funnel vz = -0.09 z (decel demand k^2 z stays under the lunar T/W)
+    z = r[2]
+    vz_target = -jnp.maximum(1.0, 0.09 * z)
+    a_term = jnp.array([0.0, 0.0, 1.0]) * (
+        G_MOON + 1.5 * (vz_target - v[2])
+    ) - jnp.array([0.15, 0.15, 0.0]) * v  # kill residual drift
+    terminal = z < 400.0
+    a_total = jnp.where(terminal, a_term, a_cmd)
+
+    f_cmd = a_total * m
+    f_mag = la.norm(f_cmd)
+    throttle = jnp.clip(f_mag / MAX_THRUST, 0.0, 1.0)
+    throttle = jnp.where(fuel <= 0.0, 0.0, throttle)
+    # thrust only when above ground
+    throttle = jnp.where(z > 0.05, throttle, 0.0)
+    direction = f_cmd / jnp.maximum(f_mag, 1.0)
+    force = el.SpatialForce(
+        linear=direction * throttle * MAX_THRUST + g * m
+    )
+    return throttle, jnp.maximum(t_go_state - DT, T_GO_MIN), force
+
+
+@el.map
+def burn_fuel(throttle: Throttle, fuel: Fuel, inertia: el.Inertia) -> tuple[Fuel, el.Inertia]:
+    mdot = MAX_THRUST * throttle / (ISP * G0)
+    new_fuel = jnp.maximum(fuel - mdot * DT, 0.0)
+    m = DRY_MASS + new_fuel
+    return new_fuel, el.SpatialInertia.from_array(
+        jnp.concatenate([m * jnp.ones(3), jnp.zeros(3), m[None]])
+    )
+
+
+@el.map
+def ground(pos: el.WorldPos, vel: el.WorldVel, landed: Landed) -> tuple[el.WorldPos, el.WorldVel, Landed]:
+    z = pos.linear()[2]
+    hit = z <= 0.0
+    landed2 = jnp.where(jnp.logical_and(hit, landed == 0.0), vel.linear()[2], landed)
+    new_pos = el.SpatialTransform(
+        angular=pos.angular(),
+        linear=jnp.where(hit, pos.linear() * jnp.array([1.0, 1.0, 0.0]), pos.linear()),
+    )
+    new_vel = el.SpatialMotion(
+        angular=vel.angular(),
+        linear=jnp.where(hit, jnp.zeros(3), vel.linear()),
+    )
+    return new_pos, new_vel, landed2
+
+
+def build_world(offset=(-450.0, 200.0), altitude=2_000.0, vel0=(60.0, -15.0, -35.0)):
+    w = el.World()
+    m0 = DRY_MASS + FUEL0
+    w.spawn(
+        [
+            el.Body(
+                world_pos=el.WorldPos(
+                    linear=jnp.array([offset[0], offset[1], altitude])
+                ),
+                world_vel=el.WorldVel(linear=jnp.array(vel0)),
+                inertia=el.Inertia(m0),
+            ),
+            Lander(),
+        ],
+        name="eagle",
+    )
+    return w
+
+
+def build_system() -> el.System:
+    # guidance is the six_dof effector (runs after clear_forces); gravity is
+    # folded into the guidance force so the chain stays one fused map
+    return el.six_dof(
+        sys=zem_zev_guidance, integrator=el.Integrator.SemiImplicit
+    ) | burn_fuel | ground
+
+
+if __name__ == "__main__":
+    w = build_world()
+    exec_ = w.build(build_system(), simulation_rate=SIM_RATE)
+    exec_.run(int(180 * SIM_RATE))
+    import numpy as np
+
+    df = exec_.history(["eagle.world_pos", "eagle.landed_vz", "eagle.fuel"])
+    pos = df["eagle.world_pos"][-1].to_numpy()
+    td = float(df["eagle.landed_vz"][-1])
+    fuel = float(df["eagle.fuel"][-1])
+    miss = np.linalg.norm(pos[4:6])
+    print(f"touchdown: vz={td:.2f} m/s, miss={miss:.1f} m, fuel left {fuel:.0f} kg")
+    assert td < 0.0, "never landed"
+    assert td > -3.0, f"hard landing {td}"
+    assert miss < 10.0, f"missed the target by {miss} m"

@@ -279,3 +279,17 @@ def test_betaflight_sitl_lockstep():
     mod = load_module("betaflight-sitl", "main")
     rate = mod.run(ticks=1500)
     assert rate > 300, f"lockstep too slow: {rate:.0f} Hz"
+
+
+def test_apollo_lander_soft_landing():
+    """In-graph ZEM/ZEV guided lunar descent: soft pinpoint touchdown."""
+    mod = load_module("apollo-lander", "main")
+    w = mod.build_world()
+    exec_ = w.build(mod.build_system(), simulation_rate=mod.SIM_RATE)
+    exec_.run(int(180 * mod.SIM_RATE))
+    df = exec_.history(["eagle.world_pos", "eagle.landed_vz", "eagle.fuel"])
+    td = float(df["eagle.landed_vz"][-1])
+    pos = df["eagle.world_pos"][-1].to_numpy()
+    assert -3.0 < td < 0.0, f"touchdown vz {td}"
+    assert np.linalg.norm(pos[4:6]) < 10.0
+    assert float(df["eagle.fuel"][-1]) > 1000.0
