@@ -63,9 +63,11 @@ def zem_zev_guidance(
     # funnel vz = -0.09 z (decel demand k^2 z stays under the lunar T/W)
     z = r[2]
     vz_target = -jnp.maximum(1.0, 0.09 * z)
-    a_term = jnp.array([0.0, 0.0, 1.0]) * (
-        G_MOON + 1.5 * (vz_target - v[2])
-    ) - jnp.array([0.15, 0.15, 0.0]) * v  # kill residual drift
+    a_term = (
+        jnp.array([0.0, 0.0, 1.0]) * (G_MOON + 1.5 * (vz_target - v[2]))
+        - jnp.array([0.04, 0.04, 0.0]) * r  # close residual position error
+        - jnp.array([0.35, 0.35, 0.0]) * v  # and damp drift
+    )
     terminal = z < 400.0
     a_total = jnp.where(terminal, a_term, a_cmd)
 
