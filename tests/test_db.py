@@ -425,3 +425,72 @@ def test_db_config_roundtrip(server):
     [pkt] = client._conn.request(M.GetDbSettings().packet(req_id), req_id)
     assert M.DbConfig.decode(pkt.body).recording is False
     client.close()
+
+
+def test_cobs_roundtrip():
+    from elodin_tpu.db.framing import CobsStream, cobs_decode, cobs_encode
+
+    cases = [
+        b"",
+        b"\x00",
+        b"\x00\x00",
+        b"hello",
+        b"a\x00b\x00c",
+        bytes(range(256)),
+        bytes(300),  # long zero run
+        b"\x01" * 600,  # > 254 nonzero run
+    ]
+    for data in cases:
+        enc = cobs_encode(data)
+        assert b"\x00" not in enc[:-1]
+        assert enc[-1] == 0
+        assert cobs_decode(enc) == data
+
+    # streaming decoder across fragmented chunks
+    stream = CobsStream()
+    frames = [b"alpha", b"\x00beta\x00", b"gamma" * 100]
+    wire = b"".join(cobs_encode(f) for f in frames)
+    got = []
+    for i in range(0, len(wire), 7):
+        got.extend(stream.feed(wire[i : i + 7]))
+    assert got == frames
+
+
+def test_shm_ring_cross_process(tmp_path):
+    import os
+    import subprocess
+    import sys as _sys
+
+    from elodin_tpu.db.framing import ShmRing
+
+    path = str(tmp_path / "ring.shm")
+    ring = ShmRing(path, capacity=1 << 16)
+    # producer in a separate process
+    code = f"""
+import sys
+sys.path.insert(0, {repr(os.getcwd())})
+from elodin_tpu.db.framing import ShmRing
+ring = ShmRing({path!r}, capacity=1 << 16, create=False)
+for i in range(100):
+    assert ring.push(f"frame-{{i}}".encode())
+ring.close()
+"""
+    proc = subprocess.run([_sys.executable, "-c", code], capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    got = []
+    while (f := ring.pop()) is not None:
+        got.append(f)
+    assert got == [f"frame-{i}".encode() for i in range(100)]
+    ring.close()
+
+
+def test_shm_ring_wraparound(tmp_path):
+    from elodin_tpu.db.framing import ShmRing
+
+    ring = ShmRing(str(tmp_path / "r2.shm"), capacity=256)
+    payload = b"x" * 40
+    for round_ in range(50):
+        assert ring.push(payload + str(round_ % 10).encode())
+        got = ring.pop()
+        assert got == payload + str(round_ % 10).encode()
+    ring.close()
