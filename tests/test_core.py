@@ -834,3 +834,87 @@ args = ["-c", "true"]
         _t.sleep(0.05)
     sup.stop_all()
     assert out.read_text().strip() == "hi"
+
+
+def test_coning_sculling_static():
+    """Pure rotation about a fixed axis needs no coning correction: the
+    corrected average equals the raw average."""
+    from elodin_tpu.sensors import coning_sculling_window
+
+    n, dt = 8, 1e-3
+    gyro = numpy.tile([0.5, 0.0, 0.0], (n, 1))
+    accel = numpy.tile([0.0, 0.0, 9.81], (n, 1))
+    g, a = coning_sculling_window(gyro, accel, dt)
+    numpy.testing.assert_allclose(numpy.asarray(g), [0.5, 0, 0], atol=1e-12)
+    # sculling couples the x-rotation into the accel average slightly
+    assert abs(float(a[2]) - 9.81) < 1e-6
+
+
+def test_coning_correction_improves_attitude():
+    """Classic coning motion: omega = [a*w*cos(wt), -a*w*sin(wt), 0].
+    Naive averaging loses the net z-rotation; the Bortz correction
+    recovers it."""
+    from elodin_tpu.sensors import coning_sculling_window
+    from elodin_tpu.spatial import quat_identity, quat_integrate_body
+
+    a_cone, w_cone = 0.05, 200.0
+    fs = 4000.0
+    dt = 1.0 / fs
+    n_total = 2000
+    t = numpy.arange(n_total) * dt
+    gyro = numpy.stack(
+        [a_cone * w_cone * numpy.cos(w_cone * t),
+         -a_cone * w_cone * numpy.sin(w_cone * t),
+         numpy.zeros_like(t)],
+        axis=1,
+    )
+    accel = numpy.zeros_like(gyro)
+
+    # truth: integrate at full rate
+    q_true = quat_identity()
+    for i in range(n_total):
+        q_true = quat_integrate_body(q_true, gyro[i] * dt)
+
+    window = 8
+
+    def integrate(correct: bool):
+        from elodin_tpu.spatial import quat_identity, quat_integrate_body
+
+        q = quat_identity()
+        for s in range(0, n_total, window):
+            chunk = gyro[s : s + window]
+            if correct:
+                g_avg, _ = coning_sculling_window(
+                    chunk, accel[s : s + window], dt
+                )
+            else:
+                g_avg = chunk.mean(axis=0)
+            q = quat_integrate_body(q, numpy.asarray(g_avg) * window * dt)
+        return numpy.asarray(q)
+
+    q_naive = integrate(False)
+    q_corrected = integrate(True)
+    err_naive = 1 - abs(float(numpy.dot(q_naive, numpy.asarray(q_true))))
+    err_corr = 1 - abs(float(numpy.dot(q_corrected, numpy.asarray(q_true))))
+    # the first-order full-rate 'truth' has its own error floor, so assert
+    # strict improvement rather than a fixed factor
+    assert err_corr < err_naive * 0.85, (err_naive, err_corr)
+
+
+def test_imu_model_bias_walk():
+    from elodin_tpu.sensors import ImuSpec, imu_measure
+
+    key = jax.random.key(0)
+    spec = ImuSpec()
+    gb = np.zeros(3)
+    ab = np.zeros(3)
+    meas = []
+    for i in range(200):
+        key, k = jax.random.split(key)
+        g, a, gb, ab = imu_measure(
+            k, spec, np.zeros(3), np.asarray([0.0, 0.0, 9.81]), gb, ab, 1e-2
+        )
+        meas.append(numpy.asarray(g))
+    m = numpy.stack(meas)
+    assert 0 < m.std() < 0.1  # noisy but bounded
+    assert numpy.abs(numpy.asarray(gb)).max() < 0.01  # slow walk
