@@ -152,3 +152,47 @@ if __name__ == "__main__":
     assert td < 0.0, "never landed"
     assert td > -3.0, f"hard landing {td}"
     assert miss < 10.0, f"missed the target by {miss} m"
+
+
+def run_dispersed(n_samples: int = 1024, seed: int = 0, ticks=int(180 * SIM_RATE)):
+    """Batched Monte Carlo over dispersed approach states — the guided
+    descent (guidance in-graph) vmaps over the sample axis as one XLA
+    program."""
+    import numpy as np
+
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    rng = np.random.default_rng(seed)
+    n = n_samples
+    offsets = rng.uniform([-700, -300], [-200, 300], (n, 2))
+    alts = rng.uniform(1700, 2300, n)
+    vels = rng.uniform([40, -25, -45], [80, -5, -25], (n, 3))
+
+    w = build_world()
+    pos0 = np.concatenate(
+        [np.tile([0.0, 0.0, 0.0, 1.0], (n, 1)), offsets, alts[:, None]], axis=1
+    )
+    vel0 = np.concatenate([np.zeros((n, 3)), vels], axis=1)
+    campaign = BatchedCampaign(
+        w, build_system(), n,
+        overrides={"eagle.world_pos": pos0, "eagle.world_vel": vel0},
+        simulation_rate=SIM_RATE,
+    )
+    result = campaign.run(ticks)
+    td = result.component("eagle.landed_vz")
+    final = result.component("eagle.world_pos")[:, 4:]
+    fuel = result.component("eagle.fuel")
+    landed = td < 0.0
+    soft = np.logical_and(landed, td > -3.0)
+    miss = np.linalg.norm(final[:, :2], axis=1)
+    return {
+        "n_samples": n,
+        "wall_s": result.wall_seconds,
+        "landed_frac": float(landed.mean()),
+        "soft_frac": float(soft.mean()),
+        "mean_td_vz": float(td[landed].mean()) if landed.any() else None,
+        "p95_miss_m": float(np.percentile(miss[landed], 95)) if landed.any() else None,
+        "min_fuel_kg": float(fuel.min()),
+    }
+
+

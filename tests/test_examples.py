@@ -293,3 +293,11 @@ def test_apollo_lander_soft_landing():
     assert -3.0 < td < 0.0, f"touchdown vz {td}"
     assert np.linalg.norm(pos[4:6]) < 10.0
     assert float(df["eagle.fuel"][-1]) > 1000.0
+
+
+def test_apollo_lander_dispersed_campaign():
+    mod = load_module("apollo-lander", "main")
+    out = mod.run_dispersed(128, seed=5)
+    assert out["landed_frac"] > 0.95
+    assert out["soft_frac"] > 0.7
+    assert out["min_fuel_kg"] > 1000.0
