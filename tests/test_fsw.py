@@ -1,0 +1,131 @@
+"""FSW host framework tests (parity model: fsw/roci typed worlds + rate
+drivers + the fsw/mekf service wiring sim -> DB -> estimator)."""
+
+import typing as ty
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+import pytest
+
+import elodin as el
+import elodin_tpu.db as edb
+from elodin_tpu import fsw
+
+GyroOmega = ty.Annotated[
+    jax.Array, el.Component("gyro_omega", el.ComponentType(el.PrimitiveType.F64, (3,)))
+]
+MagBody = ty.Annotated[
+    jax.Array, el.Component("mag_body", el.ComponentType(el.PrimitiveType.F64, (3,)))
+]
+MagRef = ty.Annotated[
+    jax.Array, el.Component("mag_ref", el.ComponentType(el.PrimitiveType.F64, (3,)))
+]
+SunBody = ty.Annotated[
+    jax.Array, el.Component("sun_body", el.ComponentType(el.PrimitiveType.F64, (3,)))
+]
+SunRef = ty.Annotated[
+    jax.Array, el.Component("sun_ref", el.ComponentType(el.PrimitiveType.F64, (3,)))
+]
+AttEst = ty.Annotated[
+    jax.Array, el.Component("att_est", el.ComponentType(el.PrimitiveType.F64, (4,)))
+]
+
+
+@dataclass
+class AdcsWorld:
+    gyro_omega: GyroOmega = field(default_factory=lambda: np.zeros(3))
+    mag_body: MagBody = field(default_factory=lambda: np.zeros(3))
+    mag_ref: MagRef = field(default_factory=lambda: np.array([1.0, 0, 0]))
+    sun_body: SunBody = field(default_factory=lambda: np.zeros(3))
+    sun_ref: SunRef = field(default_factory=lambda: np.array([0.0, 0, 1.0]))
+    att_est: AttEst = field(default_factory=lambda: np.array([0.0, 0, 0, 1.0]))
+
+
+def test_world_components():
+    comps = fsw.world_components(AdcsWorld)
+    assert comps["gyro_omega"].name == "gyro_omega"
+    assert comps["att_est"].ty.shape == (4,)
+
+
+def test_hz_driver_rate_and_pipe():
+    calls = []
+
+    def sys_a(world):
+        calls.append("a")
+
+    def sys_b(world):
+        calls.append("b")
+
+    driver = fsw.HzDriver(
+        500.0, fsw.as_fsw_system(sys_a).pipe(fsw.as_fsw_system(sys_b)),
+        AdcsWorld(),
+    )
+    import time
+
+    t0 = time.perf_counter()
+    driver.run(max_ticks=50)
+    wall = time.perf_counter() - t0
+    assert calls[:4] == ["a", "b", "a", "b"]
+    assert driver.ticks == 50
+    assert wall >= 0.08  # paced, not free-running
+
+
+def test_mekf_service_against_live_db(tmp_path):
+    """End-to-end FSW loop: a 'sensor' writes observations into the DB, the
+    MEKF service subscribes, estimates, and publishes attitude back."""
+    from elodin_tpu.spatial import quat_from_axis_angle, quat_inverse, quat_rotate
+
+    srv = edb.Server.start(str(tmp_path / "db"))
+    try:
+        q_true = np.asarray(quat_from_axis_angle(np.array([0.0, 0.0, 1.0]), 0.6))
+        qi = quat_inverse(q_true)
+        mag_ref = np.array([1.0, 0.0, 0.0])
+        sun_ref = np.array([0.0, 0.0, 1.0])
+        mag_body = np.asarray(quat_rotate(qi, mag_ref))
+        sun_body = np.asarray(quat_rotate(qi, sun_ref))
+
+        sensor = edb.Client.connect(srv.addr)
+        writer = sensor.table_writer(
+            {
+                "gyro_omega": edb.f64[3],
+                "mag_body": edb.f64[3],
+                "sun_body": edb.f64[3],
+            }
+        )
+        import time as _t
+
+        writer.write(
+            timestamp_us=1,
+            values={
+                "gyro_omega": np.zeros(3),
+                "mag_body": mag_body,
+                "sun_body": sun_body,
+            },
+        )
+        _t.sleep(0.3)
+
+        dt = 1.0 / 50.0
+        system = fsw.mekf_system(
+            sigma_g=[0.01] * 3, sigma_b=[0.01] * 3, dt=dt,
+            refs_fields=["mag_ref", "sun_ref"],
+            body_fields=["mag_body", "sun_body"],
+            sigmas=[0.03, 0.03],
+        )
+        driver = fsw.HzDriver(
+            200.0, system, AdcsWorld(),
+            db_addr=srv.addr,
+            subscribe=["gyro_omega", "mag_body", "sun_body"],
+            publish=["att_est"],
+        )
+        driver.run(max_ticks=150)
+        driver.close()
+
+        est = sensor.latest("att_est")
+        assert est is not None
+        dot = abs(float(np.dot(est.values, q_true)))
+        assert dot > 0.999, f"FSW MEKF did not converge: {dot}"
+        writer.close()
+        sensor.close()
+    finally:
+        srv.stop()
