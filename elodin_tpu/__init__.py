@@ -13,7 +13,6 @@ from dataclasses import dataclass  # noqa: F401  (el.dataclass)
 from typing import Annotated  # noqa: F401  (el.Annotated)
 
 import jax
-import numpy as np
 
 from . import _config  # noqa: F401  (x64 on import, like the reference)
 from ._config import set_float_policy  # noqa: F401

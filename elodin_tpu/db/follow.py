@@ -8,12 +8,10 @@ from __future__ import annotations
 
 import threading
 
-import numpy as np
 
 from . import msgs as M
 from .client import _Conn
 from .storage import Database
-from .vtable import PRIM_NP
 
 
 class Follower:

@@ -12,15 +12,13 @@ under a lock and subscribers drain on their own tasks.
 from __future__ import annotations
 
 import asyncio
-import socket
 import threading
-from pathlib import Path
 
 import numpy as np
 
 from . import msgs as M
 from .storage import Database, now_timestamp_us
-from .vtable import PRIM_NP, VTable, build_table_vtable
+from .vtable import VTable, build_table_vtable
 
 
 class Connection:
@@ -336,8 +334,7 @@ class Connection:
     async def on_SetComponentMetadata(self, msg, req_id: int) -> None:
         store = self.db.components.get(msg.component_id)
         if store is not None:
-            store.name = msg.name
-            store.metadata.update(msg.metadata)
+            store.set_metadata(name=msg.name, metadata=msg.metadata)
         else:
             self.server.pending_metadata[msg.component_id] = (
                 msg.name,
@@ -441,8 +438,7 @@ class Server:
             if pend is not None:
                 store = self.db.components.get(cid)
                 if store is not None:
-                    store.name = pend[0]
-                    store.metadata.update(pend[1])
+                    store.set_metadata(name=pend[0], metadata=pend[1])
         if self.loop is None:
             return
         for q in list(self.subscribers):
@@ -573,7 +569,7 @@ def serve_exec(exec_, addr: str = "127.0.0.1:2240") -> Server:
             qual = f"{ename}.{comp_name}" if ename else f"{eid}.{comp_name}"
             cid = component_id_of(qual)
             store = db.get_or_create(cid, comp.ty.ty.value, comp.ty.shape, qual)
-            store.metadata.update(comp.metadata)
+            store.set_metadata(metadata=comp.metadata)
             plan.append((comp_name, i, cid, store))
 
     def commit_batch(ts_us: np.ndarray, stacked: dict) -> None:

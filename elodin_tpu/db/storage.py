@@ -18,7 +18,6 @@ engine can replace the hot path behind the same interface.
 from __future__ import annotations
 
 import json
-import os
 import threading
 import time
 from pathlib import Path
@@ -53,16 +52,7 @@ class ComponentStore:
         self._native = None
         if path is not None:
             path.mkdir(parents=True, exist_ok=True)
-            (path / "schema.json").write_text(
-                json.dumps(
-                    {
-                        "component_id": component_id,
-                        "name": name,
-                        "prim": prim,
-                        "shape": list(self.shape),
-                    }
-                )
-            )
+            self._write_schema()
             # prefer the native mmap appender (sparse prealloc + zero-copy,
             # parity with the reference's storage engine); fall back to
             # buffered file appends
@@ -81,6 +71,37 @@ class ComponentStore:
             if self._native is None:
                 self._ts_file = open(path / "timestamps.bin", "ab")
                 self._data_file = open(path / "data.bin", "ab")
+
+    def _write_schema(self) -> None:
+        if self.path is None:
+            return
+        (self.path / "schema.json").write_text(
+            json.dumps(
+                {
+                    "component_id": self.component_id,
+                    "name": self.name,
+                    "prim": self.prim,
+                    "shape": list(self.shape),
+                    "metadata": self.metadata,
+                }
+            )
+        )
+
+    def set_metadata(self, name: str | None = None,
+                     metadata: dict | None = None) -> None:
+        """Update the display name / metadata and persist them, so names
+        survive a reopen (the reference keeps names in its metadata msg log,
+        libs/db/src/lib.rs SetComponentMetadata handling)."""
+        changed = False
+        if name and name != self.name:
+            self.name = name
+            changed = True
+        if metadata:
+            before = dict(self.metadata)
+            self.metadata.update(metadata)
+            changed = changed or self.metadata != before
+        if changed:
+            self._write_schema()
 
     def _load_from_native(self) -> None:
         n = len(self._native)
@@ -161,6 +182,7 @@ class ComponentStore:
             schema["component_id"], schema["prim"], tuple(schema["shape"]),
             schema.get("name"), path,
         )
+        store.metadata.update(schema.get("metadata") or {})
         if store._native is not None:
             return store  # loaded via the mmap header
         raw_ts = np.fromfile(path / "timestamps.bin", dtype="<i8")
@@ -236,7 +258,7 @@ class Database:
                 store = ComponentStore(component_id, prim, shape, name, comp_path)
                 self.components[component_id] = store
             elif name and not store.name:
-                store.name = name
+                store.set_metadata(name=name)
             return store
 
     def by_name(self, name: str) -> ComponentStore | None:

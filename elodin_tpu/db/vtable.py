@@ -13,7 +13,7 @@ from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 
-from .postcard import Reader, Writer, fnv1a_32
+from .postcard import Reader, Writer
 
 TIMESTAMP_NS_EXT_ID = bytes([0x01, 0x00])
 

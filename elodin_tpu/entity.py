@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import re
 import typing
-from dataclasses import dataclass, field
 
 import jax
 import numpy as np

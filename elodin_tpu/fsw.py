@@ -12,7 +12,6 @@ jit-compiled on first call), replacing roci-adcs's ``ArrayRepr`` CPU path.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 import typing
 

@@ -8,7 +8,6 @@ toolchain is available, so the framework stays importable everywhere.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

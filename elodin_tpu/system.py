@@ -28,14 +28,14 @@ from __future__ import annotations
 import inspect
 import types as _types
 import typing
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .component import Component, annotated_origin
-from .entity import Edge, RevEdge, TotalEdge
+from .component import Component
+from .entity import RevEdge, TotalEdge
 
 tree_flatten = jax.tree_util.tree_flatten
 tree_unflatten = jax.tree_util.tree_unflatten

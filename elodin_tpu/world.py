@@ -8,14 +8,13 @@ host only sees telemetry snapshots.
 
 from __future__ import annotations
 
-import typing
 from dataclasses import dataclass, field
 from typing import Any
 
 import numpy as np
 
 from .component import Component, ComponentType, component_type_of_value
-from .entity import Archetype, EntityId, to_snake_case
+from .entity import EntityId
 
 DEFAULT_TIME_STEP = 1.0 / 120.0
 

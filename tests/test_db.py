@@ -494,3 +494,25 @@ def test_shm_ring_wraparound(tmp_path):
         got = ring.pop()
         assert got == payload + str(round_ % 10).encode()
     ring.close()
+
+
+def test_component_name_survives_reopen(tmp_path):
+    """Names set via SetComponentMetadata after store creation must persist
+    to schema.json so `elodin-db list`/`export` on a reopened DB show names,
+    not hex ids (reference keeps names in its metadata log)."""
+    import numpy as np
+
+    from elodin_tpu.db.storage import Database
+
+    path = str(tmp_path / "db")
+    db = Database(path)
+    store = db.get_or_create(0x1234, "f64", (3,))  # created unnamed
+    store.append(1_000, np.array([1.0, 2.0, 3.0]))
+    store.set_metadata(name="probe.pos", metadata={"element_names": "x,y,z"})
+    db.flush()
+
+    db2 = Database(path)
+    s2 = db2.components[0x1234]
+    assert s2.name == "probe.pos"
+    assert s2.metadata["element_names"] == "x,y,z"
+    assert s2.len == 1
