@@ -61,6 +61,14 @@ def save_archive(db, path: str, fmt: str = "arrow_ipc") -> None:
             raise ValueError(f"unknown archive format {fmt!r}")
 
 
+def export_mcap(db, path: str) -> int:
+    """Whole-DB single-file MCAP export (libs/db/src/export_mcap.rs);
+    see elodin_tpu.db.export_mcap for the writer."""
+    from .export_mcap import export_mcap as _impl
+
+    return _impl(db, path)
+
+
 def export_csv_joined(db, out_path: str) -> None:
     """Single wide CSV joined on time (export.rs --join mode)."""
     import pandas as pd

@@ -516,3 +516,102 @@ def test_component_name_survives_reopen(tmp_path):
     assert s2.name == "probe.pos"
     assert s2.metadata["element_names"] == "x,y,z"
     assert s2.len == 1
+
+
+def test_plotline_downsampling():
+    """Curvature-weighted downsampler (parity: libs/hamann-chen-line):
+    corners keep their vertices, straight runs collapse, endpoints kept."""
+    import numpy as np
+
+    from elodin_tpu.plotline import (
+        select_polyline2_indices,
+        select_polyline3_indices,
+        select_time_value_indices,
+        select_trajectory_time_norm_indices,
+    )
+
+    # straight line -> uniform fallback, endpoints kept
+    pts = np.stack([np.linspace(0, 1, 100), np.zeros(100)], axis=1)
+    idx = select_polyline2_indices(pts, 10)
+    assert idx[0] == 0 and idx[-1] == 99
+    assert len(idx) <= 10
+    gaps = np.diff(idx)
+    assert gaps.max() <= 2 * gaps.min() + 1  # roughly uniform
+
+    # L-shaped corner: the corner vertex must survive aggressive reduction
+    a = np.stack([np.linspace(0, 1, 50), np.zeros(50)], axis=1)
+    b = np.stack([np.ones(50), np.linspace(0, 1, 50)], axis=1)
+    corner = np.concatenate([a, b[1:]], axis=0)
+    idx = select_polyline2_indices(corner, 8)
+    assert any(abs(int(i) - 49) <= 1 for i in idx), idx
+
+    # smooth sine: reconstruction from the reduced set stays accurate
+    t = np.linspace(0, 4 * np.pi, 400)
+    y = np.sin(t)
+    idx = select_time_value_indices(t, y, 40)
+    err = np.abs(np.interp(t, t[idx], y[idx]) - y).max()
+    assert err < 0.05
+
+    # localized feature (narrow spike in a flat signal): curvature weighting
+    # must beat uniform spacing, which likely skips the spike entirely
+    ys = np.zeros(400)
+    ys[198:203] = [0.5, 1.0, 1.5, 1.0, 0.5]
+    idx = select_time_value_indices(t, ys, 20)
+    err = np.abs(np.interp(t, t[idx], ys[idx]) - ys).max()
+    uni = np.unique(np.round(np.linspace(0, 399, 20)).astype(int))
+    err_uni = np.abs(np.interp(t, t[uni], ys[uni]) - ys).max()
+    assert err < err_uni, (err, err_uni)
+
+    # 3D helix + shared index list for xyz streams
+    pts3 = np.stack([np.cos(t), np.sin(t), 0.1 * t], axis=1)
+    idx3 = select_polyline3_indices(pts3, 50)
+    assert idx3[0] == 0 and idx3[-1] == 399 and 10 < len(idx3) <= 50
+    idxn = select_trajectory_time_norm_indices(t, pts3, 30)
+    assert idxn[0] == 0 and idxn[-1] == 399
+
+    # degenerate inputs
+    assert len(select_polyline2_indices(np.zeros((0, 2)), 5)) == 0
+    assert list(select_polyline2_indices([[1.0, 2.0]], 5)) == [0]
+    dup = np.array([[0.0, 0.0]] * 10 + [[1.0, 0.0]] * 10)
+    idx = select_polyline2_indices(dup, 4)
+    assert len(idx) >= 2
+
+
+def test_mcap_export_roundtrip(tmp_path):
+    """MCAP export (libs/db/src/export_mcap.rs parity): one JSON channel per
+    component; framing validates via the in-module reader."""
+    import json
+
+    import numpy as np
+
+    from elodin_tpu.db.export_mcap import export_mcap, read_mcap
+    from elodin_tpu.db.storage import Database
+
+    db = Database(str(tmp_path / "db"))
+    pos = db.get_or_create(0x1, "f64", (3,), "ball.world_pos")
+    pos.set_metadata(metadata={"element_names": "x,y,z"})
+    temp = db.get_or_create(0x2, "f32", (), "ball.temp")
+    for i in range(5):
+        pos.append(1_000_000 + i, np.array([1.0 * i, 2.0 * i, 3.0 * i]))
+        temp.append(1_000_000 + i, np.array([20.0 + i], dtype=np.float32))
+
+    out = tmp_path / "archive.mcap"
+    n = export_mcap(db, str(out))
+    assert n == 10
+
+    channels, messages = read_mcap(str(out))
+    topics = {c["topic"] for c in channels.values()}
+    assert topics == {"/ball/world_pos", "/ball/temp"}
+    by_topic = {c["topic"]: cid for cid, c in channels.items()}
+    pos_msgs = [m for m in messages if m[0] == by_topic["/ball/world_pos"]]
+    assert len(pos_msgs) == 5
+    assert pos_msgs[0][1] == 1_000_000 * 1000  # log_time in ns
+    row = json.loads(pos_msgs[2][2])
+    assert row["x"] == 2.0 and row["y"] == 4.0 and row["z"] == 6.0
+    # schema carries the element fields
+    sch = json.loads(
+        channels[by_topic["/ball/world_pos"]]["schema"]["data"]
+    )
+    assert set(sch["properties"]) == {"timestamp", "x", "y", "z"}
+    sch2 = json.loads(channels[by_topic["/ball/temp"]]["schema"]["data"])
+    assert set(sch2["properties"]) == {"timestamp", "value"}
