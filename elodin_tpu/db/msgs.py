@@ -647,6 +647,25 @@ class UdpUnicast(MsgBase):
         return cls(Stream.read(r), r.string())
 
 
+@dataclass
+class LogEntry(MsgBase):
+    """Structured FSW text-log entry (impeller2/wkt/src/msgs.rs:639 —
+    level: 0 trace, 1 debug, 2 info, 3 warn, 4 error).  Sent on a MsgLog
+    stream named by the producer (see examples/logstream)."""
+
+    ID = auto_msg_id("LogEntry")
+    level: int = 2
+    message: str = ""
+
+    def write(self, w: Writer) -> None:
+        w.u8(self.level)
+        w.string(self.message)
+
+    @classmethod
+    def read(cls, r: Reader) -> "LogEntry":
+        return cls(r.u8(), r.string())
+
+
 MSG_TYPES = {
     cls.ID: cls
     for cls in [
@@ -656,6 +675,6 @@ MSG_TYPES = {
         GetEarliestTimestamp, EarliestTimestamp, DumpSchema, DumpSchemaResp,
         StreamTimestamp, SQLQuery, ArrowIPC, ErrorResponse, MsgMetadata,
         SetMsgMetadata, MsgStream, GetMsgs, MsgBatch, SaveArchive, StoreAsset, SubscribeLastUpdated, LastUpdated, SetDbConfig, GetDbSettings, DbConfig,
-        ArchiveSaved, UdpUnicast,
+        ArchiveSaved, UdpUnicast, LogEntry,
     ]
 }

@@ -52,7 +52,10 @@ class ComponentStore:
         self._native = None
         if path is not None:
             path.mkdir(parents=True, exist_ok=True)
-            self._write_schema()
+            # don't clobber an existing schema (load() restores name/metadata
+            # after construction; rewriting here would wipe them on reopen)
+            if not (path / "schema.json").is_file():
+                self._write_schema()
             # prefer the native mmap appender (sparse prealloc + zero-copy,
             # parity with the reference's storage engine); fall back to
             # buffered file appends
@@ -204,7 +207,22 @@ class MsgLog:
         self._file = None
         if path is not None:
             path.mkdir(parents=True, exist_ok=True)
-            self._file = open(path / "log.bin", "ab")
+            log_path = path / "log.bin"
+            if log_path.is_file():
+                self._load(log_path)
+            self._file = open(log_path, "ab")
+
+    def _load(self, log_path: Path) -> None:
+        """Replay persisted entries (i64 ts + u32 len + payload records)."""
+        raw = log_path.read_bytes()
+        pos = 0
+        while pos + 12 <= len(raw):
+            ts = int.from_bytes(raw[pos : pos + 8], "little", signed=True)
+            ln = int.from_bytes(raw[pos + 8 : pos + 12], "little")
+            if pos + 12 + ln > len(raw):
+                break  # torn tail write; drop it
+            self.entries.append((ts, bytes(raw[pos + 12 : pos + 12 + ln])))
+            pos += 12 + ln
 
     def append(self, timestamp: int, data: bytes) -> None:
         self.entries.append((timestamp, bytes(data)))
@@ -220,6 +238,10 @@ class MsgLog:
         if limit is not None:
             out = out[:limit]
         return out
+
+    def flush(self) -> None:
+        if self._file is not None:
+            self._file.flush()
 
 
 class Database:
@@ -243,6 +265,11 @@ class Database:
                 if (comp_dir / "schema.json").is_file():
                     store = ComponentStore.load(comp_dir)
                     self.components[store.component_id] = store
+        if self.path and (self.path / "msgs").is_dir():
+            for msg_dir in (self.path / "msgs").iterdir():
+                if (msg_dir / "log.bin").is_file() and len(msg_dir.name) == 4:
+                    mid = bytes.fromhex(msg_dir.name)
+                    self.msg_logs[mid] = MsgLog(mid, msg_dir)
 
     # -- components -----------------------------------------------------
 
@@ -289,3 +316,5 @@ class Database:
     def flush(self) -> None:
         for s in self.components.values():
             s.flush()
+        for m in self.msg_logs.values():
+            m.flush()

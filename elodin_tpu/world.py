@@ -244,6 +244,19 @@ class WorldBuilder:
     def spawn_camera(self, *args, **kwargs):
         self.assets[f"camera_{len(self.assets)}"] = (args, kwargs)
 
+    def sensor_camera(self, entity=None, name: str = "cam", **config):
+        """Register a sensor-camera config on an entity (parity:
+        WorldBuilder.sensor_camera used by examples/ellipsoid and
+        examples/sensor-camera — frustum/projection rendering is editor-side;
+        the sim stores the config so DB consumers see the same asset)."""
+        eid = int(getattr(entity, "inner", entity)) if entity is not None else None
+        meta = self.entity_metadata.get(eid)
+        prefix = meta.name if meta is not None else str(eid)
+        self.assets[f"{prefix}.{name}"] = (
+            ("sensor_camera",),
+            {"entity": eid, "name": name, **config},
+        )
+
     # -- snapshot ----------------------------------------------------------
 
     def snapshot(self) -> tuple[WorldMeta, dict[str, np.ndarray]]:

@@ -615,3 +615,22 @@ def test_mcap_export_roundtrip(tmp_path):
     assert set(sch["properties"]) == {"timestamp", "x", "y", "z"}
     sch2 = json.loads(channels[by_topic["/ball/temp"]]["schema"]["data"])
     assert set(sch2["properties"]) == {"timestamp", "value"}
+
+
+def test_component_metadata_survives_double_reopen(tmp_path):
+    """load() must not clobber schema.json before metadata is restored —
+    a second reopen used to lose element_names."""
+    import numpy as np
+
+    from elodin_tpu.db.storage import Database
+
+    path = str(tmp_path / "db")
+    db = Database(path)
+    s = db.get_or_create(0x77, "f64", (2,))
+    s.append(1, np.array([1.0, 2.0]))
+    s.set_metadata(name="a.b", metadata={"element_names": "p,q"})
+    db.flush()
+    Database(path)  # first reopen (rewrites nothing)
+    db3 = Database(path)  # second reopen
+    s3 = db3.components[0x77]
+    assert s3.name == "a.b" and s3.metadata["element_names"] == "p,q"

@@ -301,3 +301,93 @@ def test_apollo_lander_dispersed_campaign():
     assert out["landed_frac"] > 0.95
     assert out["soft_frac"] > 0.7
     assert out["min_fuel_kg"] > 1000.0
+
+
+def test_rotating_cube_quarter_turn():
+    import math
+
+    sim = load_module("rotating-cube")
+    ex = sim.world().build(sim.system(), simulation_rate=1.0 / sim.SIM_TIME_STEP)
+    ex.run(120, show_progress=False)  # 1 s at pi/2 rad/s => quarter turn
+    q = np.asarray(ex.read_component("cube.world_pos"))
+    assert abs(abs(q[0]) - math.sin(math.pi / 4)) < 1e-4
+    assert abs(q[3] - math.cos(math.pi / 4)) < 1e-4
+    assert np.allclose(q[4:], [0.0, 0.0, 1.0])
+
+
+def test_geo_frames_markers_and_enu():
+    sim = load_module("geo-frames")
+    ex = sim.world().build(sim.system(), simulation_rate=60.0)
+    ex.run(30, show_progress=False)
+    pole = np.asarray(ex.read_component("ecef_north_pole.world_pos"))
+    assert abs(pole[6] - 6356752.314245) < 1.0
+    # ENU up offset from origin reproduces geodetic altitude gain
+    up = sim.ecef_from_enu(0.0, 0.0, 1000.0)
+    origin = sim.ecef_from_enu(0.0, 0.0, 0.0)
+    assert abs(np.linalg.norm(np.asarray(up) - np.asarray(origin)) - 1000.0) < 1e-6
+
+
+def test_ellipsoid_drone_path_in_graph():
+    sim = load_module("ellipsoid")
+    w, _body = sim.world()
+    ex = w.build(sim.system(), simulation_rate=sim.SIM_RATE)
+    ex.run(240, show_progress=False)
+    drone = np.asarray(ex.read_component("drone.world_pos"))
+    shell = np.asarray(ex.read_component("ellipsoid.world_pos"))
+    assert np.all(np.isfinite(drone))
+    assert abs(drone[4]) <= sim.DRONE_PATH_RADIUS[0] + 1e-9
+    assert np.allclose(shell[4:], 0.0)  # only the drone is path-driven
+    # sensor camera config registered for the editor/DB
+    assert any("scene_cam" in k for k in w.assets)
+
+
+def test_stablehlo_op_coverage():
+    sim = load_module("stablehlo")
+    ex = sim.world().build(sim.system(), simulation_rate=sim.SIMULATION_RATE)
+    ex.run(100, show_progress=False)
+    for comp in ["probe.hlo_vec", "probe.hlo_mat", "probe.hlo_bits",
+                 "probe.hlo_scalar"]:
+        v = np.asarray(ex.read_component(comp))
+        assert np.all(np.isfinite(np.asarray(v, dtype=np.float64))), comp
+
+
+def test_cube_sat_pysim_detumbles():
+    mod = load_module("cube-sat-pysim", "main")
+    omegas = mod.run()
+    assert omegas[-1] < omegas[0] * 0.9
+
+
+def test_logstream_producer_and_msg_persistence(tmp_path):
+    """Producer -> server -> msg log -> reopen (the logstream example flow,
+    plus the MsgLog reload path)."""
+    import importlib.util as _ilu
+    import json
+
+    import elodin_tpu.db as edb
+    from elodin_tpu.db.postcard import msg_id
+    from elodin_tpu.db.storage import Database
+
+    path = str(tmp_path / "db")
+    srv = edb.Server.start(path)
+    spec = _ilu.spec_from_file_location(
+        "logstream_main", os.path.join(EXAMPLES, "logstream", "main.py")
+    )
+    mod = _ilu.module_from_spec(spec)
+    sys.path.insert(0, os.path.join(EXAMPLES, "logstream"))
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.pop(0)
+    n = mod.log_producer(srv.addr, n=12)
+    assert n == 12
+    import time as _t
+
+    _t.sleep(0.3)
+    srv.stop()
+
+    db = Database(path)
+    log = db.msg_log(msg_id("fsw_log"))
+    entries = [json.loads(d) for _, d in log.entries]
+    assert len(entries) == 12
+    assert entries[0]["message"].startswith("boot:")
+    assert entries[-1]["level"] == 4
