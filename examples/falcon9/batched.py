@@ -1,0 +1,79 @@
+"""Dispersed falcon9 RTLS campaign, batched on-device.
+
+Parity target: the reference's falcon9 Monte Carlo calibration flow
+(examples/falcon9/campaign.toml + libs/monte-carlo) — N dispersed missions
+scored on touchdown state.  The reference runs one OS process per sample;
+here the full 520 s RTLS mission (~52k ticks) vmaps over the sample axis into
+ONE XLA program, optionally sharded over a device mesh.
+
+Usage:  python batched.py [n_samples] [ticks]
+"""
+
+import json
+import sys
+
+import numpy as np
+
+from elodin_tpu.monte_carlo import BatchedCampaign, sample_plan
+
+from sim import (
+    DEFAULT_MAX_TICKS,
+    PARAMS,
+    SIM_RATE_HZ,
+    STAGE1_PROP_KG,
+    STAGE2_AND_PAYLOAD_KG,
+    build,
+)
+
+
+def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
+                 mesh=None):
+    variables = {
+        name: {"dist": "uniform", "min": p.min, "max": p.max}
+        for name, p in PARAMS.items()
+    }
+    draws = sample_plan(variables, n_samples, method="lhs", seed=seed)
+
+    world, system = build(None)
+    mass = draws["dry_mass"] + STAGE1_PROP_KG + STAGE2_AND_PAYLOAD_KG
+    overrides = {
+        "booster.thrust_eff": draws["thrust_eff"],
+        "booster.dry_mass": draws["dry_mass"],
+        "booster.cd_descent": draws["cd_descent"],
+        "booster.wind": np.stack(
+            [draws["wind_e"], draws["wind_n"], np.zeros(n_samples)], axis=1
+        ),
+        "booster.inertia": np.concatenate(
+            [np.tile(mass[:, None], (1, 3)), np.zeros((n_samples, 3)),
+             mass[:, None]],
+            axis=1,
+        ),
+    }
+    campaign = BatchedCampaign(
+        world, system, n_samples, overrides,
+        simulation_rate=SIM_RATE_HZ, mesh=mesh,
+    )
+    result = campaign.run(ticks)
+
+    vz = result.component("booster.touchdown_vz")
+    miss = result.component("booster.miss_distance")
+    landed = miss >= 0.0
+    soft = landed & (vz > -6.0)
+    precise = soft & (miss < 50.0)
+    return {
+        "n_samples": n_samples,
+        "ticks": ticks,
+        "wall_s": result.wall_seconds,
+        "rollouts_per_s": result.rollouts_per_second,
+        "landed_frac": float(landed.mean()),
+        "soft_landing_frac": float(soft.mean()),
+        "precision_landing_frac": float(precise.mean()),
+        "mean_touchdown_vz": float(vz[landed].mean()) if landed.any() else None,
+        "p95_miss_m": float(np.percentile(miss[landed], 95)) if landed.any() else None,
+    }
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    ticks = int(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_MAX_TICKS
+    print(json.dumps(run_campaign(n, ticks), indent=2))

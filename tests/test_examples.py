@@ -391,3 +391,40 @@ def test_logstream_producer_and_msg_persistence(tmp_path):
     assert len(entries) == 12
     assert entries[0]["message"].startswith("boot:")
     assert entries[-1]["level"] == 4
+
+
+def test_falcon9_rtls_mission():
+    """Full RTLS mission lands softly at LZ-1 (reference examples/falcon9
+    CRS-12 profile: ascent, MECO, boostback, entry, descent, landing)."""
+    sim = load_module("falcon9")
+    w, sysm = sim.build()
+    ex = w.build(sysm, simulation_rate=sim.SIM_RATE_HZ)
+    ex.record_history = False
+    ex.run(sim.DEFAULT_MAX_TICKS, show_progress=False)
+    vz = float(np.asarray(ex.read_component("booster.touchdown_vz")).ravel()[0])
+    miss = float(np.asarray(ex.read_component("booster.miss_distance")).ravel()[0])
+    phase = float(np.asarray(ex.read_component("booster.phase")).ravel()[0])
+    prop = float(np.asarray(ex.read_component("booster.prop_kg")).ravel()[0])
+    assert phase == sim.DOWN
+    assert -6.0 < vz < 0.0, vz
+    assert 0.0 <= miss < 50.0, miss
+    assert prop > 5_000.0  # landed with reserve, not on fumes
+
+
+def test_falcon9_dispersed_campaign():
+    """32 dispersed missions as one vmapped program; all land softly."""
+    sys.path.insert(0, os.path.join(EXAMPLES, "falcon9"))
+    try:
+        import importlib.util as _ilu
+
+        spec = _ilu.spec_from_file_location(
+            "falcon9_batched", os.path.join(EXAMPLES, "falcon9", "batched.py")
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out = mod.run_campaign(32, seed=7)
+    finally:
+        sys.path.pop(0)
+    assert out["landed_frac"] == 1.0
+    assert out["soft_landing_frac"] >= 0.95
+    assert out["p95_miss_m"] < 50.0
