@@ -428,3 +428,45 @@ def test_falcon9_dispersed_campaign():
     assert out["landed_frac"] == 1.0
     assert out["soft_landing_frac"] >= 0.95
     assert out["p95_miss_m"] < 50.0
+
+
+def test_covariance_ellipsoids_agree():
+    """Cholesky and direct covariance channels describe the same ellipsoid
+    (reference examples/covariance-ellipsoids)."""
+    sim = load_module("covariance-ellipsoids", "main")
+    ex = sim.world().build(sim.system(), simulation_rate=sim.SIM_RATE)
+    ex.run(97, show_progress=False)
+    packed_l = np.asarray(ex.read_component("cholesky.cholesky_factor"))
+    packed_cov = np.asarray(ex.read_component("covariance.error_covariance"))
+    L = np.zeros((3, 3))
+    L[np.tril_indices(3)] = packed_l
+    cov = np.zeros((3, 3))
+    cov[np.tril_indices(3)] = packed_cov
+    cov = cov + np.tril(cov, -1).T
+    np.testing.assert_allclose(L @ L.T, cov, atol=1e-12)
+    assert np.all(np.linalg.eigvalsh(cov) > 0)
+
+
+def test_voyager_jupiter_assist():
+    """Hohmann-phased probe escapes the solar system after the Jupiter flyby
+    (reference examples/voyager SPICE replay; here circular ephemerides)."""
+    sim = load_module("voyager", "main")
+    w, sysm = sim.build()
+    ex = w.build(sysm, simulation_rate=sim.SIMULATION_RATE_HZ)
+    ex.record_history = False
+
+    def probe_energy():
+        pos = np.asarray(ex.read_component("voyager.world_pos")).ravel()[4:]
+        vel = np.asarray(ex.read_component("voyager.world_vel")).ravel()[3:]
+        return sim.specific_energy(pos, vel)
+
+    year_ticks = int(sim.YEAR_S / sim.SIM_TIME_STEP)
+    ex.run(year_ticks, show_progress=False)  # pre-encounter: bound transfer
+    e_before = probe_energy()
+    assert -160e6 < e_before < -100e6, e_before
+    ex.run(3 * year_ticks, show_progress=False)  # through the flyby
+    e_after = probe_energy()
+    assert e_after > 50e6, e_after  # hyperbolic: solar escape
+    # planets stayed on their circles
+    jup = np.asarray(ex.read_component("jupiter.world_pos")).ravel()[4:]
+    assert abs(np.linalg.norm(jup) / sim.AU - 5.203) < 1e-6
