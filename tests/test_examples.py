@@ -413,6 +413,7 @@ def test_falcon9_rtls_mission():
 
 def test_falcon9_dispersed_campaign():
     """32 dispersed missions as one vmapped program; all land softly."""
+    saved_sim = sys.modules.pop("sim", None)  # another example's sim module
     sys.path.insert(0, os.path.join(EXAMPLES, "falcon9"))
     try:
         import importlib.util as _ilu
@@ -425,6 +426,9 @@ def test_falcon9_dispersed_campaign():
         out = mod.run_campaign(32, seed=7)
     finally:
         sys.path.pop(0)
+        sys.modules.pop("sim", None)
+        if saved_sim is not None:
+            sys.modules["sim"] = saved_sim
     assert out["landed_frac"] == 1.0
     assert out["soft_landing_frac"] >= 0.95
     assert out["p95_miss_m"] < 50.0
