@@ -129,7 +129,42 @@ def main() -> None:
             result["mc_soft_landing_frac"] = mc["soft_landing_frac"]
         except Exception as e:  # noqa: BLE001
             result["mc_error"] = str(e)
+
+    if os.environ.get("BENCH_F9", "1") != "0":
+        try:
+            f9 = bench_falcon9(int(os.environ.get("BENCH_F9_SAMPLES", "256")))
+            result["falcon9_rollouts_per_sec"] = round(f9["rollouts_per_s"], 1)
+            result["falcon9_wall_s"] = round(f9["wall_s"], 4)
+            result["falcon9_precision_frac"] = f9["precision_landing_frac"]
+        except Exception as e:  # noqa: BLE001
+            result["falcon9_error"] = str(e)
     print(json.dumps(result))
+
+
+def bench_falcon9(n: int = 256) -> dict:
+    """Dispersed full-mission falcon9 RTLS campaign (580 s of flight per
+    sample, 58k ticks) as one vmapped program — the reference's headline
+    Monte Carlo workload (examples/falcon9 + libs/monte-carlo)."""
+    import sys as _sys
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "falcon9")
+    _sys.path.insert(0, path)
+    saved = _sys.modules.pop("sim", None)
+    try:
+        import importlib.util as _ilu
+
+        spec = _ilu.spec_from_file_location(
+            "falcon9_batched", os.path.join(path, "batched.py")
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.run_campaign(n)
+    finally:
+        _sys.path.pop(0)
+        _sys.modules.pop("sim", None)
+        if saved is not None:
+            _sys.modules["sim"] = saved
 
 
 def bench_monte_carlo(n: int = 10000, ticks: int = 2400) -> dict:
