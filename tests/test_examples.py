@@ -474,3 +474,72 @@ def test_voyager_jupiter_assist():
     # planets stayed on their circles
     jup = np.asarray(ex.read_component("jupiter.world_pos")).ravel()[4:]
     assert abs(np.linalg.norm(jup) / sim.AU - 5.203) < 1e-6
+
+
+def test_sensor_camera_room():
+    """Balls stay inside the room; both camera configs registered
+    (reference examples/sensor-camera)."""
+    sim = load_module("sensor-camera", "main")
+    w = sim.world()
+    ex = w.build(sim.system(), simulation_rate=1.0 / sim.SIM_TIME_STEP)
+    ex.run(600, show_progress=False)
+    for i in range(8):
+        p = np.asarray(ex.read_component(f"ball_{i}.world_pos"))[4:]
+        assert np.all(np.abs(p[:2]) <= sim.BOUNDARY + 1e-6), (i, p)
+        assert sim.BALL_RADIUS - 1e-6 <= p[2] <= 2 * sim.BOUNDARY + 1e-6, (i, p)
+    cams = [k for k in w.assets if "cam" in k]
+    assert len(cams) == 2
+
+
+def test_barrowman_prediction():
+    """Barrowman equations: published invariants (reference
+    examples/rocket-barrowman openrocket_aero.py)."""
+    sys.path.insert(0, os.path.join(EXAMPLES, "rocket-barrowman"))
+    try:
+        from barrowman import FinSet, NoseCone, Transition, calisto, solve, static_margin
+    finally:
+        sys.path.pop(0)
+
+    # every slender nose: CNa = 2; conical CP at 2/3 L, ogive at 0.466 L
+    assert NoseCone(0.6, "conical").cna() == 2.0
+    assert abs(NoseCone(0.6, "conical").xcp() - 0.4) < 1e-12
+    assert abs(NoseCone(0.5, "ogive").xcp() - 0.233) < 1e-12
+    # boattail gives negative CNa (destabilizing-forward shift is handled
+    # by the weighted sum), flare gives positive
+    d = 0.1
+    assert Transition(1.0, 0.1, d, 0.06, d).cna() < 0
+    assert Transition(1.0, 0.1, d, 0.14, d).cna() > 0
+    # more fin area -> more CNa; interference factor > bare fins
+    base = dict(position=1.2, n=4, root_chord=0.12, tip_chord=0.06,
+                span=0.11, sweep=0.06, body_radius=0.05, d_ref=0.1)
+    small = FinSet(**base)
+    big = FinSet(**{**base, "span": 0.16})
+    assert big.cna() > small.cna() > 0
+
+    comps, d_ref, xcg = calisto()
+    aero = solve(comps)
+    # fins dominate: composite CP well aft of the nose-only CP, margin
+    # positive and in the typical 1-4 caliber band for this geometry
+    assert aero.xcp > 1.0
+    margin = static_margin(aero, xcg, d_ref)
+    assert 1.0 < margin < 4.0, margin
+
+
+def test_rocket_barrowman_stable_flight():
+    """Statically-stable rocket weathercocks into the wind and flies a
+    ballistic arc without tumbling."""
+    sim = load_module("rocket-barrowman", "main")
+    ex = sim.world().build(sim.system(), simulation_rate=1.0 / sim.SIM_TIME_STEP)
+    ex.record_history = False
+    ex.run(1200, show_progress=False)  # 10 s: burnout + coast
+    pos = np.asarray(ex.read_component("calisto.world_pos")).ravel()
+    vel = np.asarray(ex.read_component("calisto.world_vel")).ravel()
+    assert pos[6] > 300.0, pos  # well off the pad
+    # attitude still tracks the velocity vector (no tumble): angle between
+    # nose and velocity under 25 degrees during coast
+    from elodin_tpu.spatial import quat_rotate
+
+    nose = np.asarray(quat_rotate(pos[:4], np.array([0.0, 0.0, 1.0])))
+    v = vel[3:] / np.linalg.norm(vel[3:])
+    angle = np.degrees(np.arccos(np.clip(nose @ v, -1, 1)))
+    assert angle < 25.0, angle
