@@ -543,3 +543,24 @@ def test_rocket_barrowman_stable_flight():
     v = vel[3:] / np.linalg.norm(vel[3:])
     angle = np.degrees(np.arccos(np.clip(nose @ v, -1, 1)))
     assert angle < 25.0, angle
+
+
+def test_crazyflie_edu_lab_flight():
+    """Crazyflie 2.1 flies the scripted lab: takeoff, square, land
+    (reference examples/crazyflie-edu firmware cascade labs)."""
+    sim = load_module("crazyflie-edu")
+    ex = sim.world().build(sim.system(), simulation_rate=sim.SIM_RATE_HZ)
+    ex.record_history = False
+
+    def pos():
+        return np.asarray(ex.read_component("crazyflie.world_pos")).ravel()[4:]
+
+    ex.run(1000, show_progress=False)  # t=2s: hovering at the first waypoint
+    p = pos()
+    assert abs(p[2] - 0.6) < 0.05, p
+    ex.run(3000, show_progress=False)  # t=8s: corner (0.6, 0.6)
+    p = pos()
+    assert abs(p[0] - 0.6) < 0.05 and abs(p[1] - 0.6) < 0.05, p
+    ex.run(4500, show_progress=False)  # t=17s: landed near origin
+    p = pos()
+    assert p[2] < 0.08 and np.linalg.norm(p[:2]) < 0.1, p
