@@ -564,3 +564,34 @@ def test_crazyflie_edu_lab_flight():
     ex.run(4500, show_progress=False)  # t=17s: landed near origin
     p = pos()
     assert p[2] < 0.08 and np.linalg.norm(p[:2]) < 0.1, p
+
+
+def test_video_stream_frames_roundtrip(tmp_path):
+    """Opaque frame messages flow producer -> db -> consumer with the frame
+    header intact (reference examples/video-stream data plane)."""
+    import elodin_tpu.db as edb
+
+    sim = load_module("video-stream", "main")
+    srv = edb.Server.start(str(tmp_path / "db"))
+    try:
+        n = sim.stream_frames(srv.addr, n_frames=12)
+        assert n == 12
+        import time as _t
+
+        _t.sleep(0.3)
+        client = edb.Client.connect(srv.addr)
+        msgs = client.get_msgs(sim.STREAM_NAME)
+        client.close()
+    finally:
+        srv.stop()
+    assert len(msgs) == 12
+    payload = msgs[5][1]
+    if isinstance(payload, str):
+        payload = payload.encode("latin1")
+    assert bytes(payload[:3]) == b"FRM"
+    assert int.from_bytes(bytes(payload[3:7]), "little") == 5
+    # ball sim runs alongside
+    ex = sim.world().build(sim.system(), simulation_rate=1.0 / sim.SIM_TIME_STEP)
+    ex.run(240, show_progress=False)
+    p = np.asarray(ex.read_component("ball.world_pos")).ravel()[4:]
+    assert np.all(np.abs(p[:2]) < sim.BOUNDARY + 0.5)
