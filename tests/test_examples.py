@@ -595,3 +595,31 @@ def test_video_stream_frames_roundtrip(tmp_path):
     ex.run(240, show_progress=False)
     p = np.asarray(ex.read_component("ball.world_pos")).ravel()[4:]
     assert np.all(np.abs(p[:2]) < sim.BOUNDARY + 0.5)
+
+
+def test_rc_jet_autopilot_mission():
+    """BDX-class jet holds cruise, climbs on schedule, and flies a
+    coordinated 90-degree heading change (reference examples/rc-jet)."""
+    sim = load_module("rc-jet")
+    ex = sim.world().build(sim.system(), simulation_rate=sim.SIM_RATE_HZ)
+    ex.record_history = False
+
+    def state():
+        pos = np.asarray(ex.read_component("bdx.world_pos")).ravel()
+        vel = np.asarray(ex.read_component("bdx.world_vel")).ravel()
+        ab = np.degrees(np.asarray(ex.read_component("bdx.alpha_beta")).ravel())
+        hdg = np.degrees(np.arctan2(vel[4], vel[3]))
+        return pos[6], np.linalg.norm(vel[3:]), hdg, ab
+
+    ex.run(int(10 * sim.SIM_RATE_HZ), show_progress=False)  # t=10s: cruise
+    alt, spd, hdg, _ = state()
+    assert abs(alt - 120.0) < 10.0 and abs(hdg - 90.0) < 2.0, (alt, hdg)
+    ex.run(int(18 * sim.SIM_RATE_HZ), show_progress=False)  # t=28s: climbed
+    alt, spd, hdg, _ = state()
+    assert abs(alt - 160.0) < 8.0, alt
+    ex.run(int(20 * sim.SIM_RATE_HZ), show_progress=False)  # t=48s: turned
+    alt, spd, hdg, ab = state()
+    assert abs(hdg - 180.0) < 5.0, hdg
+    assert abs(alt - 160.0) < 10.0, alt
+    assert 30.0 < spd < 42.0, spd
+    assert abs(ab[1]) < 2.0, ab  # coordinated: low sideslip
