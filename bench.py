@@ -138,7 +138,52 @@ def main() -> None:
             result["falcon9_precision_frac"] = f9["precision_landing_frac"]
         except Exception as e:  # noqa: BLE001
             result["falcon9_error"] = str(e)
+
+    if os.environ.get("BENCH_EGM", "1") != "0":
+        try:
+            eg = bench_egm08()
+            result["egm08_deg64_evals_per_sec"] = round(eg["evals_per_s"], 1)
+        except Exception as e:  # noqa: BLE001
+            result["egm08_error"] = str(e)
     print(json.dumps(result))
+
+
+def bench_egm08(degree: int = 64, n: int = 65536) -> dict:
+    """Degree-64 spherical-harmonic gravity field over a 64k-position batch
+    (the reference's headline EGM08 workload, python/elodin/egm08.py +
+    examples/cube-sat; synthetic Kaula-rule coefficients stand in for the
+    real ones, which need a download this environment cannot make —
+    computationally identical)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from elodin_tpu.gravity.egm08 import EGM08
+
+    eg = EGM08(degree)
+    rng = np.random.default_rng(0)
+    l_idx = np.arange(degree + 1)[:, None].astype(float)
+    kaula = np.where(l_idx >= 2, 1e-5 / np.maximum(l_idx, 1) ** 2, 0.0)
+    c = rng.standard_normal((degree + 1, degree + 1)) * kaula * np.tri(degree + 1)
+    c[0, 0] = 1.0
+    eg.c_bar = jnp.asarray(c)
+    eg.s_bar = jnp.asarray(
+        rng.standard_normal((degree + 1, degree + 1)) * kaula
+        * np.tri(degree + 1, k=-1)
+    )
+    r = rng.normal(size=(n, 3))
+    r = jnp.asarray(r / np.linalg.norm(r, axis=1, keepdims=True) * 6.778e6)
+    fn = jax.jit(jax.vmap(eg.acceleration))
+    fn(r).block_until_ready()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = fn(r)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return {"evals_per_s": n / dt, "degree": degree, "n": n}
 
 
 def bench_falcon9(n: int = 256) -> dict:

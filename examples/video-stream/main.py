@@ -13,7 +13,6 @@ then:  python -m elodin_tpu.db repl 127.0.0.1:2240
 """
 
 import os
-import sys
 import threading
 import time
 import typing as ty
