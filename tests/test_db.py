@@ -634,3 +634,46 @@ def test_component_metadata_survives_double_reopen(tmp_path):
     db3 = Database(path)  # second reopen
     s3 = db3.components[0x77]
     assert s3.name == "a.b" and s3.metadata["element_names"] == "p,q"
+
+
+def test_cli_prune_and_fix_timestamps(tmp_path):
+    """DB surgery subcommands (libs/db prune.rs + fix_timestamps.rs)."""
+    import subprocess
+    import sys as _s
+
+    import numpy as np
+
+    from elodin_tpu.db.storage import Database
+
+    path = str(tmp_path / "db")
+    db = Database(path)
+    wall = db.get_or_create(0x1, "f64", (), "good.sensor")
+    t_wall = 1_700_000_000_000_000
+    for i in range(5):
+        wall.append(t_wall + i * 1000, np.array([float(i)]))
+    mono = db.get_or_create(0x2, "f64", (), "boot.sensor")
+    for i in range(5):
+        mono.append(10_000_000 + i * 1000, np.array([float(i)]))  # boot time
+    db.get_or_create(0x3, "f64", (), "empty.sensor")  # zero rows
+    db.flush()
+    del db, wall, mono
+
+    def run(*argv):
+        return subprocess.run(
+            [_s.executable, "-m", "elodin_tpu.db", *argv],
+            capture_output=True, text=True,
+        )
+
+    out = run("prune", path, "--dry-run")
+    assert "empty.sensor" in out.stdout and "dry run" in out.stdout
+    out = run("prune", path, "--yes")
+    assert out.returncode == 0, out.stderr
+    out = run("fix-timestamps", path)
+    assert out.returncode == 0, out.stderr
+
+    db2 = Database(path)
+    assert 0x3 not in db2.components  # pruned
+    fixed = db2.components[0x2]
+    # last sample aligned to the wall-clock reference's last sample
+    assert int(fixed.timestamps[fixed.len - 1]) == t_wall + 4000
+    assert int(fixed.timestamps[0]) == t_wall  # relative spacing kept

@@ -129,3 +129,56 @@ def test_mekf_service_against_live_db(tmp_path):
         sensor.close()
     finally:
         srv.stop()
+
+
+def test_s10_supervisor_restart_policies(tmp_path):
+    """Restart policies (libs/s10 run loop): on-failure restarts a crashing
+    process, never leaves it dead, always restarts clean exits too."""
+    import sys
+    import time
+
+    from elodin_tpu.s10 import ProcessRecipe, Supervisor
+
+    marker = tmp_path / "runs.txt"
+    crash = ProcessRecipe(
+        name="crasher",
+        cmd=sys.executable,
+        args=["-c", f"open(r'{marker}', 'a').write('x'); raise SystemExit(3)"],
+        restart_policy="on-failure",
+    )
+    clean_never = ProcessRecipe(
+        name="oneshot",
+        cmd=sys.executable,
+        args=["-c", "pass"],
+        restart_policy="never",
+    )
+    sup = Supervisor()
+    sup.start([crash, clean_never])
+    deadline = time.time() + 15.0
+    while time.time() < deadline:
+        sup.tick()
+        runs = marker.read_text().count("x") if marker.exists() else 0
+        if runs >= 3:
+            break
+        time.sleep(0.1)
+    sup.stop_all()
+    assert marker.read_text().count("x") >= 3  # restarted repeatedly
+
+    # 'always' restarts even a clean exit
+    marker2 = tmp_path / "always.txt"
+    always = ProcessRecipe(
+        name="always",
+        cmd=sys.executable,
+        args=["-c", f"open(r'{marker2}', 'a').write('y')"],
+        restart_policy="always",
+    )
+    sup2 = Supervisor()
+    sup2.start([always])
+    deadline = time.time() + 15.0
+    while time.time() < deadline:
+        sup2.tick()
+        if marker2.exists() and marker2.read_text().count("y") >= 2:
+            break
+        time.sleep(0.1)
+    sup2.stop_all()
+    assert marker2.read_text().count("y") >= 2
