@@ -53,7 +53,8 @@ class _Parser:
     """Recursive-descent for the EQL grammar (eql/src/lib.rs peg block)."""
 
     TOKEN = re.compile(
-        r"\s*(?:(?P<num>\d+\.\d+|\d+\.|\.\d+|\d+(?![\w.]))|(?P<ident>[A-Za-z_][\w]*)"
+        r"\s*(?:(?P<num>\d+\.\d+|\d+\.|\.\d+|\d+(?![\w.]))"
+        r"|(?P<str>'[^']*'|\"[^\"]*\")|(?P<ident>[A-Za-z_][\w]*)"
         r"|(?P<op>[-+*/().\[\],]))"
     )
 
@@ -69,6 +70,8 @@ class _Parser:
             pos = m.end()
             if m.group("num"):
                 self.tokens.append(("num", float(m.group("num"))))
+            elif m.group("str"):
+                self.tokens.append(("str", m.group("str")[1:-1]))
             elif m.group("ident"):
                 self.tokens.append(("ident", m.group("ident")))
             else:
@@ -138,6 +141,8 @@ class _Parser:
         kind, val = self.next()
         if kind == "num":
             return ("num", val)
+        if kind == "str":
+            return ("str", val)
         if kind == "ident":
             return ("ident", val)
         if (kind, val) == ("op", "("):
@@ -221,6 +226,128 @@ def _f_linear(s, args):
     return Series(s.time, s.values[..., 4:] if k == 7 else s.values[..., 3:], f"{s.label}.linear()")
 
 
+def _quat_rotate_np(q, v):
+    """Rotate vectors v (...,3) by quaternions q (...,4) [x,y,z,w]."""
+    import numpy as _np
+
+    xyz, w = q[..., :3], q[..., 3:4]
+    t = 2.0 * _np.cross(xyz, v)
+    return v + w * t + _np.cross(xyz, t)
+
+
+def _axis_quat(axis_idx, angle_deg):
+    import numpy as _np
+
+    half = _np.radians(float(angle_deg)) / 2.0
+    q = _np.zeros(4)
+    q[axis_idx] = _np.sin(half)
+    q[3] = _np.cos(half)
+    return q
+
+
+def _quat_mul_np(a, b):
+    import numpy as _np
+
+    ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return _np.stack(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ],
+        axis=-1,
+    )
+
+
+def _f_cast(s, args):
+    """series.cast('f32') — dtype conversion (formulas/cast.rs)."""
+    import numpy as _np
+
+    ty = str(args[0]).strip().strip("'\"").lower()
+    dt = {
+        "u8": "u1", "uint8": "u1", "u16": "<u2", "uint16": "<u2",
+        "u32": "<u4", "uint32": "<u4", "u64": "<u8", "uint64": "<u8",
+        "i8": "i1", "int8": "i1", "i16": "<i2", "int16": "<i2",
+        "i32": "<i4", "int32": "<i4", "i64": "<i8", "int64": "<i8",
+        "bool": "?", "f32": "<f4", "float32": "<f4",
+        "f64": "<f8", "float64": "<f8",
+    }[ty]
+    return Series(s.time, s.values.astype(_np.dtype(dt)), f"{s.label}.cast({ty})")
+
+
+def _f_direction(s, args):
+    """pose.direction(x, y, z): body direction -> world frame
+    (formulas/direction.rs)."""
+    import numpy as _np
+
+    v = _np.asarray([float(a) for a in args[:3]])
+    n = _np.linalg.norm(v)
+    v = v / n if n > 0 else v
+    q = s.values[..., :4]
+    out = _quat_rotate_np(q, _np.broadcast_to(v, q.shape[:-1] + (3,)))
+    return Series(s.time, out, f"{s.label}.direction(...)")
+
+
+def _rotate_axis(s, args, axis_idx, name):
+    """Rotate a pose (7) or vector (3) about a world axis by degrees
+    (formulas/rotate.rs)."""
+    import numpy as _np
+
+    q_rot = _axis_quat(axis_idx, args[0])
+    vals = _np.array(s.values, copy=True)
+    if vals.shape[-1] == 7:
+        vals[..., :4] = _quat_mul_np(
+            _np.broadcast_to(q_rot, vals[..., :4].shape), vals[..., :4]
+        )
+        vals[..., 4:] = _quat_rotate_np(
+            _np.broadcast_to(q_rot, vals[..., :4].shape), vals[..., 4:]
+        )
+    else:
+        vals = _quat_rotate_np(
+            _np.broadcast_to(q_rot, vals.shape[:-1] + (4,)), vals
+        )
+    return Series(s.time, vals, f"{s.label}.{name}({args[0]})")
+
+
+def _f_rotate_x(s, args):
+    return _rotate_axis(s, args, 0, "rotate_x")
+
+
+def _f_rotate_y(s, args):
+    return _rotate_axis(s, args, 1, "rotate_y")
+
+
+def _f_rotate_z(s, args):
+    return _rotate_axis(s, args, 2, "rotate_z")
+
+
+def _f_translate(s, args):
+    """pose.translate(x, y, z): offset in the BODY frame
+    (formulas/translate.rs)."""
+    import numpy as _np
+
+    off = _np.asarray([float(a) for a in args[:3]])
+    vals = _np.array(s.values, copy=True)
+    vals[..., 4:] = vals[..., 4:] + _quat_rotate_np(
+        vals[..., :4], _np.broadcast_to(off, vals[..., 4:].shape)
+    )
+    return Series(s.time, vals, f"{s.label}.translate(...)")
+
+
+def _f_translate_world(s, args):
+    """pose.translate_world(x, y, z): offset in the WORLD frame
+    (formulas/translate_world.rs)."""
+    import numpy as _np
+
+    off = _np.asarray([float(a) for a in args[:3]])
+    vals = _np.array(s.values, copy=True)
+    vals[..., 4:] = vals[..., 4:] + off
+    return Series(s.time, vals, f"{s.label}.translate_world(...)")
+
+
+
 FORMULAS = {
     "norm": _f_norm,
     "abs": _f_abs,
@@ -236,6 +363,14 @@ FORMULAS = {
     "fftfreq": _f_fftfreq,
     "angular": _f_angular,
     "linear": _f_linear,
+    "cast": _f_cast,
+    "direction": _f_direction,
+    "rotate_x": _f_rotate_x,
+    "rotate_y": _f_rotate_y,
+    "rotate_z": _f_rotate_z,
+    "rotate_world": _f_rotate_z,  # alias: world-axis yaw (most common use)
+    "translate": _f_translate,
+    "translate_world": _f_translate_world,
 }
 
 
@@ -280,6 +415,8 @@ class Context:
     def eval(self, node):
         kind = node[0]
         if kind == "num":
+            return node[1]
+        if kind == "str":
             return node[1]
         if kind == "ident":
             return ("path", node[1])

@@ -677,3 +677,44 @@ def test_cli_prune_and_fix_timestamps(tmp_path):
     # last sample aligned to the wall-clock reference's last sample
     assert int(fixed.timestamps[fixed.len - 1]) == t_wall + 4000
     assert int(fixed.timestamps[0]) == t_wall  # relative spacing kept
+
+
+def test_eql_spatial_formulas():
+    """cast/direction/rotate/translate formulas (libs/db/eql/src/formulas)."""
+    from elodin_tpu.db.eql import eql
+    from elodin_tpu.db.storage import Database
+    from elodin_tpu.db.vtable import component_id_of
+
+    db = Database()
+    pos = db.get_or_create(
+        component_id_of("b.world_pos"), "f64", (7,), "b.world_pos"
+    )
+    # identity attitude at (1, 0, 0), then yawed 90 deg at (0, 2, 0)
+    s2 = np.sqrt(0.5)
+    pos.append(0, np.array([0, 0, 0, 1, 1.0, 0.0, 0.0]))
+    pos.append(1000, np.array([0, 0, s2, s2, 0.0, 2.0, 0.0]))
+
+    # direction: body +x in world frame
+    s = eql(db, "b.world_pos.direction(1, 0, 0)")
+    np.testing.assert_allclose(s.values[0], [1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(s.values[1], [0, 1, 0], atol=1e-12)
+
+    # translate: body-frame offset follows attitude
+    s = eql(db, "b.world_pos.translate(1, 0, 0)")
+    np.testing.assert_allclose(s.values[0][4:], [2, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(s.values[1][4:], [0, 3, 0], atol=1e-12)
+
+    # translate_world: fixed world offset
+    s = eql(db, "b.world_pos.translate_world(0, 0, 5)")
+    np.testing.assert_allclose(s.values[0][4:], [1, 0, 5], atol=1e-12)
+
+    # rotate_z(90): position rotates about world z, attitude composes
+    s = eql(db, "b.world_pos.rotate_z(90)")
+    np.testing.assert_allclose(s.values[0][4:], [0, 1, 0], atol=1e-12)
+    np.testing.assert_allclose(
+        np.abs(s.values[0][:4]), [0, 0, s2, s2], atol=1e-12
+    )
+
+    # cast
+    s = eql(db, "b.world_pos[4].cast('f32')")
+    assert s.values.dtype == np.float32
