@@ -290,9 +290,27 @@ def _f_direction(s, args):
     return Series(s.time, out, f"{s.label}.direction(...)")
 
 
+def _rotate_body_axis(s, args, axis_idx, name):
+    """Rotate the pose attitude about its own BODY axis by degrees
+    (formulas/rotate.rs rotate_x/y/z: post-multiply; position unchanged)."""
+    import numpy as _np
+
+    q_rot = _axis_quat(axis_idx, args[0])
+    vals = _np.array(s.values, copy=True)
+    if vals.shape[-1] == 7:
+        vals[..., :4] = _quat_mul_np(
+            vals[..., :4], _np.broadcast_to(q_rot, vals[..., :4].shape)
+        )
+    else:
+        vals = _quat_rotate_np(
+            _np.broadcast_to(q_rot, vals.shape[:-1] + (4,)), vals
+        )
+    return Series(s.time, vals, f"{s.label}.{name}({args[0]})")
+
+
 def _rotate_axis(s, args, axis_idx, name):
-    """Rotate a pose (7) or vector (3) about a world axis by degrees
-    (formulas/rotate.rs)."""
+    """Rotate a pose (7) or vector (3) about a WORLD axis by degrees
+    (formulas/rotate_world.rs)."""
     import numpy as _np
 
     q_rot = _axis_quat(axis_idx, args[0])
@@ -312,15 +330,35 @@ def _rotate_axis(s, args, axis_idx, name):
 
 
 def _f_rotate_x(s, args):
-    return _rotate_axis(s, args, 0, "rotate_x")
+    return _rotate_body_axis(s, args, 0, "rotate_x")
 
 
 def _f_rotate_y(s, args):
-    return _rotate_axis(s, args, 1, "rotate_y")
+    return _rotate_body_axis(s, args, 1, "rotate_y")
 
 
 def _f_rotate_z(s, args):
-    return _rotate_axis(s, args, 2, "rotate_z")
+    return _rotate_body_axis(s, args, 2, "rotate_z")
+
+
+def _f_rotate_world_x(s, args):
+    return _rotate_axis(s, args, 0, "rotate_world_x")
+
+
+def _f_rotate_world_y(s, args):
+    return _rotate_axis(s, args, 1, "rotate_world_y")
+
+
+def _f_rotate_world_z(s, args):
+    return _rotate_axis(s, args, 2, "rotate_world_z")
+
+
+def _f_rotate_world(s, args):
+    """pose.rotate_world(rx, ry, rz) degrees, applied extrinsically in
+    x, y, z order (formulas/rotate_world.rs RotateWorld)."""
+    out = _rotate_axis(s, [args[0]], 0, "rotate_world_x")
+    out = _rotate_axis(out, [args[1]], 1, "rotate_world_y")
+    return _rotate_axis(out, [args[2]], 2, "rotate_world")
 
 
 def _f_translate(s, args):
@@ -368,7 +406,10 @@ FORMULAS = {
     "rotate_x": _f_rotate_x,
     "rotate_y": _f_rotate_y,
     "rotate_z": _f_rotate_z,
-    "rotate_world": _f_rotate_z,  # alias: world-axis yaw (most common use)
+    "rotate_world_x": _f_rotate_world_x,
+    "rotate_world_y": _f_rotate_world_y,
+    "rotate_world_z": _f_rotate_world_z,
+    "rotate_world": _f_rotate_world,
     "translate": _f_translate,
     "translate_world": _f_translate_world,
 }

@@ -708,12 +708,26 @@ def test_eql_spatial_formulas():
     s = eql(db, "b.world_pos.translate_world(0, 0, 5)")
     np.testing.assert_allclose(s.values[0][4:], [1, 0, 5], atol=1e-12)
 
-    # rotate_z(90): position rotates about world z, attitude composes
-    s = eql(db, "b.world_pos.rotate_z(90)")
+    # rotate_world_z(90): position rotates about world z, attitude composes
+    s = eql(db, "b.world_pos.rotate_world_z(90)")
     np.testing.assert_allclose(s.values[0][4:], [0, 1, 0], atol=1e-12)
     np.testing.assert_allclose(
         np.abs(s.values[0][:4]), [0, 0, s2, s2], atol=1e-12
     )
+
+    # rotate_z(90): BODY-axis yaw — attitude turns, position unchanged
+    s = eql(db, "b.world_pos.rotate_z(90)")
+    np.testing.assert_allclose(s.values[0][4:], [1, 0, 0], atol=1e-12)
+    # body +x of the rotated identity pose now points along world +y
+    from elodin_tpu.spatial import quat_rotate
+
+    nose = np.asarray(quat_rotate(s.values[0][:4], np.array([1.0, 0, 0])))
+    np.testing.assert_allclose(nose, [0, 1, 0], atol=1e-12)
+
+    # rotate_world(0, 0, 90) == rotate_world_z(90)
+    s3 = eql(db, "b.world_pos.rotate_world(0, 0, 90)")
+    s4 = eql(db, "b.world_pos.rotate_world_z(90)")
+    np.testing.assert_allclose(s3.values, s4.values, atol=1e-12)
 
     # cast
     s = eql(db, "b.world_pos[4].cast('f32')")
