@@ -89,6 +89,11 @@ class BatchedCampaign:
                 batched[comp][:] = values.reshape((self.n,) + batched[comp].shape[1:])
 
         if mesh is not None:
+            # accept any mesh: shard samples over axis_name if present,
+            # otherwise over the mesh's first axis (e.g. make_mesh's 'dp')
+            if axis_name not in mesh.axis_names:
+                axis_name = mesh.axis_names[0]
+                self.axis_name = axis_name
             sharding = NamedSharding(mesh, P(axis_name))
             self.cols = {
                 k: jax.device_put(jnp.asarray(v), sharding)

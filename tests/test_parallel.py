@@ -105,3 +105,35 @@ def test_edge_fold_under_entity_sharding(mesh):
     np.testing.assert_allclose(
         np.asarray(out["world_pos"]), np.asarray(ref["world_pos"]), rtol=1e-12
     )
+
+
+def test_falcon9_campaign_sharded_matches_unsharded(mesh):
+    """The flagship falcon9 dispersed campaign produces identical touchdown
+    metrics when its sample axis is sharded over the 8-device mesh."""
+    import importlib.util
+    import os
+    import sys
+
+    examples = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+    )
+    saved = sys.modules.pop("sim", None)
+    sys.path.insert(0, os.path.join(examples, "falcon9"))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "falcon9_batched_shard", os.path.join(examples, "falcon9", "batched.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        # short horizon: through MECO + boostback start (full mission takes
+        # minutes on the CPU mesh; determinism is what's under test)
+        ticks = 18_000  # 180 s
+        plain = mod.run_campaign(16, ticks=ticks, seed=3)
+        sharded = mod.run_campaign(16, ticks=ticks, seed=3, mesh=mesh)
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("sim", None)
+        if saved is not None:
+            sys.modules["sim"] = saved
+    assert sharded["landed_frac"] == plain["landed_frac"]
+    assert sharded["soft_landing_frac"] == plain["soft_landing_frac"]
