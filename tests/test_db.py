@@ -732,3 +732,37 @@ def test_eql_spatial_formulas():
     # cast
     s = eql(db, "b.world_pos[4].cast('f32')")
     assert s.values.dtype == np.float32
+
+
+def test_cli_time_align(tmp_path):
+    """time-align shifts first samples onto a target timestamp
+    (libs/db/src/time_align.rs)."""
+    import subprocess
+    import sys as _s
+
+    import numpy as np
+
+    from elodin_tpu.db.storage import Database
+
+    path = str(tmp_path / "db")
+    db = Database(path)
+    a = db.get_or_create(0x1, "f64", (), "a.x")
+    b = db.get_or_create(0x2, "f64", (), "b.x")
+    for i in range(4):
+        a.append(1_000_000 + i * 100, np.array([float(i)]))
+        b.append(5_000_000 + i * 100, np.array([float(i)]))
+    db.flush()
+    del db, a, b
+
+    out = subprocess.run(
+        [_s.executable, "-m", "elodin_tpu.db", "time-align", path,
+         "--target", "2.0"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+
+    db2 = Database(path)
+    for cid in (0x1, 0x2):
+        s = db2.components[cid]
+        assert int(s.timestamps[0]) == 2_000_000
+        assert int(s.timestamps[3]) == 2_000_300  # spacing preserved
