@@ -19,6 +19,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the verify stage diffs TPU-vs-CPU trajectories, so both backends must
+# initialize; must happen before the first jax import
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+
 BASELINE_ENTITY_STEPS = 1.1e6  # three-body derived, BASELINE.md
 
 
@@ -145,7 +151,123 @@ def main() -> None:
             result["egm08_deg64_evals_per_sec"] = round(eg["evals_per_s"], 1)
         except Exception as e:  # noqa: BLE001
             result["egm08_error"] = str(e)
+
+    if os.environ.get("BENCH_ROCKET", "1") != "0":
+        try:
+            rk = bench_batched_rocket()
+            result["rocket_entity_steps_per_sec"] = round(rk["entity_steps_per_sec"], 1)
+            result["rocket_vs_baseline"] = round(
+                rk["entity_steps_per_sec"] / 4.5e3, 1  # BASELINE.md rocket row
+            )
+        except Exception as e:  # noqa: BLE001
+            result["rocket_error"] = str(e)
+
+    if os.environ.get("BENCH_F9_10K", "0") != "0":
+        # the BASELINE.json 10k-falcon9 configuration, full mission — slow
+        # (minutes); opt-in so routine bench runs stay fast.  The 256-sample
+        # falcon9 metric above is the always-on proxy.
+        try:
+            f9k = bench_falcon9(10000)
+            result["falcon9_10k_wall_s"] = round(f9k["wall_s"], 1)
+        except Exception as e:  # noqa: BLE001
+            result["falcon9_10k_error"] = str(e)
+
+    if os.environ.get("BENCH_VERIFY", "1") != "0":
+        try:
+            result.update(bench_verify())
+        except Exception as e:  # noqa: BLE001
+            result["verify_error"] = str(e)
     print(json.dumps(result))
+
+
+def _load_example(example: str, module: str):
+    """Import an example module with its dir on sys.path and w.run suppressed."""
+    import importlib.util as _ilu
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", example)
+    sys.path.insert(0, path)
+    prev = os.environ.get("ELODIN_SKIP_RUN")
+    os.environ["ELODIN_SKIP_RUN"] = "1"
+    saved = sys.modules.pop("sim", None)
+    try:
+        spec = _ilu.spec_from_file_location(
+            f"bench_{example.replace('-', '_')}_{module}",
+            os.path.join(path, f"{module}.py"),
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("sim", None)
+        if saved is not None:
+            sys.modules["sim"] = saved
+        if prev is None:
+            os.environ.pop("ELODIN_SKIP_RUN", None)
+        else:
+            os.environ["ELODIN_SKIP_RUN"] = prev
+
+
+def bench_verify(ticks: int = 100) -> dict:
+    """Prove the 1e-6 TPU-vs-CPU trajectory match on the BASELINE.json named
+    configs (three-body, rocket, falcon9) — the cranelift checkpoint-verifier
+    gate (libs/nox-py/src/cranelift_compile.rs:70-85) run on every bench."""
+    from elodin_tpu.verify import verify_trajectory
+
+    out = {}
+    worst = 0.0
+
+    tb = _load_example("three-body", "main")
+    rep = verify_trajectory(tb.w, tb.sys, ticks=ticks,
+                            simulation_rate=1.0 / tb.SIM_TIME_STEP)
+    out["f64_vs_cpu_max_rel_three_body"] = rep["_summary"]["metric_rel"]
+    worst = max(worst, rep["_summary"]["metric_rel"])
+
+    rk = _load_example("rocket", "main")
+    rep = verify_trajectory(rk.build_world(), rk.build_system(), ticks=ticks,
+                            simulation_rate=1.0 / rk.SIM_TIME_STEP)
+    out["f64_vs_cpu_max_rel_rocket"] = rep["_summary"]["metric_rel"]
+    worst = max(worst, rep["_summary"]["metric_rel"])
+
+    f9 = _load_example("falcon9", "sim")
+    world, system = f9.build(None)
+    rep = verify_trajectory(world, system, ticks=ticks,
+                            simulation_rate=f9.SIM_RATE_HZ)
+    out["f64_vs_cpu_max_rel_falcon9"] = rep["_summary"]["metric_rel"]
+    worst = max(worst, rep["_summary"]["metric_rel"])
+
+    out["f64_vs_cpu_max_rel"] = worst
+    out["f64_vs_cpu_ticks"] = ticks
+    assert worst <= 1e-6, f"TPU-vs-CPU trajectory mismatch: {worst}"
+    return out
+
+
+def bench_batched_rocket(n_rockets: int = 1024, ticks: int = 240) -> dict:
+    """Batched-entity throughput on the NAMED BASELINE.json config: the
+    rocket example with its real aero tables and fin PID, vmapped over the
+    sample axis via the Monte-Carlo plane (reference can't batch this —
+    1 body/process at RTF 37.6 ≈ 4.5k entity-steps/s, BASELINE.md)."""
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    rk = _load_example("rocket", "main")
+    world = rk.build_world()
+    system = rk.build_system()
+    campaign = BatchedCampaign(
+        world, system, n_rockets, {},
+        simulation_rate=1.0 / rk.SIM_TIME_STEP,
+    )
+    result = campaign.run(ticks)
+    import numpy as np
+
+    z = result.component("rocket.world_pos")
+    assert np.isfinite(z).all()
+    return {
+        "entity_steps_per_sec": n_rockets * ticks / result.wall_seconds,
+        "wall_s": result.wall_seconds,
+        "n_rockets": n_rockets,
+        "ticks": ticks,
+    }
 
 
 def bench_egm08(degree: int = 64, n: int = 65536) -> dict:

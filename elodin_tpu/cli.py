@@ -49,6 +49,11 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
             pre_step=None, post_step=None, db_path=None, backend="tpu"):
     import os
 
+    # harness hook: let tools import a sim module whose main ends in
+    # w.run(...) without executing it (bench verify, docs builds)
+    if os.environ.get("ELODIN_SKIP_RUN") == "1":
+        return None
+
     args = _parse_args(sys.argv[1:])
     cmd = args.command or "run"
 

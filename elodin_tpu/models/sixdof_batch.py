@@ -9,10 +9,11 @@ sim, scalar entity counts)."""
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 import elodin_tpu as el
-from elodin_tpu.spatial import quat_rotate
+from elodin_tpu.spatial import _quat_homog_mat, quat_norm_sq
 from elodin_tpu.system import LambdaSystem
 import jax.numpy as jnp
 
@@ -30,21 +31,31 @@ def _gravity_thrust_drag(builder):
     force = builder.gather("force", ids)
 
     r = pos[..., 4:]
-    rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
     m = inertia[..., 6:7]
-    grav = -MU * m * r / (rn**3)
+    # r/|r|^3 via one rsqrt: emulated-f64 sqrt+divide+pow would dominate
+    inv_rn = jax.lax.rsqrt(jnp.sum(r * r, axis=-1, keepdims=True))
+    grav = (-MU) * m * (inv_rn * inv_rn * inv_rn) * r
 
-    thrust_body = jnp.asarray([25.0, 0.0, 0.0], dtype=pos.dtype) * m
-    thrust_world = quat_rotate(pos[..., :4], thrust_body)
+    # body-frame thrust along +x and torque along +z: rotating an axis
+    # vector is just a (scaled) column of the rotation matrix, so build the
+    # homogeneous matrix once instead of two quaternion sandwiches
+    q = pos[..., :4]
+    rot = _quat_homog_mat(q)
+    inv_n2 = 1.0 / quat_norm_sq(q)
+    sx = 25.0 * m[..., 0] * inv_n2[..., 0]
+    thrust_world = jnp.stack(
+        [rot[0][0] * sx, rot[1][0] * sx, rot[2][0] * sx], axis=-1
+    )
+    sz = 1e-3 * m[..., 0] * inv_n2[..., 0]
+    torque_world = jnp.stack(
+        [rot[0][2] * sz, rot[1][2] * sz, rot[2][2] * sz], axis=-1
+    )
 
     v = vel[..., 3:]
     drag = -0.02 * jnp.linalg.norm(v, axis=-1, keepdims=True) * v
 
     lin = force[..., 3:] + grav + thrust_world + drag
-    # small constant body torque so attitude dynamics stay exercised
-    torque = force[..., :3] + quat_rotate(
-        pos[..., :4], jnp.asarray([0.0, 0.0, 1e-3], dtype=pos.dtype) * m
-    )
+    torque = force[..., :3] + torque_world
     builder.scatter(
         "force", ids, jnp.concatenate([torque, lin], axis=-1)
     )

@@ -142,6 +142,21 @@ class _SixDofSystem(System):
 
         def stage(factor):
             # u := u0 + dt*factor*du(current)
+            if factor == 0.0:
+                # u0 ⊕ 0 is exactly [normalize(q), lin] (quat_mul with a
+                # zero motion vanishes identically) — skip the dead ops
+                # rather than trusting XLA to fold them
+                q = pos0[..., :4]
+                from .spatial import quat_normalize
+
+                set_u(
+                    jnp.concatenate(
+                        [quat_normalize(q), pos0[..., 4:]], axis=-1
+                    ),
+                    vel0,
+                )
+                self._pipe.call(builder)
+                return read_du()
             dv, da = read_du()
             # align du rows onto u rows (u_ids == du_ids in practice; if not,
             # map via entity ids)

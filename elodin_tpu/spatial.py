@@ -76,12 +76,19 @@ def quat_normalize(q: Array) -> Array:
     return q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True))
 
 
+def _quat_sandwich(q: Array, v: Array) -> Array:
+    """(q * (v,0) * conj(q)).xyz — rotation without the |q|^2 division."""
+    vq = jnp.concatenate([v, jnp.zeros(v.shape[:-1] + (1,), dtype=v.dtype)], axis=-1)
+    return quat_mul(quat_mul(q, vq), quat_conj(q))[..., :3]
+
+
 def quat_rotate(q: Array, v: Array) -> Array:
     """Rotate 3-vector(s): (q * (v,0) * q^-1).xyz
     (libs/nox/src/quaternion.rs:285-295).  Uses the general (non-unit-safe)
-    form so non-normalized quaternions behave exactly like the reference."""
-    vq = jnp.concatenate([v, jnp.zeros(v.shape[:-1] + (1,), dtype=v.dtype)], axis=-1)
-    return quat_mul(quat_mul(q, vq), quat_inverse(q))[..., :3]
+    form so non-normalized quaternions behave exactly like the reference;
+    algebraically refactored as (q (v,0) q̄)/|q|^2 so only one reciprocal is
+    emitted — f64 divides are emulated and expensive on TPU."""
+    return _quat_sandwich(q, v) * (1.0 / quat_norm_sq(q))
 
 
 def quat_from_axis_angle(axis: Array, angle: Array) -> Array:
@@ -179,19 +186,55 @@ def stf_add_motion(transform: Array, motion: Array) -> Array:
     return jnp.concatenate([angular, linear], axis=-1)
 
 
+def _quat_homog_mat(q: Array):
+    """Rows of the homogeneous rotation matrix M with
+    ``_quat_sandwich(q, v) == M @ v`` exactly (no |q|^2 normalization) —
+    the standard q(0,v)q̄ expansion.  Building M once and reusing it beats
+    the sandwich whenever >=2 vectors rotate through the same quaternion,
+    which matters on TPU where every f64 op is emulated."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz, ww = x * x, y * y, z * z, w * w
+    xy, xz, xw = x * y, x * z, x * w
+    yz, yw, zw = y * z, y * w, z * w
+    return (
+        (ww + xx - yy - zz, 2 * (xy - zw), 2 * (xz + yw)),
+        (2 * (xy + zw), ww - xx + yy - zz, 2 * (yz - xw)),
+        (2 * (xz - yw), 2 * (yz + xw), ww - xx - yy + zz),
+    )
+
+
+def _mat_vec(m, v: Array, transpose: bool = False) -> Array:
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    if transpose:
+        rows = ((m[0][0], m[1][0], m[2][0]), (m[0][1], m[1][1], m[2][1]),
+                (m[0][2], m[1][2], m[2][2]))
+    else:
+        rows = m
+    return jnp.stack(
+        [r[0] * v0 + r[1] * v1 + r[2] * v2 for r in rows], axis=-1
+    )
+
+
 def sixdof_accel(force: Array, inertia: Array, pos: Array) -> Array:
     """World-frame spatial acceleration from force/inertia/attitude, matching
     nox-py calc_accel (libs/nox-py/src/six_dof.rs:137-146): rotate the force
-    into the body frame, divide by the diagonalized inertia, rotate back."""
+    into the body frame, divide by the diagonalized inertia, rotate back.
+
+    Algebraically identical to the reference chain
+    ``R(q) * ((R(q)^-1 f) / I)`` but with the |q|^2 factors shared:
+    with qi = q̄/|q|², rotate(qi, f) = (q̄ f q)/|q|² and rotate(q, x) =
+    (q x q̄)/|q|², so the whole pipeline needs ONE reciprocal of |q|²
+    instead of four emulated f64 quaternion inversions."""
     q = pos[..., :4]
-    qi = quat_inverse(q)
-    body_torque = quat_rotate(qi, force[..., :3])
-    body_force = quat_rotate(qi, force[..., 3:])
-    ang = body_torque / inertia[..., :3]
-    lin = body_force / inertia[..., 6:7]
+    m = _quat_homog_mat(q)
+    inv_n2 = 1.0 / quat_norm_sq(q)
+    body_torque = _mat_vec(m, force[..., :3], transpose=True) * inv_n2
+    body_force = _mat_vec(m, force[..., 3:], transpose=True) * inv_n2
+    ang = body_torque * (1.0 / inertia[..., :3])
+    lin = body_force * (1.0 / inertia[..., 6:7])
     return jnp.concatenate(
-        [quat_rotate(q, ang), quat_rotate(q, lin)], axis=-1
-    )
+        [_mat_vec(m, ang), _mat_vec(m, lin)], axis=-1
+    ) * inv_n2
 
 
 # ---------------------------------------------------------------------------

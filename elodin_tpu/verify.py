@@ -41,26 +41,32 @@ def verify_step(world, system, rtol: float = 1e-6, atol: float = 1e-9,
                 devices=None) -> dict:
     """Run one tick on every available backend and diff the outputs.
 
-    Returns {component: {max_abs, max_rel}}; raises AssertionError when any
-    component exceeds the tolerance."""
+    Backend pairing is explicit: CPU is always the reference side, and the
+    accelerator side is the first device of the default (non-CPU) backend —
+    pass ``devices=(ref, test)`` to override.  Returns
+    {component: {max_abs, max_rel}}; raises AssertionError when any
+    component exceeds ``max_abs > atol + rtol * scale`` (allclose semantics —
+    a large relative error on a tiny value only passes if under atol)."""
     meta, cols = world.snapshot()
     step = _step_fn(meta, system)
 
     backends = {}
-    try:
-        cpu = jax.devices("cpu")[0]
-        backends["cpu"] = cpu
-    except RuntimeError:
-        pass
-    for d in jax.devices():
-        if d.platform != "cpu":
-            backends[d.platform] = d
-            break
+    if devices is not None:
+        ref, test = devices
+        backends = {"ref": ref, "test": test}
+    else:
+        try:
+            backends["cpu"] = jax.devices("cpu")[0]
+        except RuntimeError:
+            pass
+        default = jax.devices()[0]
+        if default.platform != "cpu":
+            backends[default.platform] = default
     if len(backends) < 2:
         # single-backend environment: still verify determinism (run twice)
         out1 = jax.jit(step)(cols)
         out2 = jax.jit(step)({k: np.asarray(v) for k, v in cols.items()})
-        report = _diff(out1, out2)
+        report = _diff(out1, out2, rtol)
         _assert_tol(report, rtol, atol)
         return report
 
@@ -70,12 +76,12 @@ def verify_step(world, system, rtol: float = 1e-6, atol: float = 1e-9,
         with jax.default_device(dev):
             outs[name] = jax.jit(step)(placed)
     names = list(outs)
-    report = _diff(outs[names[0]], outs[names[1]])
+    report = _diff(outs[names[0]], outs[names[1]], rtol)
     _assert_tol(report, rtol, atol)
     return report
 
 
-def _diff(a: dict, b: dict) -> dict:
+def _diff(a: dict, b: dict, rtol: float = 1e-6) -> dict:
     report = {}
     for k in a:
         x = np.asarray(a[k], dtype=np.float64)
@@ -83,21 +89,82 @@ def _diff(a: dict, b: dict) -> dict:
         d = np.abs(x - y)
         scale = np.maximum(np.abs(x), np.abs(y))
         rel = np.where(scale > 0, d / np.maximum(scale, 1e-300), 0.0)
+        # standard ODE-solver mixed error norm |x-y| / (1 + |y|) with
+        # atol == rtol: "matching to 1e-6" means every element is within
+        # 1e-6 absolute plus 1e-6 relative.  Pure max_rel is meaningless for
+        # elements that sit at rounding-noise zero (a 4e-18 wobble on a
+        # quat component whose true value is 0 is not a 78% error).
+        metric_rel = float((d / (1.0 + scale)).max()) if d.size else 0.0
         report[k] = {
             "max_abs": float(d.max()) if d.size else 0.0,
             "max_rel": float(rel.max()) if rel.size else 0.0,
+            "metric_rel": metric_rel,
+            # per-element |x-y| - rtol*scale, maxed; > atol means some
+            # element violates allclose(atol, rtol)
+            "max_excess": float((d - rtol * scale).max()) if d.size else 0.0,
         }
     return report
 
 
 def _assert_tol(report: dict, rtol: float, atol: float) -> None:
-    bad = {
-        k: v
-        for k, v in report.items()
-        if v["max_abs"] > atol and v["max_rel"] > rtol
-    }
+    """allclose semantics: a component fails when any element has
+    ``|x - y| > atol + rtol * max(|x|, |y|)`` — a huge relative error on a
+    tiny value is only excused while it stays under atol
+    (scripts/ci/baseline/tolerances.json per-metric rigor)."""
+    bad = {k: v for k, v in report.items() if v["max_excess"] > atol}
     if bad:
         raise AssertionError(f"backend mismatch beyond tolerance: {bad}")
+
+
+def verify_trajectory(world, system, ticks: int = 100, rtol: float = 1e-6,
+                      atol: float = 1e-9, simulation_rate: float | None = None) -> dict:
+    """Run ``ticks`` ticks of the same jitted program on the accelerator and
+    on CPU f64 and diff the FINAL state — the BASELINE.json "trajectories
+    matching CPU to 1e-6" gate, following the cranelift checkpoint-verifier
+    pattern (libs/nox-py/src/cranelift_compile.rs:70-85).
+
+    Returns the per-component report plus an overall ``max_rel`` summary; if
+    no non-CPU backend exists the run degenerates to a determinism check.
+    """
+    if simulation_rate is not None:
+        world.set_sim_time_step(1.0 / simulation_rate)
+    meta, cols = world.snapshot()
+    step = _step_fn(meta, system)
+
+    def run(state):
+        return jax.lax.fori_loop(0, ticks, lambda _i, s: step(s), state)
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    default = jax.devices()[0]
+    accel = default if default.platform != "cpu" else None
+
+    outs = {}
+    for name, dev in (("cpu", cpu), ("accel", accel)):
+        if dev is None:
+            continue
+        placed = {k: jax.device_put(np.asarray(v), dev) for k, v in cols.items()}
+        with jax.default_device(dev):
+            out = jax.jit(run)(placed)
+            jax.block_until_ready(out)
+        outs[name] = {k: np.asarray(v) for k, v in out.items()}
+    if len(outs) < 2:  # single-backend: determinism re-run
+        only = next(iter(outs.values())) if outs else None
+        placed = {k: np.asarray(v) for k, v in cols.items()}
+        out2 = jax.jit(run)(placed)
+        outs = {"a": only, "b": {k: np.asarray(v) for k, v in out2.items()}}
+    report = _diff(outs[next(iter(outs))], outs[list(outs)[-1]], rtol)
+    report["_summary"] = {
+        "max_rel": max(v["max_rel"] for k, v in report.items() if k != "_summary"),
+        "metric_rel": max(v["metric_rel"] for k, v in report.items() if k != "_summary"),
+        "max_excess": max(v["max_excess"] for k, v in report.items() if k != "_summary"),
+        "ticks": ticks,
+        "backends": list(outs),
+    }
+    _assert_tol({k: v for k, v in report.items() if k != "_summary"}, rtol, atol)
+    return report
 
 
 def checkpoint_first_tick(exec_) -> str | None:
