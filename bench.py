@@ -172,6 +172,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["falcon9_10k_error"] = str(e)
 
+    if os.environ.get("BENCH_NBODY", "1") != "0":
+        try:
+            nb = bench_nbody()
+            result["nbody_pairs_per_sec"] = round(nb["pairs_per_sec"], 1)
+            result["nbody_bodies"] = nb["n_bodies"]
+            nb_ef = bench_nbody(n_bodies=4096, ticks=50, use_kernel=False,
+                                dtype="f64")
+            result["nbody_edgefold4096_entity_steps_per_sec"] = round(
+                nb_ef["entity_steps_per_sec"], 1
+            )
+        except Exception as e:  # noqa: BLE001
+            result["nbody_error"] = str(e)
+
     if os.environ.get("BENCH_VERIFY", "1") != "0":
         try:
             result.update(bench_verify())
@@ -266,6 +279,58 @@ def bench_batched_rocket(n_rockets: int = 1024, ticks: int = 240) -> dict:
         "entity_steps_per_sec": n_rockets * ticks / result.wall_seconds,
         "wall_s": result.wall_seconds,
         "n_rockets": n_rockets,
+        "ticks": ticks,
+    }
+
+
+def bench_nbody(n_bodies: int = 8192, ticks: int = 100,
+                use_kernel: bool = True, dtype: str = "f32") -> dict:
+    """All-pairs gravity n-body (examples/n-body at TPU scale).  The kernel
+    variant exercises the tiled Pallas pairwise sweep (ops/pairwise.py); the
+    edge_fold variant exercises GraphQuery[TotalEdge] through the system
+    compiler's dense additive-fold lowering."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from elodin_tpu.models.nbody import build_nbody, build_system
+    from elodin_tpu.six_dof import increment_sim_tick_system
+    from elodin_tpu.system import Pipe, SystemBuilder, as_system
+
+    np_dtype = np.float32 if dtype == "f32" else np.float64
+    world = build_nbody(n_bodies, seed=2, dtype=np_dtype)
+    world.set_sim_time_step(60.0)
+    meta, cols = world.snapshot()
+    full = Pipe(
+        increment_sim_tick_system,
+        as_system(build_system(60.0, use_kernel=use_kernel)),
+    )
+
+    def step(state):
+        b = SystemBuilder(meta, dict(state))
+        full.call(b)
+        return b.cols
+
+    def run(state):
+        return jax.lax.fori_loop(0, ticks, lambda _i, s: step(s), state)
+
+    state = {
+        k: jnp.asarray(v if v.dtype.kind != "f" else v.astype(np_dtype))
+        for k, v in cols.items()
+    }
+    fn = jax.jit(run, donate_argnums=0).lower(state).compile()
+    state = fn(state)
+    _ = np.asarray(state["world_pos"])  # host read = true sync
+    t0 = time.perf_counter()
+    state = fn(state)
+    pos = np.asarray(state["world_pos"])
+    wall = time.perf_counter() - t0
+    assert np.isfinite(pos).all(), "non-finite n-body state"
+    return {
+        "pairs_per_sec": n_bodies * n_bodies * ticks / wall,
+        "entity_steps_per_sec": n_bodies * ticks / wall,
+        "wall_s": wall,
+        "n_bodies": n_bodies,
         "ticks": ticks,
     }
 

@@ -18,8 +18,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-TILE_I = 256
-TILE_J = 256
+TILE_I = 512
+TILE_J = 512
 
 
 def pairwise_gravity_reference(pos, mass, g: float = 6.6743e-11,
@@ -87,17 +87,21 @@ def _pairwise_gravity_pallas(pos, mass, g: float, eps: float):
     pos_t = pos_p.T  # (3, N) for the j-side row vectors
     mass_t = jnp.pad(mass.astype(jnp.float32), (0, pad))[None, :]
     kernel, n_i, n_j = _pallas_kernel(n, g, eps)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(pos_p.shape, jnp.float32),
-        grid=(n_i, n_j),
-        in_specs=[
-            pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
-            pl.BlockSpec((3, TILE_J), lambda i, j: (0, j)),
-            pl.BlockSpec((1, TILE_J), lambda i, j: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
-    )(pos_p, pos_t, mass_t)
+    # trace the kernel call with x64 semantics off: under jax_enable_x64 the
+    # grid index maps emit int64, which Mosaic cannot compile (probe-verified
+    # crash in the TPU compiler); all operands here are explicit f32 anyway
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(pos_p.shape, jnp.float32),
+            grid=(n_i, n_j),
+            in_specs=[
+                pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
+                pl.BlockSpec((3, TILE_J), lambda i, j: (0, j)),
+                pl.BlockSpec((1, TILE_J), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
+        )(pos_p, pos_t, mass_t)
     return out[:n]
 
 
@@ -107,14 +111,23 @@ def pairwise_gravity(pos, mass, g: float = 6.6743e-11, eps: float = 0.0,
 
     Chooses the Pallas TPU kernel for f32 on TPU, the XLA broadcast
     reference otherwise."""
+    import os
+
     pos = jnp.asarray(pos)
     mass = jnp.asarray(mass)
-    # NOTE: the kernel is validated in interpreter mode and compiles/runs on
-    # TPU when invoked standalone (probe-verified), but the remote compile
-    # service in this environment intermittently rejects/queues the module
-    # path — keep it opt-in until the infra stabilizes.
     if use_pallas is None:
-        use_pallas = False
+        # default ON for f32 inputs on TPU above the tile size (Mosaic has
+        # no f64; below one tile the XLA broadcast form wins on padding);
+        # ELODIN_PAIRWISE_PALLAS=0/1 overrides
+        env = os.environ.get("ELODIN_PAIRWISE_PALLAS")
+        if env is not None:
+            use_pallas = env != "0"
+        else:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and pos.dtype == jnp.float32
+                and pos.shape[0] >= TILE_I
+            )
     if use_pallas:
         return _pairwise_gravity_pallas(pos, mass, float(g), float(eps))
     return pairwise_gravity_reference(pos, mass, g, eps)

@@ -432,9 +432,11 @@ class GraphQuery:
             item = (item,)
         return _QueryAlias(cls, item)
 
-    def __init__(self, builder: SystemBuilder, edges: list[tuple[int, int]]):
+    def __init__(self, builder: SystemBuilder, edges: list[tuple[int, int]] | None,
+                 total: bool = False):
         self.builder = builder
-        self.edges = edges
+        self.edges = edges  # None for TotalEdge (complete digraph, implicit)
+        self.total = total
 
     @staticmethod
     def component_ids(_new_tp) -> list[str]:
@@ -453,11 +455,11 @@ class GraphQuery:
         t_args = _args_of(new_tp)
         edge_ty = t_args[0]
         if edge_ty is TotalEdge:
-            n = builder.world.entity_count
-            edges = [
-                (a, b) for a in range(n) for b in range(n) if a != b
-            ]
-            return GraphQuery(builder, edges)
+            # complete digraph: represented implicitly — materializing n^2
+            # Python tuples made trace time O(n^2) at the 8k-body scale the
+            # TPU batch axis invites (graph.rs:17 builds the same list, but
+            # the reference never sees more than a handful of entities)
+            return GraphQuery(builder, None, total=True)
         name = Component.name(edge_ty)
         reverse = False
         meta = getattr(edge_ty, "__metadata__", ())
@@ -469,6 +471,10 @@ class GraphQuery:
 
     def edge_fold(self, left_query: Query, right_query: Query, return_type,
                   init_value, fold_fn) -> Query:
+        if self.total:
+            return self._edge_fold_total(
+                left_query, right_query, return_type, init_value, fold_fn
+            )
         builder = left_query.builder
         left_set = set(left_query.entity_ids)
         right_set = set(right_query.entity_ids)
@@ -548,6 +554,231 @@ class GraphQuery:
 
         component_data = Component.of(return_type)
         batch1 = n_from == 1
+        buf = out_flat[0]
+        return Query(
+            builder,
+            from_ids,
+            [component_data],
+            [return_type],
+            [buf[0] if batch1 else buf],
+            batch1,
+        )
+
+    # -- complete-graph fast path -----------------------------------------
+
+    def _fold_is_additive(self, left_query: Query, right_query: Query,
+                          init_value, fold_fn) -> bool:
+        """Trace-time numeric probe: does ``fold_fn(c, l, r) == c +
+        fold_fn(0, l, r)`` hold?  Physics folds (force/torque accumulation)
+        are additive in the carry, which lets the sequential edge fold
+        reassociate into a dense masked sum — the only formulation that
+        scales past a few dozen bodies on TPU.  Non-additive folds keep the
+        exact sequential scan.  Differences are summation-order rounding
+        only (the reference itself regroups edges per entity,
+        graph.rs:193-199).  Kill switch: ELODIN_EDGE_FOLD_DENSE=0."""
+        import os
+
+        if os.environ.get("ELODIN_EDGE_FOLD_DENSE", "1") == "0":
+            return False
+        init_flat, init_tree = tree_flatten(init_value)
+        rng = np.random.default_rng(0x5EED)
+
+        def draw(shape, dtype):
+            return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
+
+        try:
+            for _ in range(3):
+                largs = [
+                    from_array(c, draw(
+                        b.shape[1:] if not left_query.batch1 else b.shape,
+                        b.dtype,
+                    ))
+                    for c, b in zip(left_query.component_classes, left_query.bufs)
+                ]
+                rargs = [
+                    from_array(c, draw(
+                        b.shape[1:] if not right_query.batch1 else b.shape,
+                        b.dtype,
+                    ))
+                    for c, b in zip(right_query.component_classes, right_query.bufs)
+                ]
+                carry_flat = [
+                    draw(jnp.asarray(x).shape, jnp.asarray(x).dtype)
+                    for x in init_flat
+                ]
+                zero_flat = [jnp.zeros_like(jnp.asarray(x)) for x in init_flat]
+                out_c, _ = tree_flatten(
+                    fold_fn(tree_unflatten(init_tree, carry_flat), *largs, *rargs)
+                )
+                out_z, _ = tree_flatten(
+                    fold_fn(tree_unflatten(init_tree, zero_flat), *largs, *rargs)
+                )
+                for oc, oz, c in zip(out_c, out_z, carry_flat):
+                    oc = np.asarray(oc)
+                    oz = np.asarray(oz)
+                    c = np.asarray(c)
+                    scale = np.maximum(np.abs(oc).max(), 1.0)
+                    if np.abs(oc - (c + oz)).max() > 1e-9 * scale:
+                        return False
+            return True
+        except Exception:
+            # tracers leaking in from a closure, shape trouble, NaNs — any
+            # doubt means take the exact sequential path
+            return False
+
+    def _edge_fold_total(self, left_query: Query, right_query: Query,
+                         return_type, init_value, fold_fn) -> Query:
+        """TotalEdge edge_fold without the O(n^2) Python edge list.
+
+        Additive folds run as a dense tiled masked sum (lax.scan over
+        right-side chunks, everything vectorized inside); non-additive folds
+        scan sequentially over the right axis with the same semantics as the
+        explicit-edge path."""
+        builder = left_query.builder
+        lids = list(left_query.entity_ids)
+        rids = list(right_query.entity_ids)
+        # left entities with zero edges (right set == {self}) are dropped,
+        # matching "entities with zero edges are not written"
+        if len(rids) == 1 and len(lids) == 1 and lids == rids:
+            raise RuntimeError("edge_fold matched no edges")
+        from_ids = [f for f in lids if not (len(rids) == 1 and rids[0] == f)]
+        if not from_ids:
+            raise RuntimeError("edge_fold matched no edges")
+
+        def batched(q: Query):
+            return [jnp.asarray(b)[None] if q.batch1 else b for b in q.bufs]
+
+        lbufs = batched(left_query)
+        rbufs = batched(right_query)
+        if from_ids != lids:
+            keep = np.array(
+                [i for i, f in enumerate(lids) if f in set(from_ids)],
+                dtype=np.int32,
+            )
+            lbufs = [b[jnp.asarray(keep)] for b in lbufs]
+        n_i, n_j = len(from_ids), len(rids)
+        lid_arr = jnp.asarray(np.array(from_ids, dtype=np.int32))
+        rid_arr = jnp.asarray(np.array(rids, dtype=np.int32))
+
+        init_flat, init_tree = tree_flatten(init_value)
+        additive = self._fold_is_additive(
+            left_query, right_query, init_value, fold_fn
+        )
+
+        # Safe substitute right-values for masked (self/padding) pairs: a
+        # self-pair fed through fold_fn typically divides by zero distance,
+        # and on TPU the NaN survives masking (XLA rewrites select(m, o, 0)
+        # into o*m, and NaN*0 is NaN).  Use a REAL other entity's values —
+        # right entity 0, or the last one when the left entity IS entity 0 —
+        # so fold_fn only ever sees well-posed inputs (the same trick the
+        # explicit-edge path uses by padding gathers with real edges).
+        is_r0 = np.array([f == rids[0] for f in from_ids])
+        alt_leaves = []
+        for b in rbufs:
+            shape = (-1,) + (1,) * (b.ndim - 1)
+            alt_leaves.append(
+                jnp.where(jnp.asarray(is_r0).reshape(shape), b[-1], b[0])
+            )  # (n_i, *shape)
+
+        if additive:
+            zero_flat = [jnp.zeros_like(jnp.asarray(x)) for x in init_flat]
+
+            def contrib(lvals, alt, rvals, m):
+                rvals = [jnp.where(m, rv, a) for rv, a in zip(rvals, alt)]
+                largs = [
+                    from_array(c, v)
+                    for c, v in zip(left_query.component_classes, lvals)
+                ]
+                rargs = [
+                    from_array(c, v)
+                    for c, v in zip(right_query.component_classes, rvals)
+                ]
+                out = fold_fn(tree_unflatten(init_tree, zero_flat), *largs, *rargs)
+                flat, _ = tree_flatten(out)
+                return flat
+
+            # chunk the right axis so intermediates stay O(n_i * K)
+            chunk = min(n_j, 1024)
+            n_chunks = -(-n_j // chunk)
+            pad = n_chunks * chunk - n_j
+
+            def pad_r(b):
+                if pad == 0:
+                    return b
+                return jnp.concatenate(
+                    [b, jnp.broadcast_to(b[:1], (pad,) + b.shape[1:])], axis=0
+                )
+
+            r_chunked = [
+                pad_r(b).reshape((n_chunks, chunk) + b.shape[1:]) for b in rbufs
+            ]
+            rid_chunked = jnp.concatenate(
+                [rid_arr, jnp.full((pad,), -1, dtype=jnp.int32)]
+            ).reshape(n_chunks, chunk)
+
+            pair = jax.vmap(  # over i
+                jax.vmap(contrib, in_axes=(None, None, 0, 0)),  # over j
+                in_axes=(0, 0, None, 0),
+            )
+
+            def body(acc, xs):
+                r_chunk, rid_chunk = xs
+                mask = (lid_arr[:, None] != rid_chunk[None, :]) & (
+                    rid_chunk[None, :] >= 0
+                )
+                outs = pair(lbufs, alt_leaves, r_chunk, mask)
+                new = []
+                for a, o in zip(acc, outs):
+                    m = mask.reshape(mask.shape + (1,) * (o.ndim - 2))
+                    new.append(a + jnp.sum(jnp.where(m, o, 0), axis=1))
+                return new, None
+
+            acc0 = [
+                jnp.broadcast_to(jnp.asarray(x), (n_i,) + jnp.asarray(x).shape)
+                for x in init_flat
+            ]
+            if n_chunks == 1:
+                out_flat, _ = body(acc0, (
+                    [c[0] for c in r_chunked], rid_chunked[0]
+                ))
+            else:
+                out_flat, _ = jax.lax.scan(
+                    body, acc0,
+                    ([c for c in r_chunked], rid_chunked),
+                )
+        else:
+            # exact sequential fold over the right axis, vectorized over i
+            def fold_one(lvals, alt, lid):
+                def body(carry_flat, xs):
+                    rv, rid = xs
+                    keep = rid != lid
+                    rv = [jnp.where(keep, v, a) for v, a in zip(rv, alt)]
+                    largs = [
+                        from_array(c, v)
+                        for c, v in zip(left_query.component_classes, lvals)
+                    ]
+                    rargs = [
+                        from_array(c, v)
+                        for c, v in zip(right_query.component_classes, rv)
+                    ]
+                    new = fold_fn(
+                        tree_unflatten(init_tree, carry_flat), *largs, *rargs
+                    )
+                    new_flat, _ = tree_flatten(new)
+                    out = [
+                        jnp.where(keep, jnp.asarray(n), jnp.asarray(c))
+                        for n, c in zip(new_flat, carry_flat)
+                    ]
+                    return out, None
+
+                init = [jnp.asarray(x) for x in init_flat]
+                out, _ = jax.lax.scan(body, init, (rbufs, rid_arr))
+                return out
+
+            out_flat = jax.vmap(fold_one)(lbufs, alt_leaves, lid_arr)
+
+        component_data = Component.of(return_type)
+        batch1 = n_i == 1
         buf = out_flat[0]
         return Query(
             builder,

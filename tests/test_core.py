@@ -918,3 +918,79 @@ def test_imu_model_bias_walk():
     m = numpy.stack(meas)
     assert 0 < m.std() < 0.1  # noisy but bounded
     assert numpy.abs(numpy.asarray(gb)).max() < 0.01  # slow walk
+
+
+def test_total_edge_additive_dense_matches_pairwise():
+    """TotalEdge edge_fold (additive -> dense masked-sum lowering, incl. the
+    chunked lax.scan at n > 1024) against the direct O(N^2) broadcast."""
+    from elodin_tpu.models.nbody import G, build_nbody, build_system
+    from elodin_tpu.ops.pairwise import pairwise_gravity_reference
+    from elodin_tpu.six_dof import increment_sim_tick_system
+    from elodin_tpu.system import Pipe, SystemBuilder, as_system
+
+    n = 1100  # chunk=1024 -> exercises the scan + padding path
+    w = build_nbody(n, seed=5)
+    w.set_sim_time_step(60.0)
+    meta, cols = w.snapshot()
+    full = Pipe(
+        increment_sim_tick_system, as_system(build_system(60.0, use_kernel=False))
+    )
+
+    def step(state):
+        b = SystemBuilder(meta, dict(state))
+        full.call(b)
+        return b.cols
+
+    out = jax.jit(step)({k: np.asarray(v) for k, v in cols.items()})
+    force = numpy.asarray(out["force"])[:, 3:]
+    pos = numpy.asarray(cols["world_pos"])[:, 4:]
+    mass = numpy.asarray(cols["inertia"])[:, 6]
+    acc = numpy.asarray(
+        pairwise_gravity_reference(np.asarray(pos), np.asarray(mass), g=G)
+    )
+    expect = acc * mass[:, None]
+    rel = numpy.abs(force - expect).max() / numpy.abs(expect).max()
+    assert numpy.isfinite(force).all()
+    assert rel < 1e-12, rel
+
+
+def test_total_edge_non_additive_fold():
+    """A max-style fold is NOT additive in the carry: the probe must reject
+    the dense lowering and the sequential scan must give exact semantics."""
+    from elodin_tpu.entity import TotalEdge
+
+    @dataclass
+    class Test(el.Archetype):
+        x: X
+
+    @el.system
+    def max_gap(graph: el.GraphQuery[TotalEdge], q: el.Query[X]) -> el.Query[X]:
+        return graph.edge_fold(
+            q, q, X, np.array(0.0),
+            lambda acc, a, b: np.maximum(acc, np.abs(a - b)),
+        )
+
+    w = el.World()
+    vals = [1.0, 4.0, -2.0, 7.5]
+    for i, v in enumerate(vals):
+        w.spawn(Test(np.array(v)), f"e{i}")
+    exec = w.build(max_gap)
+    exec.run()
+    df = exec.history([f"e{i}.x" for i in range(len(vals))])
+    for i, v in enumerate(vals):
+        expect = max(abs(v - u) for j, u in enumerate(vals) if j != i)
+        assert float(df[f"e{i}.x"][-1]) == expect
+
+
+def test_total_edge_trace_has_no_quadratic_edge_list():
+    """TotalEdge stays implicit -- no O(n^2) Python tuple materialization."""
+    from elodin_tpu.system import GraphQuery, SystemBuilder
+
+    from elodin_tpu.models.nbody import build_nbody
+
+    w = build_nbody(512, seed=0)
+    w.set_sim_time_step(60.0)
+    meta, cols = w.snapshot()
+    b = SystemBuilder(meta, {k: np.asarray(v) for k, v in cols.items()})
+    gq = GraphQuery.from_builder(el.GraphQuery[el.TotalEdge], b, [])
+    assert gq.total and gq.edges is None
