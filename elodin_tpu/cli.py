@@ -218,6 +218,10 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
         pass
     finally:
         liveness.stop()
+        try:
+            exec_.flush_telemetry()
+        except Exception:
+            pass
         if server is not None:
             server.stop()
         metrics.print_summary()

@@ -11,6 +11,10 @@ the per-tick h2d/d2h round trips the reference pays on its GPU backend
 from __future__ import annotations
 
 import datetime
+import os
+import queue as _queue
+import tempfile
+import threading
 import time
 from typing import Callable
 
@@ -38,13 +42,14 @@ class Profiler:
     def profile(self) -> dict[str, float]:
         per_tick = self.kernel_s / self.ticks if self.ticks else 0.0
         copy_per_tick = self.copy_s / self.ticks if self.ticks else 0.0
-        total = per_tick + copy_per_tick
-        rtf = self.sim_time_step / total if total > 0 else 0.0
+        # telemetry copy/commit runs on the writer thread (off the step
+        # loop), so the real-time factor is set by the kernel alone
+        rtf = self.sim_time_step / per_tick if per_tick > 0 else 0.0
         return {
             "build": self.build_s * 1e3,
             "kernel": per_tick * 1e3,
-            "copy": copy_per_tick * 1e3,
-            "tick": total * 1e3,
+            "copy": copy_per_tick * 1e3,  # background writer-thread time
+            "tick": per_tick * 1e3,
             "real_time_factor": rtf,
         }
 
@@ -54,27 +59,78 @@ class History:
 
     The DB *is* the checkpoint in the reference (SURVEY §5); here the host
     history plays that role for the embedded/offline path and is exported to
-    the elodin-db wire format by the telemetry plane."""
+    the elodin-db wire format by the telemetry plane.
 
-    def __init__(self, meta: WorldMeta):
+    RAM is bounded: past ``ELODIN_HISTORY_MAX_BYTES`` (default 512 MiB) the
+    oldest chunks spill to ``.npy`` files and are memory-mapped back on
+    read, mirroring the reference's disk-backed sparse-mmap store
+    (libs/db/src/lib.rs:240+) for long serves."""
+
+    def __init__(self, meta: WorldMeta, spool_dir: str | None = None,
+                 max_bytes: int | None = None):
         self.meta = meta
         self.times: list[float] = []  # seconds since start
         self.chunks: dict[str, list[np.ndarray]] = {c: [] for c in meta.components}
         self.start_timestamp = datetime.datetime.now(datetime.timezone.utc)
+        self.max_bytes = (
+            max_bytes
+            if max_bytes is not None
+            else int(os.environ.get("ELODIN_HISTORY_MAX_BYTES", str(512 << 20)))
+        )
+        self._spool_dir = spool_dir
+        self._live_bytes = 0
+        self._spills: dict[str, list[np.ndarray]] = {c: [] for c in meta.components}
+        self._spill_count = 0
 
     def append_state(self, t: float, cols: dict[str, np.ndarray]) -> None:
         self.times.append(t)
         for name, value in cols.items():
-            self.chunks[name].append(np.asarray(value)[None])
+            self._append_chunk(name, np.asarray(value)[None])
 
     def append_batch(self, ts: np.ndarray, stacked: dict[str, np.ndarray]) -> None:
         self.times.extend(ts.tolist())
         for name, value in stacked.items():
-            self.chunks[name].append(np.asarray(value))
+            self._append_chunk(name, np.asarray(value))
+
+    def _append_chunk(self, name: str, value: np.ndarray) -> None:
+        self.chunks[name].append(value)
+        self._live_bytes += value.nbytes
+        if self._live_bytes > self.max_bytes:
+            self._spill()
+
+    def _spill(self) -> None:
+        if self._spool_dir is None:
+            self._spool_dir = tempfile.mkdtemp(prefix="elodin-history-")
+        os.makedirs(self._spool_dir, exist_ok=True)
+        idx = self._spill_count
+        self._spill_count += 1
+        for name, chunk_list in self.chunks.items():
+            if not chunk_list:
+                continue
+            arr = np.concatenate(chunk_list, axis=0)
+            path = os.path.join(
+                self._spool_dir, f"{idx:06d}_{name.replace('/', '_')}.npy"
+            )
+            np.save(path, arr)
+            self._spills[name].append(np.load(path, mmap_mode="r"))
+            chunk_list.clear()
+        self._live_bytes = 0
 
     def series(self, name: str) -> np.ndarray:
         """(n_rows, n_entities, *shape) array for one component."""
-        return np.concatenate(self.chunks[name], axis=0)
+        parts = list(self._spills[name]) + self.chunks[name]
+        return np.concatenate(parts, axis=0)
+
+    def truncate(self, keep_rows: int) -> None:
+        """Drop everything past ``keep_rows`` total rows (restore path)."""
+        self.times = self.times[:keep_rows]
+        for name in self.chunks:
+            series = self.series(name)[:keep_rows].copy()
+            self.chunks[name] = [series] if len(series) else []
+            self._spills[name] = []
+        self._live_bytes = sum(
+            c.nbytes for chunks in self.chunks.values() for c in chunks
+        )
 
     def column_names(self) -> list[str]:
         out = []
@@ -105,6 +161,66 @@ def _call_canceled(is_canceled) -> bool:
         return bool(is_canceled())
     except TypeError:
         return bool(is_canceled)
+
+
+class _TelemetryPump:
+    """Bounded-queue writer thread between the step loop and the telemetry
+    sinks (History + DB commit).
+
+    Keeps the stellarator contract (SURVEY L5: IO never blocks the step
+    loop) honestly: the sim thread only enqueues device arrays; the
+    device->host copy, the history append, and the DB store append all run
+    here (mirrors commit_world_head_unified running on the DB executor,
+    libs/nox-py/src/impeller2_server.rs:390).  Backpressure: the queue is
+    bounded (ELODIN_COMMIT_QUEUE, default 64 batches); when full the
+    producer blocks — lossless like the reference — and the stall is
+    counted so profiles surface it."""
+
+    def __init__(self, history: History, on_commit, profiler: Profiler):
+        depth = int(os.environ.get("ELODIN_COMMIT_QUEUE", "64"))
+        self.q: _queue.Queue = _queue.Queue(maxsize=depth)
+        self.history = history
+        self.on_commit = on_commit
+        self.profiler = profiler
+        self.stalls = 0
+        self.error: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="elodin-telemetry"
+        )
+        self._thread.start()
+
+    def submit(self, ts: np.ndarray, stacked: dict) -> None:
+        try:
+            self.q.put_nowait((ts, stacked))
+        except _queue.Full:
+            self.stalls += 1
+            self.q.put((ts, stacked))
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+
+    def flush(self) -> None:
+        self.q.join()
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+
+    def _run(self) -> None:
+        while True:
+            ts, stacked = self.q.get()
+            try:
+                t0 = time.perf_counter()
+                stacked_np = {k: np.asarray(v) for k, v in stacked.items()}
+                self.history.append_batch(ts, stacked_np)
+                if self.on_commit is not None:
+                    start = self.history.start_timestamp.timestamp()
+                    ts_us = ((start + ts) * 1e6).astype(np.int64)
+                    self.on_commit(ts_us, stacked_np)
+                self.profiler.copy_s += time.perf_counter() - t0
+            except BaseException as e:  # noqa: BLE001
+                self.error = e
+            finally:
+                self.q.task_done()
 
 
 class Exec:
@@ -155,11 +271,13 @@ class Exec:
         self._scan_fn(1, self.ticks_per_telemetry, emit=self.record_history)
         self.profiler.build_s = time.perf_counter() - t0
 
-        self._history = History(meta)
+        spool = os.path.join(db_path, "history_spool") if db_path else None
+        self._history = History(meta, spool_dir=spool)
         self._tick = 0
         if self.record_history:
             self._history.append_state(0.0, {n: np.asarray(v) for n, v in self.cols.items()})
         self._host_writes: dict[str, np.ndarray] = {}
+        self._pump: _TelemetryPump | None = None
 
     # -- compilation -------------------------------------------------------
 
@@ -261,17 +379,22 @@ class Exec:
             final = dict(final)
             jax.block_until_ready(final)
             self.profiler.kernel_s += time.perf_counter() - t0
-            t1 = time.perf_counter()
             ts = (
                 self._tick + (np.arange(1, n + 1) * stride)
             ) * self.sim_time_step
-            stacked_np = {k: np.asarray(v) for k, v in stacked.items()}
-            self._history.append_batch(ts, stacked_np)
-            if self.on_commit_batch is not None:
-                start = self._history.start_timestamp.timestamp()
-                ts_us = ((start + ts) * 1e6).astype(np.int64)
-                self.on_commit_batch(ts_us, stacked_np)
-            self.profiler.copy_s += time.perf_counter() - t1
+            # hand the DEVICE arrays to the writer thread: the d2h copy,
+            # history append, and DB commit all happen off the step loop
+            if self._pump is None:
+                self._pump = _TelemetryPump(
+                    self._history,
+                    lambda ts_us, cols: (
+                        self.on_commit_batch(ts_us, cols)
+                        if self.on_commit_batch is not None
+                        else None
+                    ),
+                    self.profiler,
+                )
+            self._pump.submit(ts, dict(stacked))
         else:
             final, _ = fn(self.cols)
             final = dict(final)
@@ -280,6 +403,12 @@ class Exec:
         self.cols = final
         self._tick += n * stride
         self.profiler.ticks += n * stride
+
+    def flush_telemetry(self) -> None:
+        """Block until every submitted telemetry batch has been copied to
+        host, recorded in history, and committed to the DB."""
+        if self._pump is not None:
+            self._pump.flush()
 
     # -- outputs ---------------------------------------------------------
 
@@ -296,6 +425,7 @@ class Exec:
     def history_frame(self, components) -> DataFrame:
         if isinstance(components, str):
             components = [components]
+        self.flush_telemetry()
         times = np.asarray(self._history.times, dtype=np.float64)
         start = np.datetime64(
             self._history.start_timestamp.replace(tzinfo=None), "us"
@@ -315,6 +445,7 @@ class Exec:
         """Component state snapshot at a recorded tick (0 = initial)."""
         if not self.record_history:
             raise RuntimeError("history recording is disabled")
+        self.flush_telemetry()
         out = {}
         for name in self.meta.components:
             series = self._history.series(name)
@@ -326,18 +457,18 @@ class Exec:
     def restore(self, tick: int) -> None:
         """Rewind device state to a recorded tick and truncate history
         after it (StepContext.truncate generalized, step_context.rs:342)."""
-        snapshot = self.state_at(tick)
+        snapshot = self.state_at(tick)  # flushes telemetry first
         self.cols = {
             k: jnp.asarray(v, dtype=self.cols[k].dtype)
             for k, v in snapshot.items()
         }
         h = self._history
-        keep = tick + 1
-        h.times = h.times[:keep]
-        for name in h.chunks:
-            series = h.series(name)[:keep]
-            h.chunks[name] = [series]
-        self._tick = int(np.asarray(snapshot.get("tick", tick)).max()) if "tick" in snapshot else tick
+        # the tick counter comes from the recorded sim time of the restored
+        # row, NOT from the tick column (which is per-entity in a batched
+        # world and would silently pick the max across samples)
+        restored_time = h.times[tick]
+        h.truncate(tick + 1)
+        self._tick = int(round(restored_time / self.sim_time_step))
         self._host_writes.clear()
 
     def save_checkpoint(self, path: str) -> None:

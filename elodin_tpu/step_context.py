@@ -26,10 +26,8 @@ class StepContext:
 
     def truncate(self) -> None:
         """Rewind history to tick 0 (step_context.rs:342)."""
+        self._exec.flush_telemetry()
         h = self._exec._history
         if not h.times:
             return
-        first = {n: (c[0][:1] if c else []) for n, c in h.chunks.items()}
-        h.times = h.times[:1]
-        for n in h.chunks:
-            h.chunks[n] = [first[n]] if len(first[n]) else []
+        h.truncate(1)

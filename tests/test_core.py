@@ -994,3 +994,71 @@ def test_total_edge_trace_has_no_quadratic_edge_list():
     b = SystemBuilder(meta, {k: np.asarray(v) for k, v in cols.items()})
     gq = GraphQuery.from_builder(el.GraphQuery[el.TotalEdge], b, [])
     assert gq.total and gq.edges is None
+
+
+def test_history_spills_to_disk_and_reads_back(tmp_path, monkeypatch):
+    """Unbounded host history is the OOM risk VERDICT flagged: past the
+    byte cap, chunks spill to mmap-backed .npy files and series() reads
+    them back transparently."""
+    monkeypatch.setenv("ELODIN_HISTORY_MAX_BYTES", "4096")
+
+    @el.system
+    def bump(q: el.Query[X]) -> el.Query[X]:
+        return q.map(X, lambda x: x + 1.0)
+
+    @dataclass
+    class T(el.Archetype):
+        x: X
+
+    w = el.World()
+    for i in range(8):
+        w.spawn(T(np.array(float(i))), f"e{i}")
+    exec = w.build(bump, db_path=str(tmp_path))
+    exec.run(300)
+    exec.flush_telemetry()
+    spool = tmp_path / "history_spool"
+    assert spool.exists() and any(spool.iterdir()), "no spill files written"
+    series = exec._history.series("x")
+    assert series.shape[0] == 301
+    assert float(series[-1][3]) == 3.0 + 300.0
+    # live RAM stays under the cap (plus one in-flight chunk)
+    assert exec._history._live_bytes <= 4096 + series[-1:].nbytes
+
+
+def test_telemetry_commit_off_step_loop():
+    """The sim thread only enqueues; the writer thread performs the commit
+    (stellarator contract, SURVEY L5).  A slow commit callback must not
+    stretch the measured kernel phase."""
+    import threading
+    import time as _time
+
+    @el.system
+    def bump(q: el.Query[X]) -> el.Query[X]:
+        return q.map(X, lambda x: x + 1.0)
+
+    @dataclass
+    class T(el.Archetype):
+        x: X
+
+    w = el.World()
+    w.spawn(T(np.array(0.0)), "e0")
+    exec = w.build(bump)
+    seen = []
+    commit_thread = []
+
+    def slow_commit(ts_us, cols):
+        commit_thread.append(threading.current_thread().name)
+        _time.sleep(0.005)
+        seen.append(len(ts_us))
+
+    exec.on_commit_batch = slow_commit
+    t0 = _time.perf_counter()
+    for _ in range(20):
+        exec.run(1)
+    loop_wall = _time.perf_counter() - t0
+    exec.flush_telemetry()
+    assert sum(seen) == 20
+    assert all(n == "elodin-telemetry" for n in commit_thread)
+    # 20 x 5ms of commit sleep would cost >=100ms if it ran on the loop;
+    # allow generous slack for the jitted step itself
+    assert loop_wall < 0.09, f"commit blocked the step loop: {loop_wall:.3f}s"
