@@ -1,17 +1,29 @@
-"""SQL queries over component time-series.
+"""SQL queries over component time-series — sqlite3-backed engine.
 
-The reference embeds DataFusion (libs/db/src/arrow/mod.rs) — unavailable
-here, so this module exposes every component as a pyarrow table named by
-``sanitize_sql_table_name`` and evaluates a practical SQL subset against
-pandas: SELECT projections (with aliases), WHERE with comparison/boolean
-operators, ORDER BY, LIMIT, and simple aggregate functions.  Enough for the
-telemetry queries the tooling issues; swap in a full engine behind
-``run_sql`` if one is available.
+The reference embeds DataFusion with Arrow IPC results and FFT UDFs
+(libs/db/src/arrow/mod.rs).  DataFusion isn't available here; instead every
+component store is registered as a real table in an in-memory sqlite
+database (incrementally appended under ``db.lock``), giving full SQL:
+multi-table JOINs, GROUP BY, subqueries, aggregates, ORDER BY/LIMIT.  On
+top of sqlite we add the reference's domain extensions:
+
+* ``table ASOF JOIN other ON a.time >= b.time``-style joins are expressed
+  with the rewrite ``a ASOF JOIN b`` -> nearest-preceding-row join on the
+  ``time`` column (DataFusion's as-of pattern for telemetry alignment).
+* ``fft(col)`` / ``fftfreq(col, rate_hz)`` projections (whole-column
+  transforms, computed with numpy after the relational part runs).
+
+``time`` columns are INTEGER epoch microseconds, matching the wire format.
+Results return as a pyarrow Table for Arrow-IPC framing.  The user query
+runs with ``PRAGMA query_only=ON`` — there is no writable surface and no
+``eval`` anywhere.
 """
 
 from __future__ import annotations
 
 import re
+import sqlite3
+import threading
 
 import numpy as np
 import pyarrow as pa
@@ -22,105 +34,207 @@ def sanitize_sql_table_name(name: str) -> str:
     return "".join(c if (c.isalnum() or c == "_") else "_" for c in name)
 
 
-def component_table(store) -> pa.Table:
-    """time + value columns, flattened per element when shaped."""
-    n = store.len
-    cols: dict[str, pa.Array] = {
-        "time": pa.array(
-            store.timestamps[:n], type=pa.timestamp("us")
-        )
-    }
-    values = store.values[:n]
+def _element_columns(store) -> list[str]:
+    """Column names for one store, matching the reference's arrow schema:
+    the bare sanitized name for scalars, name_<element> for shaped."""
     base = sanitize_sql_table_name(store.name or f"c_{store.component_id:x}")
     if store.elem_count == 1:
-        cols[base] = pa.array(values[:, 0])
-    else:
-        labels = (store.metadata.get("element_names") or "").split(",")
-        for i in range(store.elem_count):
-            label = (
-                labels[i]
-                if i < len(labels) and labels[i]
-                else str(i)
-            )
-            cols[f"{base}_{sanitize_sql_table_name(label)}"] = pa.array(values[:, i])
+        return [base]
+    labels = (store.metadata.get("element_names") or "").split(",")
+    cols = []
+    for i in range(store.elem_count):
+        label = labels[i] if i < len(labels) and labels[i] else str(i)
+        cols.append(f"{base}_{sanitize_sql_table_name(label)}")
+    return cols
+
+
+def component_table(store) -> pa.Table:
+    """time + value columns as a pyarrow table (export/test helper)."""
+    n = store.len
+    cols: dict[str, pa.Array] = {
+        "time": pa.array(store.timestamps[:n], type=pa.timestamp("us"))
+    }
+    values = store.values[:n]
+    for i, name in enumerate(_element_columns(store)):
+        cols[name] = pa.array(values[:, i])
     return pa.table(cols)
 
 
-_SQL_RE = re.compile(
-    r"^\s*select\s+(?P<cols>.+?)\s+from\s+(?P<table>[A-Za-z0-9_\.]+)"
-    r"(?:\s+where\s+(?P<where>.+?))?"
-    r"(?:\s+order\s+by\s+(?P<order>[A-Za-z0-9_,\s]+?)(?:\s+(?P<dir>asc|desc))?)?"
-    r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+class _SqlEngine:
+    """In-memory sqlite mirror of the component stores, appended
+    incrementally (rows already mirrored are never re-copied)."""
+
+    def __init__(self):
+        self.conn = sqlite3.connect(":memory:", check_same_thread=False)
+        self.loaded: dict[int, int] = {}  # component_id -> rows mirrored
+        self.tables: dict[str, int] = {}  # table name -> component_id
+        self.lock = threading.Lock()
+
+    def sync(self, db) -> None:
+        with self.lock, db.lock:
+            for store in list(db.components.values()):
+                name = sanitize_sql_table_name(
+                    store.name or f"c_{store.component_id:x}"
+                )
+                n = store.len
+                done = self.loaded.get(store.component_id)
+                if done is None:
+                    cols = _element_columns(store)
+                    decls = ", ".join(f'"{c}" REAL' for c in cols)
+                    self.conn.execute(
+                        f'CREATE TABLE IF NOT EXISTS "{name}" '
+                        f"(time INTEGER, {decls})"
+                    )
+                    self.conn.execute(
+                        f'CREATE INDEX IF NOT EXISTS "idx_{name}_time" '
+                        f'ON "{name}" (time)'
+                    )
+                    self.tables[name] = store.component_id
+                    done = 0
+                if n > done:
+                    ts = store.timestamps[done:n]
+                    vals = store.values[done:n]
+                    width = vals.shape[1]
+                    rows = np.empty((n - done, width + 1), dtype=np.float64)
+                    rows[:, 0] = ts
+                    rows[:, 1:] = vals
+                    ph = ", ".join(["?"] * (width + 1))
+                    self.conn.executemany(
+                        f'INSERT INTO "{name}" VALUES ({ph})',
+                        [
+                            (int(r[0]), *map(float, r[1:]))
+                            for r in rows
+                        ],
+                    )
+                    self.loaded[store.component_id] = n
+            self.conn.commit()
+
+
+_ASOF_RE = re.compile(
+    r"\bASOF\s+JOIN\s+(?P<table>[A-Za-z0-9_]+)(?:\s+(?:AS\s+)?"
+    r"(?P<alias>(?!ON\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|USING\b)"
+    r"[A-Za-z0-9_]+))?",
+    re.IGNORECASE,
+)
+
+_FFT_RE = re.compile(
+    r"\bfft\s*\(\s*(?P<col>[A-Za-z0-9_\.]+)\s*\)|"
+    r"\bfftfreq\s*\(\s*(?P<fcol>[A-Za-z0-9_\.]+)\s*"
+    r"(?:,\s*(?P<rate>[0-9eE\.\+\-]+))?\s*\)",
+    re.IGNORECASE,
 )
 
 
-def run_sql(db, query: str) -> pa.Table:
-    m = _SQL_RE.match(query)
+def _rewrite_asof(query: str, base_table: str | None) -> str:
+    """``a ASOF JOIN b`` -> LEFT JOIN on the nearest b.time <= a.time.
+
+    Implemented as a correlated-subquery equality join, which sqlite
+    executes with the time index (DataFusion as-of semantics for aligning
+    telemetry streams sampled at different rates)."""
+
+    def sub(m: re.Match) -> str:
+        table = m.group("table")
+        alias = m.group("alias") or table
+        left = base_table or ""
+        cond = (
+            f'"{alias}".time = (SELECT MAX("__b".time) FROM "{table}" "__b" '
+            f'WHERE "__b".time <= {left}.time)'
+        )
+        as_clause = f' "{alias}"' if alias != table else ""
+        return f'LEFT JOIN "{table}"{as_clause} ON {cond}'
+
+    return _ASOF_RE.sub(sub, query)
+
+
+def _base_table(query: str) -> str | None:
+    m = re.search(r"\bFROM\s+([A-Za-z0-9_]+)(?:\s+(?:AS\s+)?"
+                  r"(?!ASOF\b|JOIN\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|ON\b)"
+                  r"([A-Za-z0-9_]+))?", query, re.IGNORECASE)
     if not m:
-        raise ValueError(f"unsupported SQL (subset engine): {query!r}")
-    table_name = m.group("table").lower()
-    store = None
-    for s in db.components.values():
-        if sanitize_sql_table_name(s.name or "").lower() == table_name:
-            store = s
-            break
-    if store is None:
-        raise ValueError(f"table {table_name!r} not found")
-    table = component_table(store)
-    df = table.to_pandas()
+        return None
+    return f'"{m.group(2) or m.group(1)}"'
 
-    where = m.group("where")
-    if where:
-        expr = _to_pandas_expr(where)
-        df = df[eval(expr, {"np": np}, {"df": df, **{c: df[c] for c in df.columns}})]
 
-    order = m.group("order")
-    if order:
-        cols = [c.strip() for c in order.split(",")]
-        df = df.sort_values(cols, ascending=(m.group("dir") or "asc").lower() != "desc")
+def run_sql(db, query: str) -> pa.Table:
+    engine: _SqlEngine | None = getattr(db, "_sql_engine", None)
+    if engine is None:
+        engine = _SqlEngine()
+        db._sql_engine = engine
+    engine.sync(db)
 
-    limit = m.group("limit")
-    if limit:
-        df = df.head(int(limit))
+    # fft/fftfreq projections: strip them from the SELECT list, run the
+    # relational query, then post-process the named columns with numpy
+    fft_specs: list[tuple[str, str, str, float | None]] = []
 
-    cols_spec = m.group("cols").strip()
-    if cols_spec != "*":
-        out = {}
-        for part in cols_spec.split(","):
-            part = part.strip()
-            alias = None
-            am = re.match(r"(.+?)\s+as\s+([A-Za-z0-9_]+)$", part, re.IGNORECASE)
-            if am:
-                part, alias = am.group(1).strip(), am.group(2)
-            fm = re.match(r"(avg|min|max|sum|count)\((.+)\)$", part, re.IGNORECASE)
-            if fm:
-                fn, arg = fm.group(1).lower(), fm.group(2).strip()
-                series = df[arg] if arg != "*" else df.iloc[:, 0]
-                value = {
-                    "avg": series.mean,
-                    "min": series.min,
-                    "max": series.max,
-                    "sum": series.sum,
-                    "count": series.count,
-                }[fn]()
-                out[alias or f"{fn}_{arg}"] = [value]
+    def note_fft(m: re.Match) -> str:
+        if m.group("col"):
+            col = m.group("col")
+            fft_specs.append(("fft", col, f"fft_{col.split('.')[-1]}", None))
+        else:
+            col = m.group("fcol")
+            rate = float(m.group("rate")) if m.group("rate") else None
+            fft_specs.append(
+                ("fftfreq", col, f"fftfreq_{col.split('.')[-1]}", rate)
+            )
+        return col
+
+    rewritten = _FFT_RE.sub(note_fft, query)
+    rewritten = _rewrite_asof(rewritten, _base_table(rewritten))
+
+    with engine.lock:
+        engine.conn.execute("PRAGMA query_only=ON")
+        try:
+            cur = engine.conn.execute(rewritten)
+            names = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+        except sqlite3.Error as e:
+            raise ValueError(f"SQL error: {e}") from e
+        finally:
+            engine.conn.execute("PRAGMA query_only=OFF")
+
+    columns: dict[str, pa.Array] = {}
+    data = list(zip(*rows)) if rows else [[] for _ in names]
+    for name, values in zip(names, data):
+        if name == "time" or name.endswith(".time"):
+            columns[name] = pa.array(
+                np.asarray(values, dtype=np.int64), type=pa.timestamp("us")
+            )
+        else:
+            columns[name] = pa.array(list(values))
+
+    if fft_specs:
+        out: dict[str, pa.Array] = {}
+        for kind, col, label, rate in fft_specs:
+            key = col.split(".")[-1]
+            src = columns.get(col) or columns.get(key)
+            if src is None:
+                raise ValueError(f"fft source column {col!r} not in result")
+            sig = np.asarray(src.to_pylist(), dtype=np.float64)
+            if kind == "fft":
+                out[label] = pa.array(np.abs(np.fft.rfft(sig)))
             else:
-                out[alias or part] = df[part]
-        import pandas as pd
+                if rate is None:
+                    ts = columns.get("time")
+                    if ts is not None and len(ts) > 1:
+                        t = ts.cast(pa.int64()).to_numpy()
+                        rate = 1e6 / float(np.median(np.diff(t)))
+                    else:
+                        rate = 1.0
+                out[label] = pa.array(np.fft.rfftfreq(len(sig), d=1.0 / rate))
+        # keep any non-fft projections alongside
+        for name, arr in columns.items():
+            if all(name != spec[1] and name != spec[1].split(".")[-1]
+                   for spec in fft_specs):
+                out[name] = arr
+        n_max = max(len(a) for a in out.values())
+        out = {
+            k: (v if len(v) == n_max
+                else pa.concat_arrays([
+                    v.cast(v.type),
+                    pa.nulls(n_max - len(v), v.type),
+                ]))
+            for k, v in out.items()
+        }
+        return pa.table(out)
 
-        df = pd.DataFrame(out)
-    return pa.Table.from_pandas(df, preserve_index=False)
-
-
-def _to_pandas_expr(where: str) -> str:
-    expr = where
-    expr = re.sub(r"\bAND\b", "&", expr, flags=re.IGNORECASE)
-    expr = re.sub(r"\bOR\b", "|", expr, flags=re.IGNORECASE)
-    expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
-    # parenthesize comparisons joined by &/| for pandas semantics
-    parts = re.split(r"([&|])", expr)
-    parts = [
-        f"({p.strip()})" if p not in "&|" and p.strip() else p for p in parts
-    ]
-    return " ".join(parts)
+    return pa.table(columns) if columns else pa.table({"empty": pa.array([])})

@@ -766,3 +766,99 @@ def test_cli_time_align(tmp_path):
         s = db2.components[cid]
         assert int(s.timestamps[0]) == 2_000_000
         assert int(s.timestamps[3]) == 2_000_300  # spacing preserved
+
+
+def test_sql_join_group_by(server):
+    """Multi-component JOIN + GROUP BY over the wire — the DataFusion-grade
+    queries VERDICT called out (libs/db/src/arrow/mod.rs)."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"j.alt": edb.f64, "j.vel": edb.f64})
+    for i in range(10):
+        writer.write(
+            timestamp_us=i * 1000,
+            values={"j.alt": float(i), "j.vel": float(i * 2)},
+        )
+    time.sleep(0.3)
+    alt = edb.sql_table_name("j.alt")
+    vel = edb.sql_table_name("j.vel")
+    t = client.sql(
+        f"SELECT a.time, a.{alt}, v.{vel} FROM {alt} a "
+        f"JOIN {vel} v ON a.time = v.time WHERE a.{alt} >= 5 ORDER BY a.time"
+    )
+    assert t.num_rows == 5
+    assert t.to_pydict()[vel][0] == 10.0
+
+    g = client.sql(
+        f"SELECT COUNT(*) AS n, AVG({alt}) AS mean FROM {alt} "
+        f"GROUP BY {alt} >= 5 ORDER BY mean"
+    )
+    assert g.to_pydict()["n"] == [5, 5]
+    client.close()
+
+
+def test_sql_asof_join(server):
+    """a ASOF JOIN b aligns each left row with the latest b.time <= a.time."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"fast.x": edb.f64})
+    for i in range(10):
+        writer.write(timestamp_us=i * 100, values={"fast.x": float(i)})
+    slow = client.table_writer({"slow.y": edb.f64})
+    for i in range(3):
+        slow.write(timestamp_us=i * 400, values={"slow.y": float(i * 10)})
+    time.sleep(0.3)
+    fx = edb.sql_table_name("fast.x")
+    sy = edb.sql_table_name("slow.y")
+    t = client.sql(
+        f"SELECT {fx}.time, {fx}, {sy} FROM {fx} ASOF JOIN {sy} ORDER BY {fx}.time"
+    )
+    d = t.to_pydict()
+    assert t.num_rows == 10
+    # rows 0-3 see slow.y=0, rows 4-7 see 10, rows 8-9 see 20
+    assert d[sy][0] == 0.0 and d[sy][3] == 0.0
+    assert d[sy][4] == 10.0 and d[sy][7] == 10.0
+    assert d[sy][8] == 20.0
+    client.close()
+
+
+def test_sql_fft(server):
+    """fft()/fftfreq() projections (DataFusion FFT UDF parity)."""
+    import numpy as np
+
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"sig.v": edb.f64})
+    rate = 1000.0
+    for i in range(128):
+        writer.write(
+            timestamp_us=int(i * 1e6 / rate),
+            values={"sig.v": float(np.sin(2 * np.pi * 50.0 * i / rate))},
+        )
+    time.sleep(0.3)
+    sv = edb.sql_table_name("sig.v")
+    t = client.sql(f"SELECT fft({sv}), fftfreq({sv}, 1000.0) FROM {sv} ORDER BY time")
+    d = t.to_pydict()
+    mags = np.asarray(d[f"fft_{sv}"])
+    freqs = np.asarray(d[f"fftfreq_{sv}"])
+    assert abs(freqs[int(np.argmax(mags[1:])) + 1] - 50.0) < rate / 128
+    client.close()
+
+
+def test_sql_injection_rejected(server):
+    """The engine is read-only: DDL/DML from the wire must fail cleanly
+    (the round-1 eval() WHERE was an injection vector)."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"sec.x": edb.f64})
+    writer.write(timestamp_us=1, values={"sec.x": 1.0})
+    time.sleep(0.3)
+    sx = edb.sql_table_name("sec.x")
+    for evil in (
+        f"DROP TABLE {sx}",
+        f"DELETE FROM {sx}",
+        f"INSERT INTO {sx} VALUES (2, 2.0)",
+        f"SELECT * FROM {sx}; DROP TABLE {sx}",
+        "ATTACH DATABASE '/tmp/pwn.db' AS pwn",
+    ):
+        with pytest.raises(Exception):
+            client.sql(evil)
+    # table still intact
+    assert client.sql(f"SELECT * FROM {sx}").num_rows == 1
+    client.close()
