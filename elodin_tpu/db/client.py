@@ -389,6 +389,40 @@ class ComponentStream:
         return False
 
 
+class _RawTableStream:
+    """Iterator over (vtable, raw table bytes) pairs from a VTableStream
+    subscription: VTableMsg packets update the layout, TY_TABLE packets
+    yield realized rows."""
+
+    def __init__(self, q: queue.Queue, vtable_id: bytes):
+        self._q = q
+        self.vtable_id = vtable_id
+        self.vtable = None
+        self._closed = False
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while True:
+            if self._closed:
+                raise StopIteration
+            pkt = self._q.get()
+            if pkt.ty == M.TY_MSG and pkt.id == M.VTableMsg.ID:
+                self.vtable = M.VTableMsg.decode(pkt.body).vtable
+                continue
+            if pkt.ty == M.TY_TABLE:
+                fields = (
+                    list(self.vtable.realize_fields(pkt.body))
+                    if self.vtable is not None
+                    else []
+                )
+                return pkt.body, fields
+
+    def close(self) -> None:
+        self._closed = True
+
+
 class MessageStream:
     def __init__(self, q: queue.Queue, raw: bool):
         self._q = q
@@ -586,6 +620,91 @@ class Client:
 
         return pa.concat_tables(tables) if tables else None
 
+    def sparkline(self, name: str, max_points: int):
+        """LTTB-downsampled (time, value) arrays for a component
+        (SparklineQuery, impeller2/wkt/src/msgs.rs:549)."""
+        import io
+
+        import pyarrow.ipc as ipc
+
+        from .sql import sanitize_sql_table_name
+
+        table_name = sanitize_sql_table_name(name)
+        req_id = self._conn.next_req_id()
+        [pkt] = self._conn.request(
+            M.SparklineQuery(table_name, max_points).packet(req_id), req_id
+        )
+        if pkt.id == M.ErrorResponse.ID:
+            raise RuntimeError(M.ErrorResponse.decode(pkt.body).description)
+        arrow = M.ArrowIPC.decode(pkt.body)
+        if arrow.batch:
+            with ipc.open_stream(io.BytesIO(arrow.batch)) as r:
+                t = r.read_all()
+            return (
+                t["time"].cast("int64").to_numpy(),
+                t[table_name].to_numpy(),
+            )
+        return np.array([], dtype="<i8"), np.array([])
+
+    def plot_overview(self, name: str, start_us: int = -(2**62),
+                      stop_us: int = 2**62, max_points: int = 512,
+                      element_index: int = 0):
+        """Downsampled historical window (PlotOverviewQuery, msgs.rs:565)."""
+        cid = component_id_of(name)
+        req_id = self._conn.next_req_id()
+        msg = M.PlotOverviewQuery(
+            b"\x00\x02", cid, start_us, stop_us, max_points, element_index
+        )
+        [pkt] = self._conn.request(msg.packet(req_id), req_id)
+        if pkt.ty == M.TY_MSG and pkt.id == M.ErrorResponse.ID:
+            raise RuntimeError(M.ErrorResponse.decode(pkt.body).description)
+        n = int.from_bytes(pkt.body[:8], "little")
+        ts = np.frombuffer(pkt.body[8 : 8 + n * 8], dtype="<i8").copy()
+        info = self.components().get(name)
+        prim = info.prim if info else "f64"
+        values = np.frombuffer(pkt.body[8 + n * 8 :], dtype=PRIM_NP[prim]).copy()
+        return ts, values
+
+    def vtable_stream(self, vtable_id: bytes, maxlen: int = 1024):
+        """Subscribe to raw tables written under one vtable id
+        (VTableStream, msgs.rs:33)."""
+        req_id = self._conn.next_req_id()
+        q = self._conn.request_stream(
+            M.VTableStream(vtable_id).packet(req_id), req_id
+        )
+        return _RawTableStream(q, vtable_id)
+
+    def timestamped_msg_stream(self, name: str, maxlen: int = 1024):
+        """Message stream preserving source timestamps
+        (TimestampedMsgStream, msgs.rs:786)."""
+        from .postcard import msg_id as _msg_id
+
+        mid = name if isinstance(name, bytes) else _msg_id(name)
+        req_id = self._conn.next_req_id()
+        q = self._conn.request_stream(
+            M.TimestampedMsgStream(mid).packet(req_id), req_id
+        )
+        return MessageStream(q, raw=True)
+
+    def fixed_rate_msg_stream(self, name: str, frequency: int = 60,
+                              timestep_ns: int | None = None,
+                              initial="earliest"):
+        """Fixed-rate replay of a message log (FixedRateMsgStream)."""
+        from .postcard import msg_id as _msg_id
+
+        mid = name if isinstance(name, bytes) else _msg_id(name)
+        behavior = M.FixedRateBehavior(
+            initial, timestep_ns or int(1e9 / frequency), frequency
+        )
+        req_id = self._conn.next_req_id()
+        q = self._conn.request_stream(
+            M.FixedRateMsgStream(
+                mid, M.FixedRateOp(req_id, behavior)
+            ).packet(req_id),
+            req_id,
+        )
+        return MessageStream(q, raw=True)
+
     def save_archive(self, path: str, format: str = "arrow_ipc"):
         req_id = self._conn.next_req_id()
         [pkt] = self._conn.request(
@@ -620,6 +739,10 @@ class Server:
     @property
     def addr(self) -> str:
         return f"127.0.0.1:{self._server.port}"
+
+    @property
+    def port(self) -> int:
+        return self._server.port
 
     @property
     def db(self) -> Database:

@@ -666,6 +666,133 @@ class LogEntry(MsgBase):
         return cls(r.u8(), r.string())
 
 
+@dataclass
+class VTableStream(MsgBase):
+    """Subscribe to raw tables tagged with one vtable id
+    (impeller2/wkt/src/msgs.rs:33-48, db dispatch lib.rs:2558)."""
+
+    ID = auto_msg_id("VTableStream")
+    id: bytes = b"\x00\x00"
+
+    def write(self, w: Writer) -> None:
+        w.raw(self.id)
+
+    @classmethod
+    def read(cls, r: Reader) -> "VTableStream":
+        return cls(r.raw(2))
+
+
+@dataclass
+class SparklineQuery(MsgBase):
+    """Server-side LTTB-downsampled series for the editor's sparklines
+    (msgs.rs:549-563); replies ArrowIPC."""
+
+    ID = bytes([224, 36])
+    table_name: str = ""
+    max_points: int = 0
+
+    def write(self, w: Writer) -> None:
+        w.string(self.table_name)
+        w.varint(self.max_points)
+
+    @classmethod
+    def read(cls, r: Reader) -> "SparklineQuery":
+        return cls(r.string(), r.varint())
+
+
+@dataclass
+class PlotOverviewQuery(MsgBase):
+    """Downsampled historical window for the plot panel (msgs.rs:565-590);
+    replies an OwnedTimeSeries packet keyed by ``id``."""
+
+    ID = bytes([224, 32])
+    id: bytes = b"\x00\x00"
+    component_id: int = 0
+    start: int = 0
+    stop: int = 0
+    max_points: int = 0
+    element_index: int = 0
+
+    def write(self, w: Writer) -> None:
+        w.raw(self.id)
+        w.varint(self.component_id)
+        w.zigzag(self.start)
+        w.zigzag(self.stop)
+        w.varint(self.max_points)
+        w.varint(self.element_index)
+
+    @classmethod
+    def read(cls, r: Reader) -> "PlotOverviewQuery":
+        return cls(
+            r.raw(2), r.varint(), r.zigzag(), r.zigzag(), r.varint(), r.varint()
+        )
+
+
+@dataclass
+class FixedRateMsgStream(MsgBase):
+    """Fixed-rate replay of a message log (msgs.rs:680-688)."""
+
+    ID = auto_msg_id("FixedRateMsgStream")
+    msg_id: bytes = b"\x00\x00"
+    fixed_rate: FixedRateOp = dc_field(default_factory=FixedRateOp)
+
+    def write(self, w: Writer) -> None:
+        w.raw(self.msg_id)
+        self.fixed_rate.write(w)
+
+    @classmethod
+    def read(cls, r: Reader) -> "FixedRateMsgStream":
+        return cls(r.raw(2), FixedRateOp.read(r))
+
+
+@dataclass
+class TimestampedMsgStream(MsgBase):
+    """MsgStream preserving source timestamps (msgs.rs:786-795), used by
+    follow replication."""
+
+    ID = bytes([224, 38])
+    msg_id: bytes = b"\x00\x00"
+
+    def write(self, w: Writer) -> None:
+        w.raw(self.msg_id)
+
+    @classmethod
+    def read(cls, r: Reader) -> "TimestampedMsgStream":
+        return cls(r.raw(2))
+
+
+@dataclass
+class FollowStream(MsgBase):
+    """Unified replication stream: metadata + schemas + history + live
+    (msgs.rs:760-775)."""
+
+    ID = bytes([224, 37])
+    target_packet_size: int = 1500
+
+    def write(self, w: Writer) -> None:
+        w.varint(self.target_packet_size)
+
+    @classmethod
+    def read(cls, r: Reader) -> "FollowStream":
+        return cls(r.varint() if r.remaining() else 1500)
+
+
+@dataclass
+class MeanOp(MsgBase):
+    """Windowed-mean stream stage, referenced as a vtable ext op
+    (msgs.rs:797-799, applied in db/src/vtable_stream.rs:81-83)."""
+
+    ID = auto_msg_id("MeanOp")
+    window: int = 0
+
+    def write(self, w: Writer) -> None:
+        w.varint(self.window)
+
+    @classmethod
+    def read(cls, r: Reader) -> "MeanOp":
+        return cls(r.varint())
+
+
 MSG_TYPES = {
     cls.ID: cls
     for cls in [
@@ -676,5 +803,7 @@ MSG_TYPES = {
         StreamTimestamp, SQLQuery, ArrowIPC, ErrorResponse, MsgMetadata,
         SetMsgMetadata, MsgStream, GetMsgs, MsgBatch, SaveArchive, StoreAsset, SubscribeLastUpdated, LastUpdated, SetDbConfig, GetDbSettings, DbConfig,
         ArchiveSaved, UdpUnicast, LogEntry,
+        VTableStream, SparklineQuery, PlotOverviewQuery, FixedRateMsgStream,
+        TimestampedMsgStream, FollowStream, MeanOp,
     ]
 }

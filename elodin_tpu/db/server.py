@@ -53,6 +53,16 @@ class Connection:
                 t.cancel()
             if self.sub_queue is not None:
                 self.server.remove_subscriber(self.sub_queue)
+            for subs in self.server.vtable_stream_subs.values():
+                subs[:] = [s for s in subs if s[0] is not self]
+            self.server.follow_all_msgs[:] = [
+                s for s in self.server.follow_all_msgs if s[0] is not self
+            ]
+            for subs in self.server.msg_subscribers.values():
+                subs[:] = [s for s in subs if s[0] is not self]
+            self.server.last_updated_subs[:] = [
+                s for s in self.server.last_updated_subs if s[0] is not self
+            ]
             self.writer.close()
 
     # -- dispatch (libs/db/src/lib.rs:1985+) ------------------------------
@@ -100,6 +110,7 @@ class Connection:
             touched.append(cid)
         if touched:
             self.server.notify_table(touched, max_ts if max_ts is not None else default_ts)
+        self.server.forward_vtable_stream(pkt, vt)
 
     # -- message handlers --------------------------------------------------
 
@@ -397,12 +408,253 @@ class Connection:
     async def on_StoreAsset(self, msg: M.StoreAsset, req_id: int) -> None:
         self.db.assets.put(msg.key, msg.data)
 
+    # -- editor-facing stream/query surface --------------------------------
+
+    async def on_VTableStream(self, msg: M.VTableStream, req_id: int) -> None:
+        """Forward raw tables tagged with one vtable id as they arrive
+        (libs/db/src/lib.rs:2558, vtable_stream.rs).  The vtable itself is
+        sent first when known; MeanOp ext ops are applied server-side."""
+        vt = self.db.vtables.get(msg.id)
+        if vt is not None:
+            await self.send(M.VTableMsg(msg.id, vt).packet(req_id))
+        self.server.vtable_stream_subs.setdefault(msg.id, []).append(
+            (self, req_id, {})
+        )
+
+    async def on_SparklineQuery(self, msg: M.SparklineQuery, req_id: int) -> None:
+        """LTTB-downsampled series as Arrow IPC (msgs.rs:549-563)."""
+        from .downsample import lttb
+        from .sql import sanitize_sql_table_name
+
+        store = None
+        for s in self.db.components.values():
+            if sanitize_sql_table_name(s.name or "") == msg.table_name:
+                store = s
+                break
+        if store is None:
+            await self.send(
+                M.ErrorResponse(f"table {msg.table_name!r} not found").packet(req_id)
+            )
+            return
+        import io
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        with self.db.lock:
+            n = store.len
+            ts = store.timestamps[:n].copy()
+            vals = store.values[:n, 0].astype(np.float64)
+        idx = lttb(ts.astype(np.float64), vals, msg.max_points)
+        table = pa.table(
+            {
+                "time": pa.array(ts[idx], type=pa.timestamp("us")),
+                msg.table_name: pa.array(vals[idx]),
+            }
+        )
+        sink = io.BytesIO()
+        with ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+        await self.send(M.ArrowIPC(sink.getvalue()).packet(req_id))
+        await self.send(M.ArrowIPC(None).packet(req_id))
+
+    async def on_PlotOverviewQuery(self, msg: M.PlotOverviewQuery, req_id: int) -> None:
+        """Downsampled historical window, replied as a time-series packet
+        keyed by msg.id (msgs.rs:565-590)."""
+        from .downsample import lttb
+
+        import numpy as np
+
+        store = self.db.components.get(msg.component_id)
+        if store is None:
+            await self.send(
+                M.ErrorResponse(
+                    f"component {msg.component_id:#x} not found"
+                ).packet(req_id)
+            )
+            return
+        if msg.element_index >= store.elem_count:
+            await self.send(
+                M.ErrorResponse(
+                    "PlotOverviewQuery element_index out of bounds"
+                ).packet(req_id)
+            )
+            return
+        ts, values = store.range(msg.start, msg.stop, None)
+        vals = np.asarray(values)[:, msg.element_index].astype(np.float64)
+        idx = lttb(np.asarray(ts, dtype=np.float64), vals, msg.max_points)
+        body = (
+            np.uint64(len(idx)).tobytes()
+            + np.ascontiguousarray(np.asarray(ts)[idx], dtype="<i8").tobytes()
+            + np.ascontiguousarray(
+                vals[idx], dtype=store.dtype
+            ).tobytes()
+        )
+        await self.send(M.frame(M.TY_TIME_SERIES, msg.id, body, req_id))
+
+    async def on_FixedRateMsgStream(self, msg: M.FixedRateMsgStream, req_id: int) -> None:
+        """Fixed-rate replay of a message log (msgs.rs:680-688): each tick
+        sends the latest message at-or-before the replay cursor."""
+        b = msg.fixed_rate.behavior
+        state = {
+            "playing": True,
+            "timestamp": None,
+            "timestep_ns": b.timestep,
+            "frequency": b.frequency,
+            "initial": b.initial_timestamp,
+        }
+        self.server.stream_states[msg.fixed_rate.stream_id] = state
+        task = asyncio.ensure_future(
+            self._msg_replay_loop(msg.msg_id, state, req_id)
+        )
+        self.stream_tasks.append(task)
+
+    async def _msg_replay_loop(self, msg_id: bytes, state: dict, req_id: int) -> None:
+        log = self.db.msg_log(msg_id)
+        if state["initial"] == "latest":
+            ts = log.entries[-1][0] if log.entries else 0
+        elif isinstance(state["initial"], int):
+            ts = state["initial"]
+        else:
+            ts = log.entries[0][0] if log.entries else 0
+        last_sent = None
+        while True:
+            period = 1.0 / max(state["frequency"], 1)
+            if not state["playing"]:
+                await asyncio.sleep(period)
+                continue
+            if state["timestamp"] is not None:
+                ts = state.pop("timestamp")
+            row = None
+            for t, data in reversed(log.entries):
+                if t <= ts:
+                    row = (t, data)
+                    break
+            if row is not None and row != last_sent:
+                await self.send(
+                    M.frame(M.TY_MSG_WITH_TIMESTAMP, msg_id,
+                            int(row[0]).to_bytes(8, "little", signed=True)
+                            + row[1], req_id)
+                )
+                last_sent = row
+            ts += state["timestep_ns"] // 1000
+            await asyncio.sleep(period)
+
+    async def on_TimestampedMsgStream(self, msg: M.TimestampedMsgStream, req_id: int) -> None:
+        """MsgStream variant preserving source timestamps (msgs.rs:786-795);
+        subscribers get MsgWithTimestamp packets."""
+        self.msg_subs.add(msg.msg_id)
+        self.server.msg_subscribers.setdefault(msg.msg_id, []).append(
+            (self, req_id)
+        )
+
+    async def on_FollowStream(self, msg: M.FollowStream, req_id: int) -> None:
+        """Unified replication (msgs.rs:760-775): metadata + schemas +
+        component history + message history, then live subscription."""
+        # metadata + schemas up front
+        for s in list(self.db.components.values()):
+            await self.send(
+                M.ComponentMetadata(
+                    s.component_id, s.name or "", s.metadata
+                ).packet(req_id)
+            )
+        schemas = {
+            s.component_id: M.SchemaMsg(s.prim, s.shape)
+            for s in self.db.components.values()
+        }
+        await self.send(M.DumpSchemaResp(schemas).packet(req_id))
+        # historical component rows as one vtable + table per component
+        import numpy as np
+
+        for s in list(self.db.components.values()):
+            with self.db.lock:
+                n = s.len
+                ts = s.timestamps[:n].copy()
+                vals = s.values[:n].copy()
+            if n == 0:
+                continue
+            vt_id = bytes([5, s.component_id & 0xFF])
+            fields = [(s.name or f"{s.component_id:016x}", s.prim, s.shape,
+                       8, s.row_nbytes)]
+            vt = build_table_vtable(fields, timestamp_offset=0)
+            await self.send(M.VTableMsg(vt_id, vt).packet(req_id))
+            for i in range(n):
+                body = np.int64(ts[i]).tobytes() + vals[i].tobytes()
+                await self.send(M.frame(M.TY_TABLE, vt_id, body, req_id))
+        # historical messages with timestamps
+        for mid, log in list(self.db.msg_logs.items()):
+            for t, data in list(log.entries):
+                await self.send(
+                    M.frame(M.TY_MSG_WITH_TIMESTAMP, mid,
+                            int(t).to_bytes(8, "little", signed=True) + data,
+                            req_id)
+                )
+        # live from here on
+        if self.sub_queue is None:
+            self.sub_queue = asyncio.Queue(maxsize=1024)
+            self.server.add_subscriber(self.sub_queue)
+        task = asyncio.ensure_future(
+            self._stream_loop(M.Stream("real-time", id=req_id), req_id)
+        )
+        self.stream_tasks.append(task)
+        self.server.follow_all_msgs.append((self, req_id))
+
     async def on_SaveArchive(self, msg: M.SaveArchive, req_id: int) -> None:
         try:
             self.server.save_archive(msg.path, msg.format)
             await self.send(M.ArchiveSaved(msg.path).packet(req_id))
         except Exception as e:  # noqa: BLE001
             await self.send(M.ErrorResponse(str(e)).packet(req_id))
+
+
+class _UdpIngest(asyncio.DatagramProtocol):
+    """Datagram data-plane: each datagram carries one or more
+    length-prefixed packets, dispatched like a write-only connection."""
+
+    def __init__(self, server: "Server"):
+        self.server = server
+        # a synthetic connection shared by all datagram senders: vtable
+        # registrations over UDP apply to subsequent UDP tables
+        self.conn = Connection(server, None, None)
+
+    def datagram_received(self, data: bytes, addr) -> None:
+        pos = 0
+        while pos + 4 <= len(data):
+            n = int.from_bytes(data[pos : pos + 4], "little")
+            frame_body = data[pos + 4 : pos + 4 + n]
+            pos += 4 + n
+            if len(frame_body) < M.PACKET_HEADER_LEN:
+                continue
+            pkt = M.parse_packet(frame_body)
+            try:
+                if pkt.ty == M.TY_TABLE:
+                    self.conn.handle_table(pkt)
+                elif pkt.ty == M.TY_MSG_WITH_TIMESTAMP:
+                    ts = int.from_bytes(pkt.body[:8], "little", signed=True)
+                    self.server.db.msg_log(pkt.id).append(ts, pkt.body[8:])
+                    self.server.notify_msg(pkt.id, ts, pkt.body[8:])
+                elif pkt.ty == M.TY_MSG and pkt.id == M.VTableMsg.ID:
+                    vtm = M.VTableMsg.decode(pkt.body)
+                    self.conn.vtables[vtm.id] = vtm.vtable
+                    self.server.db.vtables[vtm.id] = vtm.vtable
+                elif pkt.ty == M.TY_MSG and pkt.id == M.SetComponentMetadata.ID:
+                    msg = M.SetComponentMetadata.decode(pkt.body)
+                    store = self.server.db.components.get(msg.component_id)
+                    if store is not None:
+                        store.set_metadata(name=msg.name, metadata=msg.metadata)
+                    else:
+                        self.server.pending_metadata[msg.component_id] = (
+                            msg.name, dict(msg.metadata),
+                        )
+                elif pkt.ty == M.TY_MSG and pkt.id not in M.MSG_TYPES:
+                    # control-plane msgs need the TCP reply path; only user
+                    # messages are logged from datagrams
+                    ts = now_timestamp_us()
+                    self.server.db.msg_log(pkt.id).append(ts, pkt.body)
+                    self.server.notify_msg(pkt.id, ts, pkt.body)
+            except Exception:
+                pass  # malformed datagrams are dropped, never fatal
 
 
 class Server:
@@ -416,6 +668,10 @@ class Server:
         self.stream_states: dict[int, dict] = {}
         self.last_updated_subs: list = []
         self.pending_metadata: dict[int, tuple] = {}
+        # VTableStream subscribers: vtable id -> [(conn, req_id, mean_state)]
+        self.vtable_stream_subs: dict[bytes, list] = {}
+        # FollowStream connections receive every message id
+        self.follow_all_msgs: list = []
         self.loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
         self._server = None
@@ -460,13 +716,52 @@ class Server:
             pass
 
     def notify_msg(self, msg_id: bytes, ts: int, data: bytes) -> None:
-        subs = self.msg_subscribers.get(msg_id)
+        subs = list(self.msg_subscribers.get(msg_id, ())) + list(
+            self.follow_all_msgs
+        )
         if not subs or self.loop is None:
             return
         body = np.int64(ts).tobytes() + data
-        for conn, req_id in list(subs):
+        for conn, req_id in subs:
             pkt = M.frame(M.TY_MSG_WITH_TIMESTAMP, msg_id, body, req_id)
             fut = asyncio.run_coroutine_threadsafe(conn.send(pkt), self.loop)
+            fut.add_done_callback(lambda f: f.exception())
+
+    def forward_vtable_stream(self, pkt: M.Packet, vt: VTable) -> None:
+        """Fan a raw ingested table out to VTableStream subscribers,
+        applying any MeanOp ext stages in the vtable
+        (db/src/vtable_stream.rs mean stage)."""
+        subs = self.vtable_stream_subs.get(pkt.id)
+        if not subs or self.loop is None:
+            return
+        has_mean = any(
+            f.get("mean_window") for f in vt.realize_fields(pkt.body)
+        )
+        for conn, req_id, mean_state in list(subs):
+            body = pkt.body
+            if has_mean:
+                body = bytearray(body)
+                import numpy as _np
+
+                for i, f in enumerate(vt.realize_fields(bytes(body))):
+                    win = f.get("mean_window")
+                    if not win or f["ty"] is None:
+                        continue
+                    from .vtable import PRIM_NP
+
+                    dt = PRIM_NP[f["ty"]]
+                    vals = _np.frombuffer(f["data"], dtype=dt).astype(
+                        _np.float64
+                    )
+                    hist = mean_state.setdefault(i, [])
+                    hist.append(vals)
+                    if len(hist) > win:
+                        hist.pop(0)
+                    mean = _np.mean(hist, axis=0).astype(dt)
+                    body[f["offset"] : f["offset"] + f["len"]] = mean.tobytes()
+                body = bytes(body)
+            out = M.frame(M.TY_TABLE, pkt.id, body, req_id)
+            fut = asyncio.run_coroutine_threadsafe(conn.send(out), self.loop)
             fut.add_done_callback(lambda f: f.exception())
 
     # -- sql / export ------------------------------------------------------
@@ -492,6 +787,17 @@ class Server:
             self._on_conn, host, int(port)
         )
         self.port = self._server.sockets[0].getsockname()[1]
+        # UDP ingest on the same port (libs/db/src/lib.rs:1649-1699): the
+        # data plane (tables, msgs, vtable registrations) accepted over
+        # datagrams, fire-and-forget — no reply path
+        try:
+            loop = asyncio.get_running_loop()
+            self._udp_transport, _ = await loop.create_datagram_endpoint(
+                lambda: _UdpIngest(self),
+                local_addr=(host or "127.0.0.1", self.port),
+            )
+        except OSError:
+            self._udp_transport = None
         self._started.set()
 
     async def _on_conn(self, reader, writer) -> None:
@@ -542,6 +848,8 @@ class Server:
         if self.loop is not None and self.loop.is_running():
             if self._server is not None:
                 self.loop.call_soon_threadsafe(self._server.close)
+            if getattr(self, "_udp_transport", None) is not None:
+                self.loop.call_soon_threadsafe(self._udp_transport.close)
             self.loop.call_soon_threadsafe(self.loop.stop)
         if self._thread is not None:
             self._thread.join(timeout=5)

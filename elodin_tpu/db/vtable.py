@@ -13,9 +13,12 @@ from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 
-from .postcard import Reader, Writer
+from .postcard import Reader, Writer, auto_msg_id
 
 TIMESTAMP_NS_EXT_ID = bytes([0x01, 0x00])
+
+# ext-op id for the windowed-mean stream stage (wkt MeanOp, derived msg id)
+MEAN_EXT_ID = auto_msg_id("MeanOp")
 
 PRIM_TYPES = ["u8", "u16", "u32", "u64", "i8", "i16", "i32", "i64", "bool", "f32", "f64"]
 PRIM_TO_IDX = {p: i for i, p in enumerate(PRIM_TYPES)}
@@ -164,6 +167,7 @@ class VTable:
             "offset": f.offset,
             "len": f.len,
             "timestamp": None,
+            "mean_window": None,
         }
         self._walk(f.arg, out, table)
         return out
@@ -194,6 +198,11 @@ class VTable:
                     out["timestamp"] = (
                         int.from_bytes(src, "little", signed=True) // 1000
                     )
+            elif op.ext_id == MEAN_EXT_ID:
+                # windowed-mean stream stage (db/src/vtable_stream.rs:81-83)
+                src, _ = self._op_slice(op.data, table)
+                if src:
+                    out["mean_window"] = Reader(src).varint()
             self._walk(op.arg, out, table)
         elif op.kind == OP_NONE:
             pass
@@ -239,6 +248,16 @@ class VTableBuilder:
     def timestamp_table(self, offset: int, arg: int) -> int:
         src = self.table(offset, 8)
         return self._push_op(Op(OP_TIMESTAMP, source=src, arg=arg))
+
+    def ext(self, ext_id: bytes, payload: bytes, arg: int) -> int:
+        data_ref = self.data(payload)
+        return self._push_op(Op(OP_EXT, ext_id=ext_id, data=data_ref, arg=arg))
+
+    def mean(self, window: int, arg: int) -> int:
+        """Attach a windowed-mean stream stage (wkt MeanOp ext op)."""
+        w = Writer()
+        w.varint(window)
+        return self.ext(MEAN_EXT_ID, w.bytes(), arg)
 
     def field(self, offset: int, length: int, arg: int) -> None:
         self.vt.fields.append(Field(offset, length, arg))

@@ -862,3 +862,174 @@ def test_sql_injection_rejected(server):
     # table still intact
     assert client.sql(f"SELECT * FROM {sx}").num_rows == 1
     client.close()
+
+
+def test_sparkline_and_plot_overview(server):
+    """Editor-facing downsample queries (SparklineQuery msgs.rs:549,
+    PlotOverviewQuery msgs.rs:565)."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"pl.alt": edb.f64, "pl.vec": edb.f64[3]})
+    n = 5000
+    for i in range(n):
+        writer.write(
+            timestamp_us=i * 100,
+            values={"pl.alt": float(np.sin(i / 50.0)),
+                    "pl.vec": [float(i), float(-i), 0.5]},
+        )
+    time.sleep(0.5)
+    ts, vals = client.sparkline("pl.alt", 100)
+    assert len(ts) == 100 and len(vals) == 100
+    assert ts[0] == 0 and ts[-1] == (n - 1) * 100  # endpoints kept
+    assert np.abs(vals).max() <= 1.0
+
+    ts2, v2 = client.plot_overview("pl.vec", max_points=64, element_index=1)
+    assert len(ts2) == 64
+    assert v2[0] == 0.0 and v2[-1] == -(n - 1)  # element 1 = -i
+    with pytest.raises(RuntimeError):
+        client.plot_overview("pl.vec", max_points=64, element_index=9)
+    client.close()
+
+
+def test_vtable_stream_with_mean_op(server):
+    """VTableStream forwards raw ingest tables; a MeanOp ext op in the
+    vtable applies a server-side rolling mean (vtable_stream.rs:81)."""
+    import struct
+
+    from elodin_tpu.db.vtable import VTableBuilder
+
+    client = edb.Client.connect(server.addr)
+    # hand-build a vtable: one f64 component with a 4-sample mean stage
+    b = VTableBuilder()
+    comp = b.component("vs.x")
+    sch = b.schema("f64", (), comp)
+    ts = b.timestamp_table(0, sch)
+    mean = b.mean(4, ts)
+    b.field(8, 8, mean)
+    vt = b.build()
+    vt_id = bytes([9, 9])
+    sub = client.vtable_stream(vt_id)
+    time.sleep(0.2)
+
+    raw = edb.Client.connect(server.addr)
+    raw._conn.send_bytes(M.VTableMsg(vt_id, vt).packet())
+    time.sleep(0.2)
+    for i in range(8):
+        body = struct.pack("<q", i * 1000) + struct.pack("<d", float(i))
+        raw._conn.send_bytes(M.frame(M.TY_TABLE, vt_id, body))
+    got = []
+    for _ in range(8):
+        body, fields = next(sub)
+        got.append(struct.unpack("<d", bytes(body[8:16]))[0])
+    # rolling mean of 0..7 over window 4: 0, .5, 1, 1.5, 2.5, 3.5, ...
+    assert got[0] == 0.0 and got[1] == 0.5 and got[4] == 2.5
+    sub.close()
+    raw.close()
+    client.close()
+
+
+def test_timestamped_and_fixed_rate_msg_streams(server):
+    client = edb.Client.connect(server.addr)
+    sub = client.timestamped_msg_stream("tlog")
+    time.sleep(0.2)
+    sender = edb.Client.connect(server.addr)
+    for i in range(3):
+        sender.send_msg("tlog", {"i": i}, timestamp_us=1000 + i)
+    out = [next(sub) for _ in range(3)]
+    assert [ts for ts, _ in out] == [1000, 1001, 1002]
+    sub.close()
+
+    # fixed-rate replay from the log start
+    replay = client.fixed_rate_msg_stream("tlog", frequency=200,
+                                          timestep_ns=1000)
+    ts0, _ = next(replay)
+    assert ts0 == 1000
+    replay.close()
+    sender.close()
+    client.close()
+
+
+def test_follow_stream_history_and_live(server):
+    """FollowStream (msgs.rs:760): metadata + schemas + full history, then
+    live rows."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"fs.x": edb.f64})
+    for i in range(5):
+        writer.write(timestamp_us=i * 10, values={"fs.x": float(i)})
+    client.send_msg("flog", {"k": 1}, timestamp_us=77)
+    time.sleep(0.3)
+
+    req_id = client._conn.next_req_id()
+    q = client._conn.request_stream(M.FollowStream(1500).packet(req_id), req_id)
+    seen_meta = seen_schema = 0
+    rows = []
+    msgs = []
+    deadline = time.time() + 5
+    vtables = {}
+    while time.time() < deadline and (len(rows) < 5 or not msgs):
+        pkt = q.get(timeout=5)
+        if pkt.ty == M.TY_MSG and pkt.id == M.ComponentMetadata.ID:
+            seen_meta += 1
+        elif pkt.ty == M.TY_MSG and pkt.id == M.DumpSchemaResp.ID:
+            seen_schema += 1
+        elif pkt.ty == M.TY_MSG and pkt.id == M.VTableMsg.ID:
+            vtm = M.VTableMsg.decode(pkt.body)
+            vtables[vtm.id] = vtm.vtable
+        elif pkt.ty == M.TY_TABLE and pkt.id in vtables:
+            for f in vtables[pkt.id].realize_fields(pkt.body):
+                rows.append((f["timestamp"], f["data"]))
+        elif pkt.ty == M.TY_MSG_WITH_TIMESTAMP:
+            ts = int.from_bytes(pkt.body[:8], "little", signed=True)
+            msgs.append(ts)
+    assert seen_meta >= 1 and seen_schema == 1
+    assert len(rows) == 5
+    assert msgs == [77]
+    client.close()
+
+
+def test_udp_ingest(server):
+    """The DB accepts the data plane over UDP on the same port
+    (libs/db/src/lib.rs:1649-1699)."""
+    import socket
+    import struct
+
+    vt = build_table_vtable([("udp.x", "f64", (), 8, 8)], timestamp_offset=0)
+    vt_id = bytes([7, 7])
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    addr = ("127.0.0.1", server.port)
+    sock.sendto(M.VTableMsg(vt_id, vt).packet(), addr)
+    time.sleep(0.2)
+    for i in range(4):
+        body = struct.pack("<q", i * 100) + struct.pack("<d", float(i) * 2)
+        sock.sendto(M.frame(M.TY_TABLE, vt_id, body), addr)
+    # and a timestamped message
+    sock.sendto(
+        M.frame(M.TY_MSG_WITH_TIMESTAMP, msg_id("ulog"),
+                struct.pack("<q", 55) + b"\x05"),
+        addr,
+    )
+    time.sleep(0.4)
+    client = edb.Client.connect(server.addr)
+    ts, vals = client.time_series("udp.x")
+    assert list(ts) == [0, 100, 200, 300]
+    assert list(vals) == [0.0, 2.0, 4.0, 6.0]
+    batch = client.get_msgs("ulog")
+    assert batch == [(55, "\x05")]
+    sock.close()
+    client.close()
+
+
+def test_new_msg_wire_roundtrips():
+    """Encode/decode round-trips for the editor-surface messages."""
+    for msg in [
+        M.VTableStream(bytes([1, 2])),
+        M.SparklineQuery("craft_alt", 256),
+        M.PlotOverviewQuery(bytes([0, 3]), 12345, -10, 10**15, 512, 2),
+        M.FixedRateMsgStream(bytes([9, 1]), M.FixedRateOp(7, M.FixedRateBehavior("latest", 10**6, 100))),
+        M.TimestampedMsgStream(bytes([4, 4])),
+        M.FollowStream(9000),
+        M.MeanOp(16),
+    ]:
+        cls = type(msg)
+        assert cls.ID in M.MSG_TYPES
+        decoded = cls.decode(msg.encode())
+        assert decoded == msg, (msg, decoded)
