@@ -177,6 +177,9 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
     liveness = Liveness(getattr(args, "liveness_port", None))
     dt = 1.0 / simulation_rate
     tick = 0
+    paced_ticks = 0
+    behind_deadline = 0  # paced cycles that missed their deadline
+    wall_start = time.perf_counter()
     server = None
     try:
         from .db.server import serve_exec
@@ -203,8 +206,11 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
             if generate_real_time:
                 with metrics.phase("pacing"):
                     elapsed = time.perf_counter() - t0
+                    paced_ticks += 1
                     if elapsed < dt:
                         time.sleep(dt - elapsed)
+                    else:
+                        behind_deadline += 1
         # the reference sim keeps serving the DB after max_ticks
         # (impeller2_server.rs tick loop parks, server stays up); opt in via
         # ELODIN_KEEP_ALIVE so scripted runs still terminate
@@ -225,8 +231,22 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
         if server is not None:
             server.stop()
         metrics.print_summary()
+        wall = time.perf_counter() - wall_start
         metrics.write_summary_json(
-            {"profile": exec_.profile(), "max_ticks": max_ticks}
+            {
+                "profile": exec_.profile(),
+                "max_ticks": max_ticks,
+                # pacing integrity for MC quality gates
+                # (libs/monte-carlo/src/lib.rs:103-117)
+                "paced_ticks": paced_ticks,
+                "behind_deadline": behind_deadline,
+                "behind_deadline_frac": (
+                    behind_deadline / paced_ticks if paced_ticks else 0.0
+                ),
+                "real_time_factor_run": (
+                    (tick * dt) / wall if wall > 0 else 0.0
+                ),
+            }
         )
     return exec_
 

@@ -623,3 +623,52 @@ def test_rc_jet_autopilot_mission():
     assert abs(alt - 160.0) < 10.0, alt
     assert 30.0 < spd < 42.0, spd
     assert abs(ab[1]) < 2.0, ab  # coordinated: low sideslip
+
+
+def test_mc_campaign_quality_retention_artifacts(tmp_path):
+    """Quality gates (degraded != invalid), retention, perf.csv,
+    resources.csv, and the out-dir pid lock
+    (libs/monte-carlo/src/lib.rs:103-117,1165-1178,1369-1373)."""
+    import json
+
+    from elodin_tpu.monte_carlo import run_campaign
+    from elodin_tpu.monte_carlo.campaign import CampaignLock
+
+    sim = os.path.join(EXAMPLES, "monte-carlo", "main.py")
+    if not os.path.exists(sim):
+        pytest.skip("no process-mode main.py")
+    config = {
+        "monte_carlo": {
+            "n_samples": 2,
+            "seed": 1,
+            "variables": {
+                "start_altitude": {"dist": "uniform", "min": 1800, "max": 2200},
+            },
+            # impossible pacing bound -> every real-time run is degraded
+            "quality": {"max_behind_deadline_frac": -1.0},
+            "retention": {
+                "keep_run_db": "always",
+                "prune_on_fail": ["context.json"],
+            },
+        }
+    }
+    out = tmp_path / "out"
+    records = run_campaign(sim, config, out, workers=2, max_ticks=50,
+                           timeout=300)
+    assert all(r["valid"] for r in records)
+    assert all(r["degraded"] for r in records)  # forced-slow marked degraded
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["degraded"] == 2 and summary["invalid"] == 0
+    assert summary["passed"] == 0
+    assert (out / "perf.csv").exists()
+    assert (out / "resources.csv").exists()
+    # retention: degraded runs count as failed -> prune_on_fail applied
+    for r in records:
+        run_dir = out / "runs" / r["run_id"]
+        assert not (run_dir / "context.json").exists()
+
+    # out-dir pid lock: a second campaign on the same dir fails fast
+    lock = CampaignLock(out)
+    with pytest.raises(RuntimeError, match="locked by pid"):
+        run_campaign(sim, config, out, workers=1, max_ticks=10)
+    lock.release()

@@ -187,3 +187,69 @@ def test_s10_supervisor_restart_policies(tmp_path):
         time.sleep(0.1)
     sup2.stop_all()
     assert count(marker2, "y") >= 2
+
+
+def test_s10_liveness_kill(tmp_path):
+    """A hung sim (stale liveness beacon) is killed by the supervisor
+    within the timeout (libs/s10/src/liveness.rs, probe-driven kill)."""
+    import sys
+    import time as _time
+
+    from elodin_tpu.s10 import ProcessRecipe, Supervisor
+
+    child = tmp_path / "hang.py"
+    child.write_text(
+        "import json, socket, sys, time\n"
+        "port = int(sys.argv[sys.argv.index('--liveness-port')+1])\n"
+        "s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)\n"
+        "for _ in range(3):\n"
+        "    s.sendto(json.dumps({'age_s': 0}).encode(), ('127.0.0.1', port))\n"
+        "    time.sleep(0.1)\n"
+        "time.sleep(60)  # hang: no more beacons\n"
+    )
+    recipe = ProcessRecipe(
+        name="hang", cmd=sys.executable, args=[str(child)],
+        liveness_timeout=1.0,
+    )
+    sup = Supervisor()
+    sup.start([recipe])
+    rp = sup.running[0]
+    deadline = _time.monotonic() + 6.0
+    while _time.monotonic() < deadline and rp.poll() is None:
+        sup.tick()
+        _time.sleep(0.2)
+    assert rp.poll() is not None, "hung child was not killed"
+    sup.stop_all()
+
+
+def test_s10_ready_probe_and_watch(tmp_path):
+    import sys
+    import time as _time
+
+    from elodin_tpu.s10 import ProcessRecipe, ReadyProbe, Supervisor
+
+    marker = tmp_path / "ready.marker"
+    src = tmp_path / "watched.txt"
+    src.write_text("v1")
+    child = tmp_path / "serve.py"
+    child.write_text(
+        f"import pathlib, time\n"
+        f"pathlib.Path({str(marker)!r}).write_text('up')\n"
+        f"time.sleep(60)\n"
+    )
+    recipe = ProcessRecipe(
+        name="probe", cmd=sys.executable, args=[str(child)],
+        ready=ReadyProbe(type="file", path=str(marker)),
+        watch=[str(src)],
+    )
+    sup = Supervisor()
+    sup.start([recipe])
+    assert sup.wait_ready(timeout=10.0)
+    pid0 = sup.running[0].proc.pid
+    _time.sleep(0.05)
+    src.write_text("v2")  # source change -> watch restart
+    import os
+    os.utime(src, (os.stat(src).st_atime, os.stat(src).st_mtime + 5))
+    sup.tick()
+    assert sup.running[0].proc.pid != pid0, "watch did not restart child"
+    sup.stop_all()
