@@ -27,28 +27,42 @@ from .vtable import PRIM_NP, build_table_vtable, component_id_of
 sql_table_name = sanitize_sql_table_name
 
 
+_MAX_FIELD_RANK = 3
+
+
 @dataclass(frozen=True)
 class Field:
-    """dtype + shape + labels spec (db.py:71-118)."""
+    """Component schema spec for TableWriter columns: primitive dtype,
+    tensor shape, optional per-element display labels.  Behavioral parity
+    with the reference SDK's field specs (python/elodin/db.py) — built as
+    ``f64[3].labeled("x", "y", "z")`` style chains, each step returning a
+    new frozen spec."""
 
     prim: str
     shape: Tuple[int, ...] = ()
     element_names: Tuple[str, ...] = dc_field(default_factory=tuple)
 
     def __getitem__(self, dims) -> "Field":
-        if isinstance(dims, int):
-            dims = (dims,)
-        dims = tuple(int(d) for d in dims)
-        if len(dims) > 3:
-            raise ValueError("shapes up to rank 3 are supported")
-        if any(d <= 0 for d in dims):
-            raise ValueError(f"invalid shape {dims}")
-        return replace(self, shape=dims)
+        """``field[3]`` / ``field[3, 3]`` — attach a tensor shape."""
+        shape = tuple(np.atleast_1d(np.asarray(dims, dtype=np.int64)).tolist())
+        if not shape or min(shape) < 1:
+            raise ValueError(
+                f"field shape must be positive dims, got {shape!r}"
+            )
+        if len(shape) > _MAX_FIELD_RANK:
+            raise ValueError(
+                f"field rank {len(shape)} exceeds the wire limit of "
+                f"{_MAX_FIELD_RANK}"
+            )
+        return replace(self, shape=shape)
 
     def labeled(self, *names: str) -> "Field":
+        """Attach display labels, one per flattened element."""
         if len(names) != self.count:
-            raise ValueError(f"{len(names)} labels for {self.count} elements")
-        return replace(self, element_names=tuple(names))
+            raise ValueError(
+                f"label count {len(names)} != element count {self.count}"
+            )
+        return replace(self, element_names=tuple(str(n) for n in names))
 
     @property
     def dtype(self) -> np.dtype:
@@ -56,10 +70,7 @@ class Field:
 
     @property
     def count(self) -> int:
-        n = 1
-        for d in self.shape:
-            n *= d
-        return n
+        return int(np.prod(self.shape, dtype=np.int64)) if self.shape else 1
 
     @property
     def nbytes(self) -> int:

@@ -192,6 +192,19 @@ def _fundamental_args(t: float):
 
 
 # Dominant periodic terms of the IAU 2006/2000A X/Y series.
+#
+# TRUNCATION, quantified: the full series (IERS Conventions 2010 tables
+# 5.2a/5.2b) has 1306/962 terms; the 10 largest per axis are kept.  The
+# summed amplitude of omitted terms is ~10 mas in X and ~7 mas in Y, of
+# which the IERS dX/dY celestial-pole offsets (applied on top, see
+# bias_precession_nutation) absorb the slowly-varying part; the residual
+# short-period error is a few mas, i.e. ~0.1-0.5 m of Earth-fixed position
+# for LEO — asserted by the <1 m ECI->ECEF golden in
+# tests/test_frames_wmm.py.  Upgrading to cm-level means ingesting the
+# full tab5.2a/b term files (no offline source for them in this
+# environment); the evaluation loop below already handles arbitrary term
+# counts.
+#
 # Columns: (l, l', F, D, Om) multipliers, sin coeff, cos coeff  [microarcsec]
 _X_TERMS = [
     ((0, 0, 0, 0, 1), -6844318.44, 1328.67),

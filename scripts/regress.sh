@@ -12,7 +12,7 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 export JAX_PLATFORMS=cpu
 
-EXAMPLES=(ball rocket)
+EXAMPLES=(ball three-body stablehlo drone linalg rocket cube-sat)
 TICKS=240
 MODE="${1:-check}"
 

@@ -94,3 +94,86 @@ def test_wmm_secular_variation():
     b5 = np.asarray(wmm.field_ned(np.radians(40.0), np.radians(-105.0), 0.0, 2024.0))
     # field drifts on the order of tens of nT/yr, not thousands
     assert 1.0 < np.abs(b5 - b0).max() < 1000.0
+
+
+def test_egm08_real_coefficient_load_path(tmp_path):
+    """Accuracy test for the C_normal.npy/S_normal.npy load path
+    (reference python/elodin/egm08.py:16-50) with REAL EGM2008 degree-2/3
+    coefficients: the Pines-recursion acceleration must match the gradient
+    of the independently-written textbook spherical-harmonic potential
+    (autodiff oracle) to near machine precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from elodin_tpu.gravity.egm08 import EGM08
+
+    # real EGM2008 normalized coefficients (tide-free), degree <= 3
+    C = np.zeros((4, 4))
+    S = np.zeros((4, 4))
+    C[0, 0] = 1.0
+    C[2, 0] = -484.165143790815e-6
+    C[2, 2] = 2.43938357328313e-6
+    S[2, 2] = -1.40027370385934e-6
+    C[3, 0] = 0.9571612070934731e-6
+    C[3, 1] = 2.03046201047864e-6
+    S[3, 1] = 0.248200415856872e-6
+    np.save(tmp_path / "C_normal.npy", C)
+    np.save(tmp_path / "S_normal.npy", S)
+
+    eg = EGM08(3, cache_directory=str(tmp_path))
+    # confirm the files were actually loaded (not the zonal fallback)
+    np.testing.assert_allclose(np.asarray(eg.c_bar), C)
+    np.testing.assert_allclose(np.asarray(eg.s_bar), S)
+
+    mu, R = eg.mu_earth, eg.r_ref
+
+    def potential(r_vec):
+        """U = mu/r * sum_l (R/r)^l sum_m Pbar_lm(sin phi) *
+        (Cbar cos m lam + Sbar sin m lam) — geodesy normalization,
+        no Condon-Shortley phase; written independently of the Pines code."""
+        x, y, z = r_vec[0], r_vec[1], r_vec[2]
+        r = jnp.sqrt(x * x + y * y + z * z)
+        u = z / r  # sin(latitude)
+        lam = jnp.arctan2(y, x)
+        c = jnp.sqrt(1.0 - u * u)  # cos(latitude)
+        # unnormalized associated Legendre (geodesy sign convention)
+        P = {
+            (2, 0): 0.5 * (3 * u * u - 1),
+            (2, 1): 3 * u * c,
+            (2, 2): 3 * (1 - u * u),
+            (3, 0): 0.5 * (5 * u**3 - 3 * u),
+            (3, 1): c * 1.5 * (5 * u * u - 1),
+            (3, 2): 15 * u * (1 - u * u),
+            (3, 3): 15 * c**3,
+        }
+
+        def nbar(l, m):
+            import math
+
+            k = 1.0 if m == 0 else 2.0
+            return np.sqrt(
+                k * (2 * l + 1) * math.factorial(l - m) / math.factorial(l + m)
+            )
+
+        total = 1.0
+        for (l, m), p in P.items():
+            cb, sb = C[l, m], S[l, m]
+            if cb == 0.0 and sb == 0.0:
+                continue
+            total += (
+                (R / r) ** l
+                * nbar(l, m)
+                * p
+                * (cb * jnp.cos(m * lam) + sb * jnp.sin(m * lam))
+            )
+        return mu / r * total
+
+    grad_u = jax.grad(potential)
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(32, 3))
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True) * 6.878e6
+    got = np.asarray(eg.acceleration(jnp.asarray(pts)))
+    want = np.stack([np.asarray(grad_u(jnp.asarray(p))) for p in pts])
+    scale = np.abs(want).max()
+    err = np.abs(got - want).max() / scale
+    assert err < 1e-12, f"Pines vs potential-gradient mismatch: {err}"
