@@ -135,25 +135,60 @@ def cmd_list(args):
         )
 
 
+_PRIM_CPP = {
+    "f64": "double", "f32": "float", "u64": "uint64_t", "u32": "uint32_t",
+    "u16": "uint16_t", "u8": "uint8_t", "i64": "int64_t", "i32": "int32_t",
+    "i16": "int16_t", "i8": "int8_t", "bool": "bool",
+}
+
+
 def cmd_gen_cpp(args):
-    """Emit a C++ snippet wiring the stored components to the single-header
-    client (native/include/elodin_db.hpp), parity with `elodin-db gen-cpp`."""
+    """Emit C++ bindings for the stored schema — writer wiring PLUS typed
+    per-component row structs with a Row::write(...) aggregate (parity with
+    the reference's RON-driven codegen, libs/postcard-c/codegen)."""
     db = Database(args.path)
-    lines = [
-        "// generated by elodin-db gen-cpp",
-        '#include "elodin_db.hpp"',
-        "",
-        "inline elodin::TableWriter make_writer(elodin::Client& client) {",
-        "    return elodin::TableWriter(client, {",
-    ]
     prim_names = {
         "f64": "F64", "f32": "F32", "u64": "U64", "u32": "U32", "u16": "U16",
         "u8": "U8", "i64": "I64", "i32": "I32", "i16": "I16", "i8": "I8",
         "bool": "Bool",
     }
-    for store in sorted(db.components.values(), key=lambda s: s.name or ""):
-        if not store.name:
-            continue
+    stores = [
+        s for s in sorted(db.components.values(), key=lambda s: s.name or "")
+        if s.name
+    ]
+    lines = [
+        "// generated by elodin-db gen-cpp — do not edit",
+        "#pragma once",
+        '#include "elodin_db.hpp"',
+        "",
+    ]
+    # typed row structs: one member per component, flattened element counts
+    lines.append("struct Row {")
+    members = []
+    for store in stores:
+        cpp = _PRIM_CPP[store.prim]
+        ident = "".join(
+            c if (c.isalnum() or c == "_") else "_" for c in store.name
+        )
+        n = store.elem_count
+        decl = f"{cpp} {ident}" + (f"[{n}]" if n > 1 else "")
+        lines.append(f"    {decl} = {{}};  // {store.name} {store.shape}")
+        members.append((ident, n))
+    lines += [
+        "",
+        "    void write(elodin::TableWriter& w, int64_t timestamp_us) {",
+        "        w.write(timestamp_us, {",
+    ]
+    for ident, n in members:
+        ref = f"&{ident}" if n == 1 else ident
+        lines.append(f"            {ref},")
+    lines += ["        });", "    }", "};", ""]
+
+    lines += [
+        "inline elodin::TableWriter make_writer(elodin::Client& client) {",
+        "    return elodin::TableWriter(client, {",
+    ]
+    for store in stores:
         shape = ", ".join(str(s) for s in store.shape)
         lines.append(
             f'        {{"{store.name}", elodin::PrimType::'
@@ -162,7 +197,7 @@ def cmd_gen_cpp(args):
     lines += ["    });", "}", ""]
     out = Path(args.output)
     out.write_text("\n".join(lines))
-    print(f"wrote {out}")
+    print(f"wrote {out} ({len(stores)} components)")
 
 
 WALLCLOCK_MIN_US = 946_684_800_000_000  # 2000-01-01: below this = monotonic

@@ -92,3 +92,136 @@ def test_component_store_uses_native_backend(tmp_path):
     re = ComponentStore.load(tmp_path / "comp")
     assert re.len == 10
     np.testing.assert_allclose(re.values[:10], 1.0)
+
+
+@pytest.fixture(scope="module")
+def postcard_c(tmp_path_factory):
+    out = tmp_path_factory.mktemp("native") / "postcard_diff"
+    src = os.path.join(NATIVE, "examples", "postcard_diff.c")
+    inc = os.path.join(NATIVE, "include")
+    proc = subprocess.run(
+        ["gcc", "-std=c11", "-O2", "-Wall", "-Werror", f"-I{inc}", src,
+         "-o", str(out)],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        pytest.fail(f"postcard.h failed to compile:\n{proc.stderr}")
+    return str(out)
+
+
+def _python_battery_bytes() -> bytes:
+    from elodin_tpu.db.postcard import Writer
+
+    w = Writer()
+    w.varint(0).varint(127).varint(128).varint(300).varint(1 << 40)
+    w.zigzag(0).zigzag(-1).zigzag(1).zigzag(-(1 << 40))
+    w.string("héllo").bytes_(b"\x00\x01")
+    w.option(None, lambda w, v: w.varint(v))
+    w.option(5, lambda w, v: w.varint(v))
+    w.bool(True).u8(200).f32(1.5).f64(-2.25)
+    w.discriminant(2)
+    w.varint(3)  # seq length prefix
+    return w.bytes()
+
+
+def test_postcard_c_encode_matches_python(postcard_c):
+    """C encoder output is byte-identical to the Python codec
+    (postcard-c parity, libs/postcard-c/postcard.h)."""
+    proc = subprocess.run([postcard_c, "encode"], capture_output=True,
+                          text=True, timeout=30)
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout.strip() == _python_battery_bytes().hex()
+
+
+def test_postcard_c_decodes_python_bytes(postcard_c):
+    data = _python_battery_bytes()
+    proc = subprocess.run([postcard_c, "decode", data.hex()],
+                          capture_output=True, text=True, timeout=30)
+    assert proc.returncode == 0, proc.stderr
+    lines = proc.stdout.splitlines()
+    assert lines[:5] == ["u 0", "u 127", "u 128", "u 300",
+                         f"u {1 << 40}"]
+    assert lines[5:9] == ["i 0", "i -1", "i 1", f"i {-(1 << 40)}"]
+    assert lines[9] == "s héllo"
+    assert lines[10] == "b 2"
+    assert lines[11] == "opt 0"
+    assert lines[12] == "opt 1 5"
+    assert lines[13] == "scalars 1 200 1.50 -2.25"
+    assert lines[14] == "enum 2 seq 3"
+    assert lines[15] == f"consumed {len(data)} of {len(data)}"
+
+
+def test_postcard_c_id_derivations(postcard_c):
+    from elodin_tpu.db.postcard import msg_id
+    from elodin_tpu.db.vtable import component_id_of
+
+    proc = subprocess.run([postcard_c, "ids"], capture_output=True,
+                          text=True, timeout=30)
+    assert proc.returncode == 0, proc.stderr
+    lines = proc.stdout.splitlines()
+    assert lines[0] == f"cid {component_id_of('rocket.world_pos'):016x}"
+    assert lines[1] == f"mid {msg_id('my_msg').hex()}"
+
+
+def test_gen_cpp_typed_structs_compile_and_write(tmp_path):
+    """gen-cpp emits typed Row structs + writer wiring that compile and
+    round-trip real rows (postcard-c codegen parity)."""
+    import sys
+    import textwrap
+
+    srv = edb.Server.start(str(tmp_path / "db"))
+    try:
+        client = edb.Client.connect(srv.addr)
+        writer = client.table_writer(
+            {"gen.pos": edb.f64[3], "gen.flag": edb.f64}
+        )
+        writer.write(timestamp_us=1, values={"gen.pos": [1, 2, 3], "gen.flag": 0.0})
+        time.sleep(0.3)
+        writer.close()
+
+        gen = tmp_path / "gen.hpp"
+        proc = subprocess.run(
+            [sys.executable, "-m", "elodin_tpu.db", "gen-cpp",
+             str(tmp_path / "db"), "--output", str(gen)],
+            capture_output=True, text=True, cwd=ROOT,
+        )
+        assert proc.returncode == 0, proc.stderr
+        text = gen.read_text()
+        assert "double gen_pos[3]" in text and "double gen_flag" in text
+
+        main_cpp = tmp_path / "writer_main.cpp"
+        main_cpp.write_text(textwrap.dedent(f'''
+            #include "{gen}"
+            #include <cstdio>
+            int main(int argc, char** argv) {{
+                elodin::Client c("127.0.0.1", (uint16_t)atoi(argv[1]));
+                auto w = make_writer(c);
+                Row row;
+                for (int i = 0; i < 10; i++) {{
+                    row.gen_pos[0] = i; row.gen_pos[1] = 2.0 * i;
+                    row.gen_pos[2] = -i; row.gen_flag = 1.0;
+                    row.write(w, 1000 + i);
+                }}
+                std::printf("wrote 10 rows\\n");
+                return 0;
+            }}
+        '''))
+        exe = tmp_path / "writer_main"
+        inc = os.path.join(NATIVE, "include")
+        proc = subprocess.run(
+            ["g++", "-std=c++20", "-O2", f"-I{inc}", str(main_cpp),
+             "-o", str(exe)],
+            capture_output=True, text=True,
+        )
+        assert proc.returncode == 0, f"generated header failed:\n{proc.stderr}"
+        port = srv.addr.rsplit(":", 1)[1]
+        proc = subprocess.run([str(exe), port], capture_output=True,
+                              text=True, timeout=30)
+        assert proc.returncode == 0, proc.stderr
+        time.sleep(0.4)
+        ts, vals = client.time_series("gen.pos", start_us=500)
+        assert len(ts) == 10
+        np.testing.assert_allclose(vals[-1], [9.0, 18.0, -9.0])
+        client.close()
+    finally:
+        srv.stop()
