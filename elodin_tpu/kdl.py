@@ -129,6 +129,64 @@ def parse(text: str) -> list[Node]:
     return parse_nodes(stop_at_rbrace=False)
 
 
+def _fmt_value(v) -> str:
+    if isinstance(v, bool):
+        return "#true" if v else "#false"
+    if v is None:
+        return "#null"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v)
+    if s and re.fullmatch(r"[^\s{}=;\"#][^\s{}=;\"]*", s):
+        return s  # bare identifier
+    escaped = s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    return f'"{escaped}"'
+
+
+def serialize(nodes: list[Node], indent: int = 0) -> str:
+    """Render nodes back to KDL text (impeller2_kdl ser.rs equivalent).
+    Round-trips through ``parse`` value-exactly."""
+    pad = "    " * indent
+    out = []
+    for n in nodes:
+        parts = [_fmt_value(n.name) if not re.fullmatch(
+            r"[^\s{}=;\"]+", n.name) else n.name]
+        parts += [_fmt_value(a) for a in n.args]
+        parts += [f"{k}={_fmt_value(v)}" for k, v in n.props.items()]
+        line = pad + " ".join(parts)
+        if n.children:
+            line += " {\n" + serialize(n.children, indent + 1) + "\n" + pad + "}"
+        out.append(line)
+    return "\n".join(out)
+
+
+_PATH_PROPS = ("glb", "file", "path", "mesh", "texture", "effect")
+_PATH_SUFFIXES = (".glb", ".gltf", ".png", ".jpg", ".ktx2", ".effect", ".ron")
+
+
+def rewrite_asset_paths(text: str, map_fn) -> str:
+    """Rewrite every asset-path value in a schematic through ``map_fn``
+    (impeller2_kdl rewrite.rs rewrite_asset_paths/rewrite_glb_paths):
+    path-bearing properties and any argument with an asset-file suffix.
+    Returns the serialized document."""
+    nodes = parse(text)
+    for root in nodes:
+        for n in root.walk():
+            for k in list(n.props):
+                v = n.props[k]
+                if isinstance(v, str) and (
+                    k in _PATH_PROPS or v.lower().endswith(_PATH_SUFFIXES)
+                ):
+                    n.props[k] = map_fn(v)
+            n.args = [
+                map_fn(a)
+                if isinstance(a, str) and a.lower().endswith(_PATH_SUFFIXES)
+                else a
+                for a in n.args
+            ]
+    return serialize(nodes)
+
+
 def schematic_components(text: str) -> list[str]:
     """Component paths referenced by a schematic (graphs, object_3d,
     line_3d anchors) — what the editor subscribes to."""

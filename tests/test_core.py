@@ -1062,3 +1062,37 @@ def test_telemetry_commit_off_step_loop():
     # 20 x 5ms of commit sleep would cost >=100ms if it ran on the loop;
     # allow generous slack for the jitted step itself
     assert loop_wall < 0.09, f"commit blocked the step loop: {loop_wall:.3f}s"
+
+
+def test_kdl_serialize_roundtrip_and_rewrite():
+    """KDL serializer + asset-path rewrite (impeller2_kdl ser.rs /
+    rewrite.rs equivalents)."""
+    from elodin_tpu import kdl
+
+    text = '''
+    coordinate frame=ECEF
+    hsplit {
+        tabs share=0.25 { hierarchy; viewport name="Main View" hdr=#true }
+        object_3d "sat.world_pos" { glb "models/sat.glb" scale=2.5 }
+        graph "sat.world_pos" name=Graph
+    }
+    '''
+    nodes = kdl.parse(text)
+    round2 = kdl.parse(kdl.serialize(nodes))
+
+    def strip(ns):
+        return [
+            (n.name, n.args, n.props, strip(n.children)) for n in ns
+        ]
+
+    assert strip(nodes) == strip(round2)
+
+    rewritten = kdl.rewrite_asset_paths(text, lambda p: "db:" + p)
+    out = kdl.parse(rewritten)
+    glb = [n for r in out for n in r.walk() if n.name == "glb"][0]
+    assert glb.args[0] == "db:models/sat.glb"
+    assert glb.props["scale"] == 2.5
+    # non-path values untouched
+    assert [n for r in out for n in r.walk() if n.name == "viewport"][0].props[
+        "name"
+    ] == "Main View"

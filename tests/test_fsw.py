@@ -253,3 +253,78 @@ def test_s10_ready_probe_and_watch(tmp_path):
     sup.tick()
     assert sup.running[0].proc.pid != pid0, "watch did not restart child"
     sup.stop_all()
+
+
+def test_serial_bridge_pty_to_db(tmp_path):
+    """UART->DB bridge (fsw/serial-bridge equivalent): COBS-framed
+    impeller2 packets written to a pty end up in the database."""
+    import os
+    import struct
+    import time
+
+    import elodin_tpu.db as edb
+    from elodin_tpu.db import msgs as M
+    from elodin_tpu.db.vtable import build_table_vtable
+    from elodin_tpu.fsw_services import SerialBridge, frame_packet_cobs
+
+    srv = edb.Server.start(str(tmp_path / "db"))
+    try:
+        master, slave = os.openpty()
+        bridge = SerialBridge(slave, srv.addr)
+
+        vt = build_table_vtable([("uart.imu", "f64", (3,), 8, 24)],
+                                timestamp_offset=0)
+        vt_id = bytes([6, 1])
+        os.write(master, frame_packet_cobs(M.VTableMsg(vt_id, vt).packet()))
+        from elodin_tpu.db.vtable import component_id_of
+        os.write(master, frame_packet_cobs(M.SetComponentMetadata(
+            component_id_of("uart.imu"), "uart.imu", {}).packet()))
+        time.sleep(0.3)
+        for i in range(5):
+            body = struct.pack("<q", i * 10) + struct.pack(
+                "<3d", float(i), 0.5, -float(i)
+            )
+            os.write(master, frame_packet_cobs(
+                M.frame(M.TY_TABLE, vt_id, body)))
+        time.sleep(0.5)
+
+        client = edb.Client.connect(srv.addr)
+        ts, vals = client.time_series("uart.imu")
+        assert list(ts) == [0, 10, 20, 30, 40]
+        np.testing.assert_allclose(vals[-1], [4.0, 0.5, -4.0])
+        assert bridge.frames_forwarded == 7
+        client.close()
+        bridge.stop()
+        os.close(master)
+    finally:
+        srv.stop()
+
+
+def test_blackbox_decode(tmp_path):
+    """Blackbox log decode (fsw/blackbox equivalent): a file of COBS
+    frames replays into a Database."""
+    import struct
+
+    from elodin_tpu.db import msgs as M
+    from elodin_tpu.db.postcard import msg_id
+    from elodin_tpu.db.vtable import build_table_vtable, component_id_of
+    from elodin_tpu.fsw_services import decode_blackbox, frame_packet_cobs
+
+    vt = build_table_vtable([("bb.alt", "f64", (), 8, 8)], timestamp_offset=0)
+    vt_id = bytes([6, 2])
+    log = tmp_path / "blackbox.bin"
+    with open(log, "wb") as f:
+        f.write(frame_packet_cobs(M.VTableMsg(vt_id, vt).packet()))
+        for i in range(10):
+            body = struct.pack("<q", i * 1000) + struct.pack("<d", i * 1.5)
+            f.write(frame_packet_cobs(M.frame(M.TY_TABLE, vt_id, body)))
+        f.write(frame_packet_cobs(M.frame(
+            M.TY_MSG_WITH_TIMESTAMP, msg_id("bb_event"),
+            struct.pack("<q", 5000) + b"apogee")))
+
+    db = decode_blackbox(str(log))
+    store = db.components[component_id_of("bb.alt")]
+    assert store.len == 10
+    assert store.values[9, 0] == 13.5
+    entries = db.msg_log(msg_id("bb_event")).entries
+    assert entries == [(5000, b"apogee")]
