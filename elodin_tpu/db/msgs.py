@@ -778,6 +778,69 @@ class FollowStream(MsgBase):
 
 
 @dataclass
+class NewConnection(MsgBase):
+    """Connection hello (msgs.rs:434-438)."""
+
+    ID = bytes([225, 1])
+
+    def write(self, w: Writer) -> None:
+        pass
+
+    @classmethod
+    def read(cls, r: Reader) -> "NewConnection":
+        return cls()
+
+
+@dataclass
+class ConnectionSettings(MsgBase):
+    """Per-connection behavior flags (msgs.rs:440-448): silent=True means
+    the server sends no replies on this connection."""
+
+    ID = bytes([224, 39])
+    silent: bool = False
+
+    def write(self, w: Writer) -> None:
+        w.bool(self.silent)
+
+    @classmethod
+    def read(cls, r: Reader) -> "ConnectionSettings":
+        return cls(r.bool() if r.remaining() else False)
+
+
+@dataclass
+class GetMsgMetadata(MsgBase):
+    """Request a message log's metadata (msgs.rs:690-701)."""
+
+    ID = bytes([224, 33])
+    msg_id: bytes = b"\x00\x00"
+
+    def write(self, w: Writer) -> None:
+        w.raw(self.msg_id)
+
+    @classmethod
+    def read(cls, r: Reader) -> "GetMsgMetadata":
+        return cls(r.raw(2))
+
+
+@dataclass
+class UdpVTableStream(MsgBase):
+    """Mirror one vtable id's raw tables to a UDP address
+    (msgs.rs:733-737)."""
+
+    ID = auto_msg_id("UdpVTableStream")
+    id: bytes = b"\x00\x00"
+    addr: str = ""
+
+    def write(self, w: Writer) -> None:
+        w.raw(self.id)
+        w.string(self.addr)
+
+    @classmethod
+    def read(cls, r: Reader) -> "UdpVTableStream":
+        return cls(r.raw(2), r.string())
+
+
+@dataclass
 class MeanOp(MsgBase):
     """Windowed-mean stream stage, referenced as a vtable ext op
     (msgs.rs:797-799, applied in db/src/vtable_stream.rs:81-83)."""
@@ -805,5 +868,6 @@ MSG_TYPES = {
         ArchiveSaved, UdpUnicast, LogEntry,
         VTableStream, SparklineQuery, PlotOverviewQuery, FixedRateMsgStream,
         TimestampedMsgStream, FollowStream, MeanOp,
+        NewConnection, ConnectionSettings, GetMsgMetadata, UdpVTableStream,
     ]
 }

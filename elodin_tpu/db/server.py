@@ -32,8 +32,11 @@ class Connection:
         self.sub_queue: asyncio.Queue | None = None
         self.msg_subs: set[bytes] = set()
         self.send_lock = asyncio.Lock()
+        self.silent = False  # ConnectionSettings{silent}: suppress replies
 
     async def send(self, data: bytes) -> None:
+        if self.silent:
+            return
         async with self.send_lock:
             self.writer.write(data)
             await self.writer.drain()
@@ -407,6 +410,37 @@ class Connection:
 
     async def on_StoreAsset(self, msg: M.StoreAsset, req_id: int) -> None:
         self.db.assets.put(msg.key, msg.data)
+
+    async def on_NewConnection(self, msg, req_id: int) -> None:
+        pass  # connection hello; no reply (msgs.rs:434)
+
+    async def on_ConnectionSettings(self, msg: M.ConnectionSettings, req_id: int) -> None:
+        self.silent = msg.silent
+
+    async def on_GetMsgMetadata(self, msg: M.GetMsgMetadata, req_id: int) -> None:
+        log = self.db.msg_logs.get(msg.msg_id)
+        meta = getattr(log, "metadata", None) if log is not None else None
+        if meta is None:
+            await self.send(M.ErrorResponse("msg metadata not found").packet(req_id))
+            return
+        await self.send(meta.packet(req_id))
+
+    async def on_UdpVTableStream(self, msg: M.UdpVTableStream, req_id: int) -> None:
+        """Mirror raw tables of one vtable id to a UDP address
+        (msgs.rs:733; udp mirror at libs/db)."""
+        import socket as _socket
+
+        host, _, port = msg.addr.rpartition(":")
+        sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        dest = (host or "127.0.0.1", int(port))
+
+        class _UdpSink:
+            async def send(self, data: bytes) -> None:
+                sock.sendto(data, dest)
+
+        self.server.vtable_stream_subs.setdefault(msg.id, []).append(
+            (_UdpSink(), req_id, {})
+        )
 
     # -- editor-facing stream/query surface --------------------------------
 

@@ -1028,6 +1028,10 @@ def test_new_msg_wire_roundtrips():
         M.TimestampedMsgStream(bytes([4, 4])),
         M.FollowStream(9000),
         M.MeanOp(16),
+        M.NewConnection(),
+        M.ConnectionSettings(True),
+        M.GetMsgMetadata(bytes([1, 9])),
+        M.UdpVTableStream(bytes([2, 2]), "127.0.0.1:9000"),
     ]:
         cls = type(msg)
         assert cls.ID in M.MSG_TYPES
