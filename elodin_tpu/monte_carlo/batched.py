@@ -128,14 +128,34 @@ class BatchedCampaign:
         return fn
 
     def run(self, ticks: int) -> BatchedResult:
-        fn = self._runner(ticks)
-        # compile outside the timed region (first call compiles)
+        """Run the campaign, segmented into bounded-duration device
+        launches.
+
+        One monolithic launch of samples x ticks can run for minutes;
+        runtimes commonly bound single-execution time (and preemption /
+        health-checking favors shorter launches), so the tick loop is split
+        into ELODIN_MC_SEGMENT_TICKS chunks (default 20000) with state
+        staying on device between launches — same math, same result, one
+        extra dispatch per segment."""
+        import os
+
+        seg = int(os.environ.get("ELODIN_MC_SEGMENT_TICKS", "20000"))
+        seg = max(1, min(seg, ticks))
+        n_full, rem = divmod(ticks, seg)
+        fn = self._runner(seg)
         compiled = fn.lower(self.cols).compile()
+        compiled_rem = None
+        if rem:
+            compiled_rem = self._runner(rem).lower(self.cols).compile()
         t0 = time.perf_counter()
-        final = compiled(self.cols)
-        jax.block_until_ready(final)
+        cols = self.cols
+        for _ in range(n_full):
+            cols = dict(compiled(cols))
+        if compiled_rem is not None:
+            cols = dict(compiled_rem(cols))
+        jax.block_until_ready(cols)
         wall = time.perf_counter() - t0
-        self.cols = dict(final)
+        self.cols = cols
         return BatchedResult(self.meta, self.cols, self.n, wall, ticks)
 
 
