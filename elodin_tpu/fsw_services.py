@@ -136,3 +136,87 @@ def decode_blackbox(log_path: str, db_path: str | None = None) -> Database:
     db = Database(db_path)
     BlackboxDecoder(db).feed_file(log_path)
     return db
+
+
+class HostTelemetryBridge:
+    """Publish host/SoC stats into the DB at a fixed rate
+    (fsw/tegrastats-bridge equivalent, generalized from Jetson tegrastats
+    to /proc): cpu busy fraction, mem used/total, load average, under
+    ``<prefix>.cpu`` / ``<prefix>.mem`` / ``<prefix>.load``."""
+
+    def __init__(self, db_addr: str, prefix: str = "host",
+                 rate_hz: float = 1.0):
+        from .db.client import Client, f64
+
+        self.client = Client.connect(db_addr)
+        self.writer = self.client.table_writer(
+            {
+                f"{prefix}.cpu": f64,
+                f"{prefix}.mem": f64[2].labeled("used_kb", "total_kb"),
+                f"{prefix}.load": f64,
+            }
+        )
+        self.rate_hz = rate_hz
+        self.samples = 0
+        self._prev_cpu: tuple[int, int] | None = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._pump, daemon=True,
+                                        name="host-telemetry")
+        self._thread.start()
+
+    @staticmethod
+    def _cpu_times() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(p) for p in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals), idle
+
+    @staticmethod
+    def _mem_kb() -> tuple[float, float]:
+        total = avail = 0.0
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total = float(line.split()[1])
+                elif line.startswith("MemAvailable:"):
+                    avail = float(line.split()[1])
+        return total - avail, total
+
+    def sample(self) -> dict:
+        total, idle = self._cpu_times()
+        busy = 0.0
+        if self._prev_cpu is not None:
+            dt_total = total - self._prev_cpu[0]
+            dt_idle = idle - self._prev_cpu[1]
+            busy = 1.0 - dt_idle / dt_total if dt_total else 0.0
+        self._prev_cpu = (total, idle)
+        used, total_kb = self._mem_kb()
+        return {
+            "cpu": busy,
+            "mem": [used, total_kb],
+            "load": os.getloadavg()[0],
+        }
+
+    def _pump(self) -> None:
+        prefix = self.writer.fields[0].name.rsplit(".", 1)[0]
+        while not self._stop.wait(1.0 / self.rate_hz):
+            s = self.sample()
+            try:
+                self.writer.write(
+                    timestamp_us=now_timestamp_us(),
+                    values={
+                        f"{prefix}.cpu": s["cpu"],
+                        f"{prefix}.mem": s["mem"],
+                        f"{prefix}.load": s["load"],
+                    },
+                )
+                self.samples += 1
+            except Exception:
+                break
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self.writer.close()
+        self.client.close()

@@ -1096,3 +1096,29 @@ def test_kdl_serialize_roundtrip_and_rewrite():
     assert [n for r in out for n in r.walk() if n.name == "viewport"][0].props[
         "name"
     ] == "Main View"
+
+
+def test_per_component_float_policy():
+    """SURVEY §7(e): per-component precision — an f32 column and an f64
+    column coexist in one world, dtypes preserved through the jitted tick
+    (the global set_float_policy only sets the DEFAULT for untyped
+    components)."""
+    X32 = ty.Annotated[jax.Array, el.Component("px32", el.ComponentType.F32)]
+    X64 = ty.Annotated[jax.Array, el.Component("px64", el.ComponentType.F64)]
+
+    @dataclass
+    class T(el.Archetype):
+        a: X32
+        b: X64
+
+    @el.system
+    def bump(q: el.Query[X32, X64]) -> el.Query[X32, X64]:
+        return q.map((X32, X64), lambda a, b: (a * 1.5, b + a.astype(b.dtype)))
+
+    w = el.World()
+    w.spawn(T(numpy.float32(1.0), numpy.float64(2.0)), "e")
+    ex = w.build(bump)
+    ex.run(3)
+    assert str(ex.cols["px32"].dtype) == "float32"
+    assert str(ex.cols["px64"].dtype) == "float64"
+    assert float(ex.cols["px32"][0]) == 3.375

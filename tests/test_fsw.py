@@ -328,3 +328,29 @@ def test_blackbox_decode(tmp_path):
     assert store.values[9, 0] == 13.5
     entries = db.msg_log(msg_id("bb_event")).entries
     assert entries == [(5000, b"apogee")]
+
+
+def test_host_telemetry_bridge(tmp_path):
+    """tegrastats-bridge equivalent: host cpu/mem/load published into the
+    DB at a fixed rate."""
+    import time
+
+    import elodin_tpu.db as edb
+    from elodin_tpu.fsw_services import HostTelemetryBridge
+
+    srv = edb.Server.start(str(tmp_path / "db"))
+    try:
+        bridge = HostTelemetryBridge(srv.addr, prefix="soc", rate_hz=20.0)
+        deadline = time.time() + 10
+        while time.time() < deadline and bridge.samples < 5:
+            time.sleep(0.1)
+        bridge.stop()
+        client = edb.Client.connect(srv.addr)
+        ts, cpu = client.time_series("soc.cpu")
+        _, mem = client.time_series("soc.mem")
+        assert len(ts) >= 5
+        assert (cpu >= 0.0).all() and (cpu <= 1.0).all()
+        assert (mem[:, 1] > 0).all() and (mem[:, 0] <= mem[:, 1]).all()
+        client.close()
+    finally:
+        srv.stop()
