@@ -36,6 +36,92 @@ def cmd_run(args):
         srv.stop()
 
 
+def _render_table(headers: list[str], rows: list[list[str]]) -> str:
+    """Rounded box-drawing table, matching the reference `elodin-db query`
+    output format (libs/db/tests_query/query_cli_goldie.rs goldens)."""
+    widths = [
+        max(len(h), *(len(r[i]) for r in rows)) if rows else len(h)
+        for i, h in enumerate(headers)
+    ]
+
+    def line(left, mid, right):
+        return left + mid.join("─" * (w + 2) for w in widths) + right
+
+    def row(cells):
+        return "│" + "│".join(
+            f" {c:<{w}} " for c, w in zip(cells, widths)
+        ) + "│"
+
+    out = [line("╭", "┬", "╮"), row(headers), line("├", "┼", "┤")]
+    out += [row(r) for r in rows]
+    out.append(line("╰", "┴", "╯"))
+    return "\n".join(out) + "\n"
+
+
+def _fmt_query_value(v, prim: str | None, precision: str) -> str:
+    if prim == "bool":
+        return "true" if float(v) != 0.0 else "false"
+    if prim in ("u8", "u16", "u32", "u64", "i8", "i16", "i32", "i64"):
+        return str(int(v))
+    f = float(v)
+    if precision == "full":
+        s = repr(f)
+        return s[:-2] if s.endswith(".0") and f == int(f) else s
+    return f"{f:.6g}"
+
+
+def cmd_query(args):
+    """`elodin-db query --sql ... | --eql ... <path>` — pretty-printed
+    query results (libs/db query CLI, golden-tested against the reference
+    tests_query fixtures)."""
+    db = Database(args.path)
+    prim_by_col: dict[str, str] = {}
+    from .sql import _element_columns
+
+    for store in db.components.values():
+        for col in _element_columns(store):
+            prim_by_col[col] = store.prim
+
+    if args.sql:
+        from .sql import run_sql
+
+        table = run_sql(db, args.sql)
+        headers, columns = [], []
+        for name in table.column_names:
+            col = table[name]
+            if name == "time" or name.endswith(".time"):
+                headers.append("time (s)")
+                import pyarrow as pa
+
+                vals = col.cast(pa.int64()).to_pylist()
+                columns.append([_fmt_query_value(v / 1e6, None, args.precision)
+                                for v in vals])
+            else:
+                headers.append(name)
+                prim = prim_by_col.get(name.rsplit(".", 1)[-1], None)
+                columns.append(
+                    [_fmt_query_value(v, prim, args.precision)
+                     for v in col.to_pylist()]
+                )
+        rows = [list(r) for r in zip(*columns)] if columns else []
+    else:
+        from .eql import eql
+
+        series = eql(db, args.eql)
+        headers = ["time (s)", series.label]
+        vals = series.values
+        rows = [
+            [_fmt_query_value(t / 1e6, None, args.precision),
+             _fmt_query_value(
+                 v if not hasattr(v, "__len__") else v[0], None,
+                 args.precision)]
+            for t, v in zip(series.time, vals)
+        ]
+    import sys as _sys
+
+    _sys.stdout.write(_render_table(headers, rows))
+
+
 def cmd_export(args):
     from .export import export_csv_joined, save_archive
 
@@ -343,6 +429,14 @@ def main(argv=None):
     run_p.add_argument("path", nargs="?", default=None)
     run_p.add_argument("--addr", default="127.0.0.1:2240")
     run_p.set_defaults(fn=cmd_run)
+
+    qry = sub.add_parser("query", help="run a SQL/EQL query, pretty-print")
+    qry.add_argument("path")
+    qry.add_argument("--sql", default=None)
+    qry.add_argument("--eql", default=None)
+    qry.add_argument("--precision", default="short",
+                     choices=("short", "full"))
+    qry.set_defaults(fn=cmd_query)
 
     exp = sub.add_parser("export")
     exp.add_argument("path")

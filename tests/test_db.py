@@ -1037,3 +1037,77 @@ def test_new_msg_wire_roundtrips():
         assert cls.ID in M.MSG_TYPES
         decoded = cls.decode(msg.encode())
         assert decoded == msg, (msg, decoded)
+
+
+def test_query_cli_bool_alternating_golden(tmp_path):
+    """Replicates the reference golden
+    (libs/db/tests_query/query_cli_goldie.rs
+    query_cli_bool_alternating_pattern + its .golden file): a bool
+    component queried through the query CLI renders the exact table."""
+    import subprocess
+    import sys
+
+    from elodin_tpu.db.storage import Database
+
+    db = Database(str(tmp_path / "db"))
+    cid = component_id_of("goldie.bool_alternating")
+    store = db.get_or_create(cid, "bool", (), "bool_alternating")
+    for i, byte in enumerate([1, 0, 1, 0]):
+        store.append(1000 * (i + 1), bytes([byte]))
+    db.flush()
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "elodin_tpu.db", "query",
+         "--sql", "SELECT * FROM bool_alternating",
+         "--precision", "full", str(tmp_path / "db")],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    golden = (
+        "╭──────────┬──────────────────╮\n"
+        "│ time (s) │ bool_alternating │\n"
+        "├──────────┼──────────────────┤\n"
+        "│ 0.001    │ true             │\n"
+        "│ 0.002    │ false            │\n"
+        "│ 0.003    │ true             │\n"
+        "│ 0.004    │ false            │\n"
+        "╰──────────┴──────────────────╯\n"
+    )
+    assert proc.stdout == golden, proc.stdout
+
+
+def test_csv_export_flatten_and_edge_floats(tmp_path):
+    """Semantic parity with the reference csv-export goldens
+    (libs/db/tests_query/csv_export_goldie.rs): element_names metadata
+    drives flattened column suffixes, and NaN/inf/tiny floats survive
+    export."""
+    import csv as _csv
+    import math
+
+    from elodin_tpu.db.export import save_archive
+    from elodin_tpu.db.storage import Database
+
+    db = Database(str(tmp_path / "db"))
+    cid = component_id_of("edge_floats")
+    store = db.get_or_create(cid, "f64", (4,), "edge_floats")
+    store.set_metadata(metadata={"element_names": "nan,pinf,ninf,tiny"})
+    for i in range(3):
+        vals = np.array([np.nan, np.inf, -np.inf, (i + 1) * 1e-7])
+        store.append(1_700_000_000_000_000 + i * 1_000_000, vals.tobytes())
+    db.flush()
+
+    out = tmp_path / "export"
+    save_archive(db, str(out), "csv")
+    files = list(out.glob("*.csv"))
+    assert files, "no csv exported"
+    with open(files[0]) as f:
+        rows = list(_csv.reader(f))
+    header = rows[0]
+    # flattened per-element columns named by element_names
+    for suffix in ("nan", "pinf", "ninf", "tiny"):
+        assert any(suffix in h for h in header), header
+    body = rows[1]
+    vals = body[-4:]
+    assert math.isnan(float(vals[0]))
+    assert float(vals[1]) == math.inf and float(vals[2]) == -math.inf
+    assert abs(float(vals[3]) - 1e-7) < 1e-20
