@@ -45,11 +45,34 @@ def main(argv=None) -> None:
     elif cmd == "monte-carlo":
         _monte_carlo(rest)
     elif cmd == "editor":
-        # no GUI in this build: resolve the target and serve its DB so an
-        # external editor can attach (apps/elodin/src/cli/editor.rs:125-211)
+        # no GUI in this build: resolve the target the way the reference
+        # editor does (apps/elodin/src/cli/editor.rs:125-211 — py file,
+        # s10.toml, DB address, replay dir) and serve its DB so an
+        # external editor can attach
+        import re as _re
+
         target = rest[0] if rest else None
         if target and target.endswith(".py"):
             _run_sim(target, ["run"])
+        elif target and target.endswith(".toml"):
+            import time as _time
+
+            from .s10 import load_toml, run_recipes
+
+            sup = run_recipes(load_toml(target))
+            try:
+                while any(rp.poll() is None for rp in sup.running):
+                    sup.tick()
+                    _time.sleep(0.2)
+            except KeyboardInterrupt:
+                pass
+            finally:
+                sup.stop_all()
+        elif target and _re.fullmatch(r"[\w.\-\[\]:]+:\d+", target):
+            print(
+                f"{target} is a live database address — point the editor "
+                "at it directly (nothing to launch)"
+            )
         else:
             from .db.__main__ import main as db_main
 
