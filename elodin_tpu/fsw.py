@@ -164,6 +164,28 @@ class HzDriver:
             self._csv.close()
 
 
+def lqr_system(j, q_ang_vel, q_pos, r, q_field="att_est",
+               omega_field="gyro_omega", goal_field="att_goal",
+               out_field="control_torque"):
+    """Ready-made attitude-LQR FSW system (parity with the fsw/lqr
+    service): reads estimated attitude + body rates + goal quaternion,
+    writes the Yang-LQR control torque."""
+    from .adcs.lqr import YangLQR
+
+    ctrl = YangLQR(np.asarray(j), np.asarray(q_ang_vel), np.asarray(q_pos),
+                   np.asarray(r))
+
+    def update(world):
+        torque = ctrl.control(
+            np.asarray(getattr(world, q_field)).reshape(4),
+            np.asarray(getattr(world, omega_field)).reshape(3),
+            np.asarray(getattr(world, goal_field)).reshape(4),
+        )
+        setattr(world, out_field, np.asarray(torque))
+
+    return _FnSystem(update)
+
+
 def mekf_system(sigma_g, sigma_b, dt, refs_fields, body_fields, sigmas,
                 q_field="att_est", omega_field="gyro_omega"):
     """Ready-made MEKF FSW system over world fields (parity with the

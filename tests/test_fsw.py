@@ -354,3 +354,88 @@ def test_host_telemetry_bridge(tmp_path):
         client.close()
     finally:
         srv.stop()
+
+
+def test_lqr_service_against_live_db(tmp_path):
+    """fsw/lqr service equivalent: subscribes to attitude estimate + rates,
+    publishes Yang-LQR control torque; torque must oppose the attitude
+    error and vanish at the goal."""
+    import time as _t
+
+    from elodin_tpu.spatial import quat_from_axis_angle
+
+    Goal = ty.Annotated[
+        jax.Array,
+        el.Component("att_goal", el.ComponentType(el.PrimitiveType.F64, (4,))),
+    ]
+    Torque = ty.Annotated[
+        jax.Array,
+        el.Component(
+            "control_torque", el.ComponentType(el.PrimitiveType.F64, (3,))
+        ),
+    ]
+
+    @dataclass
+    class LqrWorld:
+        gyro_omega: GyroOmega = field(default_factory=lambda: np.zeros(3))
+        att_est: AttEst = field(default_factory=lambda: np.array([0.0, 0, 0, 1.0]))
+        att_goal: Goal = field(default_factory=lambda: np.array([0.0, 0, 0, 1.0]))
+        control_torque: Torque = field(default_factory=lambda: np.zeros(3))
+
+    srv = edb.Server.start(str(tmp_path / "db"))
+    try:
+        sensor = edb.Client.connect(srv.addr)
+        writer = sensor.table_writer(
+            {"att_est": edb.f64[4], "gyro_omega": edb.f64[3],
+             "att_goal": edb.f64[4]}
+        )
+        # attitude 0.4 rad off goal about +z, no body rates
+        q = np.asarray(quat_from_axis_angle(np.array([0.0, 0.0, 1.0]), 0.4))
+        writer.write(
+            timestamp_us=1,
+            values={"att_est": q, "gyro_omega": np.zeros(3),
+                    "att_goal": np.array([0.0, 0, 0, 1.0])},
+        )
+        _t.sleep(0.3)
+
+        system = fsw.lqr_system(
+            j=[1.0, 1.0, 1.0], q_ang_vel=[1.0] * 3, q_pos=[1.0] * 3,
+            r=[1.0] * 3,
+        )
+        driver = fsw.HzDriver(
+            200.0, system, LqrWorld(),
+            db_addr=srv.addr,
+            subscribe=["att_est", "gyro_omega", "att_goal"],
+            publish=["control_torque"],
+        )
+        driver.run(max_ticks=60)
+        driver.close()
+
+        t = sensor.latest("control_torque")
+        assert t is not None
+        # error rotation is +0.4 rad about z -> restoring torque about -z
+        assert t.values[2] < -0.05, t.values
+        assert abs(t.values[0]) < 1e-9 and abs(t.values[1]) < 1e-9
+
+        # at the goal the torque vanishes
+        writer.write(
+            timestamp_us=2_000_000,
+            values={"att_est": np.array([0.0, 0, 0, 1.0]),
+                    "gyro_omega": np.zeros(3),
+                    "att_goal": np.array([0.0, 0, 0, 1.0])},
+        )
+        _t.sleep(0.3)
+        driver2 = fsw.HzDriver(
+            200.0, system, LqrWorld(),
+            db_addr=srv.addr,
+            subscribe=["att_est", "gyro_omega", "att_goal"],
+            publish=["control_torque"],
+        )
+        driver2.run(max_ticks=30)
+        driver2.close()
+        t2 = sensor.latest("control_torque")
+        np.testing.assert_allclose(t2.values, 0.0, atol=1e-12)
+        writer.close()
+        sensor.close()
+    finally:
+        srv.stop()
