@@ -137,3 +137,27 @@ def test_falcon9_campaign_sharded_matches_unsharded(mesh):
             sys.modules["sim"] = saved
     assert sharded["landed_frac"] == plain["landed_frac"]
     assert sharded["soft_landing_frac"] == plain["soft_landing_frac"]
+
+
+def test_pairwise_gravity_sharded_matches_single(mesh):
+    """N^2 gravity sharded over the body axis (row-block x all-gather)
+    matches the single-device broadcast form."""
+    import numpy as np
+
+    from elodin_tpu.ops.pairwise import (
+        pairwise_gravity_reference,
+        pairwise_gravity_sharded,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 64  # divisible by every axis size of the 8-device mesh
+    pos = rng.normal(size=(n, 3)) * 1e3
+    mass = np.abs(rng.normal(size=(n,))) * 1e9
+
+    want = np.asarray(
+        pairwise_gravity_reference(jnp.asarray(pos), jnp.asarray(mass), eps=1.0)
+    )
+    got = np.asarray(
+        pairwise_gravity_sharded(pos, mass, mesh, eps=1.0)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
