@@ -118,6 +118,11 @@ class Connection:
     # -- message handlers --------------------------------------------------
 
     async def on_VTableMsg(self, msg: M.VTableMsg, req_id: int) -> None:
+        try:
+            msg.vtable.validate_alignment()
+        except ValueError as e:
+            await self.send(M.ErrorResponse(str(e)).packet(req_id))
+            return
         self.vtables[msg.id] = msg.vtable
         self.db.vtables[msg.id] = msg.vtable
 

@@ -142,6 +142,26 @@ class VTable:
         vt.data = bytearray(r.bytes_())
         return vt
 
+    def validate_alignment(self) -> None:
+        """Reject fields whose table offset is not aligned to their
+        primitive size (libs/db vtable registration: zero-copy views
+        require natural alignment; tests/src/lib.rs
+        test_vtable_misaligned_field_rejected)."""
+        for f in self.fields:
+            probe = {"ty": None, "shape": (), "component_id": None,
+                     "timestamp": None, "mean_window": None,
+                     "data": b"", "offset": f.offset, "len": f.len}
+            self._walk(f.arg, probe, b"")
+            ty = probe["ty"]
+            if ty is None:
+                continue
+            align = PRIM_NP[ty].itemsize
+            if f.offset % align:
+                raise ValueError(
+                    f"vtable field at offset {f.offset} misaligned for "
+                    f"{ty} (requires {align}-byte alignment)"
+                )
+
     # -- realization ------------------------------------------------------
 
     def _op_slice(self, ref: int, table: bytes):

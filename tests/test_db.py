@@ -1204,3 +1204,31 @@ def test_eql_compiles_to_sql(server):
     with pytest.raises(ValueError):
         to_sql(db, "veh.pos.fft()")
     client.close()
+
+
+def test_vtable_misaligned_field_rejected(server):
+    """Misaligned vtable fields are rejected at registration
+    (libs/db/tests/src/lib.rs test_vtable_misaligned_field_rejected)."""
+    client = edb.Client.connect(server.addr)
+    # f64 field at offset 9: not 8-byte aligned
+    vt = build_table_vtable([("mis.x", "f64", (), 9, 8)], timestamp_offset=0)
+    req_id = client._conn.next_req_id()
+    [pkt] = client._conn.request(
+        M.VTableMsg(bytes([8, 1]), vt).packet(req_id), req_id
+    )
+    assert pkt.id == M.ErrorResponse.ID
+    assert "misaligned" in M.ErrorResponse.decode(pkt.body).description
+    # an aligned one registers silently (no reply) and accepts tables
+    import struct
+
+    vt_ok = build_table_vtable([("mis.x", "f64", (), 8, 8)], timestamp_offset=0)
+    client._conn.send_bytes(M.VTableMsg(bytes([8, 2]), vt_ok).packet())
+    time.sleep(0.2)
+    client._conn.send_bytes(
+        M.frame(M.TY_TABLE, bytes([8, 2]),
+                struct.pack("<q", 5) + struct.pack("<d", 2.5))
+    )
+    time.sleep(0.3)
+    ts, vals = client.time_series("mis.x")
+    assert list(ts) == [5] and list(vals) == [2.5]
+    client.close()
