@@ -672,3 +672,12 @@ def test_mc_campaign_quality_retention_artifacts(tmp_path):
     with pytest.raises(RuntimeError, match="locked by pid"):
         run_campaign(sim, config, out, workers=1, max_ticks=10)
     lock.release()
+
+
+def test_nbody_batched_scale_runner():
+    """examples/n-body/batched.py at modest scale on CPU: finite state
+    and conserved total momentum (pair-force symmetry)."""
+    mod = load_module("n-body", "batched")
+    out = mod.run(256, 50, dtype=np.float64)
+    assert out["momentum_drift_rel"] < 1e-10, out
+    assert out["entity_steps_per_sec"] > 0
