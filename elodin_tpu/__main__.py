@@ -44,6 +44,13 @@ def main(argv=None) -> None:
         db_main(rest)
     elif cmd == "monte-carlo":
         _monte_carlo(rest)
+    elif cmd == "render-server":
+        # reference render-server is the headless Bevy renderer
+        # (apps/elodin/src/cli/mod.rs:23-36); no GUI stack in this build —
+        # serve the target DB so a renderer elsewhere can attach
+        from .db.__main__ import main as db_main
+
+        db_main(["run"] + rest)
     elif cmd == "editor":
         # no GUI in this build: resolve the target the way the reference
         # editor does (apps/elodin/src/cli/editor.rs:125-211 — py file,

@@ -60,8 +60,9 @@ class AssetHttpServer:
     (assets_http.rs assets_http_addr)."""
 
     def __init__(self, store: AssetStore, port: int = 0,
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", db=None):
         self.store = store
+        self.db = db  # optional Database for /healthz and /metrics
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -69,6 +70,38 @@ class AssetHttpServer:
                 pass
 
             def do_GET(self):
+                if self.path == "/healthz":
+                    self._ok(b"ok", "text/plain")
+                    return
+                if self.path == "/metrics" and outer.db is not None:
+                    # Prometheus-style text exposition of store stats
+                    import time as _time
+
+                    lines = []
+                    with outer.db.lock:
+                        comps = list(outer.db.components.values())
+                        n_msgs = sum(
+                            len(m.entries)
+                            for m in outer.db.msg_logs.values()
+                        )
+                    lines.append(
+                        f"elodin_db_components {len(comps)}"
+                    )
+                    lines.append(
+                        "elodin_db_rows_total "
+                        f"{sum(c.len for c in comps)}"
+                    )
+                    lines.append(f"elodin_db_msgs_total {n_msgs}")
+                    latest = max(
+                        (int(c.timestamps[c.len - 1]) for c in comps if c.len),
+                        default=0,
+                    )
+                    lines.append(f"elodin_db_latest_timestamp_us {latest}")
+                    lines.append(
+                        f"elodin_db_scrape_time_us {int(_time.time() * 1e6)}"
+                    )
+                    self._ok(("\n".join(lines) + "\n").encode(), "text/plain")
+                    return
                 if self.path == "/assets" or self.path == "/assets/":
                     body = "\n".join(outer.store.keys()).encode()
                     self._ok(body, "text/plain")

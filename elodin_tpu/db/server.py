@@ -875,7 +875,7 @@ class Server:
 
             if self.port is not None:
                 self.assets_http = AssetHttpServer(
-                    self.db.assets, port=self.port + 1
+                    self.db.assets, port=self.port + 1, db=self.db
                 )
         except OSError:
             self.assets_http = None

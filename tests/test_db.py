@@ -1232,3 +1232,23 @@ def test_vtable_misaligned_field_rejected(server):
     ts, vals = client.time_series("mis.x")
     assert list(ts) == [5] and list(vals) == [2.5]
     client.close()
+
+
+def test_http_healthz_and_metrics(server):
+    """/healthz and /metrics on the assets HTTP port (production serving
+    surface next to assets_http.rs)."""
+    import urllib.request
+
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"hm.x": edb.f64})
+    for i in range(7):
+        writer.write(timestamp_us=i, values={"hm.x": float(i)})
+    time.sleep(0.3)
+    port = server._server.assets_http.port
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+        assert r.read() == b"ok"
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+        text = r.read().decode()
+    assert "elodin_db_components 1" in text
+    assert "elodin_db_rows_total 7" in text
+    client.close()
