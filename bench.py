@@ -178,7 +178,7 @@ def main() -> None:
 
     if os.environ.get("BENCH_NBODY", "1") != "0":
         try:
-            nb = bench_nbody()
+            nb = bench_nbody(int(os.environ.get("BENCH_NBODY_BODIES", "16384")))
             result["nbody_pairs_per_sec"] = round(nb["pairs_per_sec"], 1)
             result["nbody_bodies"] = nb["n_bodies"]
             nb_ef = bench_nbody(n_bodies=4096, ticks=50, use_kernel=False,
