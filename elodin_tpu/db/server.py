@@ -113,6 +113,8 @@ class Connection:
             touched.append(cid)
         if touched:
             self.server.notify_table(touched, max_ts if max_ts is not None else default_ts)
+            if self.server.on_external_write is not None:
+                self.server.on_external_write(touched)
         self.server.forward_vtable_stream(pkt, vt)
 
     # -- message handlers --------------------------------------------------
@@ -711,6 +713,9 @@ class Server:
         self.vtable_stream_subs: dict[bytes, list] = {}
         # FollowStream connections receive every message id
         self.follow_all_msgs: list = []
+        # serve_exec hook: wire writes into external_control components
+        # re-enter the attached sim (copy_db_to_world)
+        self.on_external_write = None
         self.loop: asyncio.AbstractEventLoop | None = None
         self._thread: threading.Thread | None = None
         self._server = None
@@ -931,6 +936,34 @@ def serve_exec(exec_, addr: str = "127.0.0.1:2240") -> Server:
         server.notify_table(touched, int(ts_us[-1]))
 
     exec_.on_commit_batch = commit_batch
+
+    # reverse path — copy_db_to_world (impeller2_server.rs:320): rows a
+    # client writes into an external_control component over the wire
+    # (handle_table / UDP ingest; never the sim's own commits) flow back
+    # into the device state before the next batch
+    control = {}
+    for comp_name, row, cid, store in plan:
+        comp = meta.components[comp_name]
+        if str(comp.metadata.get("external_control", "")).lower() == "true":
+            ename = id_to_name.get(meta.comp_entities[comp_name][row])
+            qual = f"{ename}.{comp_name}" if ename else f"{row}.{comp_name}"
+            control[cid] = (qual, store)
+    if control:
+
+        def on_external_write(component_ids) -> None:
+            for cid in component_ids:
+                entry = control.get(cid)
+                if entry is None:
+                    continue
+                qual, store = entry
+                if store.len:
+                    _row_ts, row_vals = store.latest()
+                    try:
+                        exec_.write_component(qual, row_vals)
+                    except Exception:
+                        pass
+
+        server.on_external_write = on_external_write
     schematic = getattr(exec_, "schematic_content", None)
     if schematic:
         db.assets.put("schematic.kdl", schematic.encode())

@@ -277,6 +277,9 @@ class Exec:
         if self.record_history:
             self._history.append_state(0.0, {n: np.asarray(v) for n, v in self.cols.items()})
         self._host_writes: dict[str, np.ndarray] = {}
+        # write_component may be called from the DB server's threads
+        # (external_control over the wire) while the sim thread applies
+        self._host_writes_lock = threading.Lock()
         self._pump: _TelemetryPump | None = None
 
     # -- compilation -------------------------------------------------------
@@ -333,20 +336,25 @@ class Exec:
         next batch (mirrors copy_db_to_world,
         libs/nox-py/src/impeller2_server.rs:320)."""
         comp, row = self._history.resolve(qualified)
-        self._host_writes.setdefault(comp, np.asarray(self.cols[comp]).copy())
-        buf = self._host_writes[comp]
-        buf[row] = np.asarray(value, dtype=buf.dtype).reshape(buf.shape[1:])
+        with self._host_writes_lock:
+            self._host_writes.setdefault(
+                comp, np.asarray(self.cols[comp]).copy()
+            )
+            buf = self._host_writes[comp]
+            buf[row] = np.asarray(value, dtype=buf.dtype).reshape(buf.shape[1:])
 
     def read_component(self, qualified: str) -> np.ndarray:
         comp, row = self._history.resolve(qualified)
-        if comp in self._host_writes:
-            return np.atleast_1d(self._host_writes[comp][row])
+        with self._host_writes_lock:
+            if comp in self._host_writes:
+                return np.atleast_1d(self._host_writes[comp][row])
         return np.atleast_1d(np.asarray(self.cols[comp][row]))
 
     def _apply_host_writes(self) -> None:
-        for comp, buf in self._host_writes.items():
-            self.cols[comp] = jnp.asarray(buf)
-        self._host_writes.clear()
+        with self._host_writes_lock:
+            for comp, buf in self._host_writes.items():
+                self.cols[comp] = jnp.asarray(buf)
+            self._host_writes.clear()
 
     # -- running -------------------------------------------------------------
 

@@ -1252,3 +1252,57 @@ def test_http_healthz_and_metrics(server):
     assert "elodin_db_components 1" in text
     assert "elodin_db_rows_total 7" in text
     client.close()
+
+
+def test_external_control_over_wire(tmp_path):
+    """copy_db_to_world (impeller2_server.rs:320): a component marked
+    external_control and written by a TCP client re-enters the attached
+    sim's device state before the next batch."""
+    import typing as ty
+
+    import jax
+    from dataclasses import dataclass, field as dc_field
+
+    import elodin as el
+    from elodin_tpu.db.server import serve_exec
+
+    Thrust = ty.Annotated[
+        jax.Array,
+        el.Component(
+            "wire_thrust",
+            el.ComponentType(el.PrimitiveType.F64, ()),
+            metadata={"external_control": "true"},
+        ),
+    ]
+    Vel = ty.Annotated[
+        jax.Array, el.Component("wire_vel", el.ComponentType(el.PrimitiveType.F64, ()))
+    ]
+
+    @dataclass
+    class Craft(el.Archetype):
+        wire_thrust: Thrust = dc_field(default_factory=lambda: np.float64(0.0))
+        wire_vel: Vel = dc_field(default_factory=lambda: np.float64(0.0))
+
+    @el.system
+    def integrate(q: el.Query[Thrust, Vel]) -> el.Query[Vel]:
+        return q.map(Vel, lambda t, v: v + t)
+
+    w = el.World()
+    w.spawn(Craft(), "craft")
+    exec_ = w.build(integrate, db_path=str(tmp_path / "db"))
+    srv = serve_exec(exec_, "127.0.0.1:0")
+    try:
+        exec_.run(3)
+        assert float(exec_.read_component("craft.wire_vel")) == 0.0
+
+        client = edb.Client.connect(f"127.0.0.1:{srv.port}")
+        writer = client.table_writer({"craft.wire_thrust": edb.f64})
+        writer.write(timestamp_us=10, values={"craft.wire_thrust": 2.5})
+        time.sleep(0.4)
+        exec_.run(4)
+        # commanded thrust applied from the wire: vel += 2.5 per tick
+        assert float(exec_.read_component("craft.wire_vel")) == 10.0
+        writer.close()
+        client.close()
+    finally:
+        srv.stop()
