@@ -122,6 +122,95 @@ def cmd_query(args):
     _sys.stdout.write(_render_table(headers, rows))
 
 
+def cmd_bench(args):
+    """Ingest + fan-out throughput (parity: libs/db/src/bin/bench.rs):
+    spins an ephemeral server, streams rows through a TableWriter, and
+    reports rows/s with and without a live subscriber."""
+    import json as _json
+    import time as _time
+
+    import numpy as _np
+
+    from .client import Client, f64
+    from .server import Server
+    from .storage import Database
+
+    db = Database(None)
+    srv = Server(db, "127.0.0.1:0").start()
+    try:
+        addr = f"127.0.0.1:{srv.port}"
+        client = Client.connect(addr)
+        writer = client.table_writer(
+            {"bench.pos": f64[3], "bench.vel": f64[3], "bench.alt": f64}
+        )
+        rows = int(args.rows)
+        vals = {
+            "bench.pos": _np.array([1.0, 2.0, 3.0]),
+            "bench.vel": _np.array([0.1, 0.2, 0.3]),
+            "bench.alt": 42.0,
+        }
+        # warm-up + store creation
+        for i in range(100):
+            writer.write(timestamp_us=i, values=vals)
+        t0 = _time.perf_counter()
+        for i in range(rows):
+            writer.write(timestamp_us=100 + i, values=vals)
+        # a read forces the server to have drained the ingest
+        deadline = _time.perf_counter() + 60
+        while _time.perf_counter() < deadline:
+            ts, _ = client.time_series("bench.alt", start_us=0)
+            if len(ts) >= rows + 100:
+                break
+        ingest = rows / (_time.perf_counter() - t0)
+
+        # vectorized bulk path: one numpy pack + one send for all rows
+        t0 = _time.perf_counter()
+        writer.write_batch(
+            _np.arange(rows) + 1_000_000,
+            {
+                "bench.pos": _np.tile(vals["bench.pos"], (rows, 1)),
+                "bench.vel": _np.tile(vals["bench.vel"], (rows, 1)),
+                "bench.alt": _np.full(rows, 42.0),
+            },
+        )
+        deadline = _time.perf_counter() + 60
+        while _time.perf_counter() < deadline:
+            ts, _ = client.time_series("bench.alt", start_us=0)
+            if len(ts) >= 2 * rows + 100:
+                break
+        bulk = rows / (_time.perf_counter() - t0)
+
+        # fan-out: a live real-time subscriber coalesces commits (the
+        # server pushes the LATEST row per notify, queue drop-oldest), so
+        # the honest number is updates delivered per second, bounded by a
+        # drain with a timeout — never a blocking read
+        import queue as _queue
+
+        sub = client.stream(["bench.alt"], frequency=None)
+        t0 = _time.perf_counter()
+        for i in range(rows):
+            writer.write(timestamp_us=10_000_000 + i, values=vals)
+        got = 0
+        while True:
+            try:
+                sub._q.get(timeout=0.5)
+                got += 1
+            except _queue.Empty:
+                break
+        fanout = got / (_time.perf_counter() - t0)
+        sub.close()
+        writer.close()
+        client.close()
+        print(_json.dumps({
+            "rows": rows,
+            "ingest_rows_per_sec": round(ingest, 1),
+            "bulk_ingest_rows_per_sec": round(bulk, 1),
+            "fanout_rows_per_sec": round(fanout, 1),
+        }))
+    finally:
+        srv.stop()
+
+
 def cmd_export(args):
     from .export import export_csv_joined, save_archive
 
@@ -429,6 +518,10 @@ def main(argv=None):
     run_p.add_argument("path", nargs="?", default=None)
     run_p.add_argument("--addr", default="127.0.0.1:2240")
     run_p.set_defaults(fn=cmd_run)
+
+    bench_p = sub.add_parser("bench", help="ingest/fan-out throughput")
+    bench_p.add_argument("--rows", type=int, default=20000)
+    bench_p.set_defaults(fn=cmd_bench)
 
     qry = sub.add_parser("query", help="run a SQL/EQL query, pretty-print")
     qry.add_argument("path")

@@ -291,6 +291,35 @@ class TableWriter:
             self._last_error = str(e)
             raise
 
+    def write_batch(self, timestamps_us, values: Dict[str, Any]) -> int:
+        """Vectorized bulk write: N rows packed with numpy into one
+        contiguous buffer of N table packets and sent with one syscall
+        (the high-rate producer path; per-row ``write`` costs a Python
+        pack + send each).  ``values[name]`` is an (N, *shape) array."""
+        ts = np.ascontiguousarray(np.asarray(timestamps_us, dtype=np.int64))
+        if self._timestamp_unit == "ns":
+            ts = ts * 1000
+        n = len(ts)
+        rows = np.zeros((n, self.row_nbytes), dtype=np.uint8)
+        rows[:, 0:8] = ts.astype("<i8").view(np.uint8).reshape(n, 8)
+        for pf in self.fields:
+            arr = np.asarray(values[pf.name], dtype=pf.spec.dtype)
+            arr = np.ascontiguousarray(arr).reshape(n, pf.spec.count)
+            raw = arr.view(np.uint8).reshape(n, pf.spec.nbytes)
+            rows[:, pf.offset : pf.offset + pf.spec.nbytes] = raw
+        header = (
+            (M.PACKET_HEADER_LEN + self.row_nbytes).to_bytes(4, "little")
+            + bytes([M.TY_TABLE])
+            + self._vt_id
+            + b"\x00"
+        )
+        hdr = np.frombuffer(header, dtype=np.uint8)
+        frames = np.zeros((n, len(header) + self.row_nbytes), dtype=np.uint8)
+        frames[:, : len(header)] = hdr
+        frames[:, len(header):] = rows
+        self._conn.send_bytes(frames.tobytes())
+        return n
+
     def write_nowait(self, timestamp_us=None, values=None, timestamp_ns=None) -> None:
         try:
             self.write(timestamp_us, values, timestamp_ns)

@@ -1306,3 +1306,21 @@ def test_external_control_over_wire(tmp_path):
         client.close()
     finally:
         srv.stop()
+
+
+def test_table_writer_write_batch(server):
+    """Vectorized bulk ingest path: N rows in one buffer, byte-compatible
+    with the per-row path."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"blk.v": edb.f64[2]})
+    n = 500
+    writer.write_batch(
+        np.arange(n) * 10,
+        {"blk.v": np.stack([np.arange(n), -np.arange(n)], axis=1)},
+    )
+    time.sleep(0.4)
+    ts, vals = client.time_series("blk.v")
+    assert len(ts) == n
+    assert ts[-1] == (n - 1) * 10
+    np.testing.assert_allclose(vals[-1], [n - 1, -(n - 1)])
+    client.close()
