@@ -184,7 +184,14 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
     try:
         from .db.server import serve_exec
 
-        server = serve_exec(exec_, args.addr) if cmd == "run" else None
+        # ELODIN_RESUME=1: the DB is the checkpoint — latest stored rows
+        # are copied back into device state before serving continues
+        resume = os.environ.get("ELODIN_RESUME", "0") == "1"
+        server = (
+            serve_exec(exec_, args.addr, resume=resume)
+            if cmd == "run"
+            else None
+        )
     except Exception:
         server = None
 

@@ -900,7 +900,7 @@ class Server:
         self.db.flush()
 
 
-def serve_exec(exec_, addr: str = "127.0.0.1:2240") -> Server:
+def serve_exec(exec_, addr: str = "127.0.0.1:2240", resume: bool = False) -> Server:
     """Attach a DB server to a running Exec: every telemetry batch is
     mirrored into the store off the device loop (the async host-callback tap
     of SURVEY §2; mirrors commit_world_head_unified,
@@ -936,6 +936,14 @@ def serve_exec(exec_, addr: str = "127.0.0.1:2240") -> Server:
         server.notify_table(touched, int(ts_us[-1]))
 
     exec_.on_commit_batch = commit_batch
+
+    if resume:
+        # the DB is the checkpoint: copy the latest stored rows back into
+        # device state before the first batch (must run before the initial
+        # seed below, which would otherwise mask the prior run's tail)
+        n = exec_.restore_from_db(db)
+        if n:
+            print(f"resumed {n} components from {db.path} at tick {exec_.tick()}")
 
     # reverse path — copy_db_to_world (impeller2_server.rs:320): rows a
     # client writes into an external_control component over the wire

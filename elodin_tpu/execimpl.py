@@ -479,6 +479,41 @@ class Exec:
         self._tick = int(round(restored_time / self.sim_time_step))
         self._host_writes.clear()
 
+    def restore_from_db(self, db) -> int:
+        """Resume from a telemetry database: load every component's latest
+        row back into device state (the DB *is* the checkpoint — SURVEY §5;
+        reference restores via copy_db_to_world at init,
+        impeller2_server.rs:229,320).  Returns the number of components
+        restored."""
+        from .db.vtable import component_id_of
+
+        id_to_name = {
+            eid: m.name for eid, m in self.meta.entity_metadata.items()
+        }
+        restored = 0
+        latest_ts = None
+        new_cols = dict(self.cols)
+        for comp_name, ids in self.meta.comp_entities.items():
+            col = np.asarray(new_cols[comp_name]).copy()
+            hit = False
+            for i, eid in enumerate(ids):
+                ename = id_to_name.get(eid)
+                qual = f"{ename}.{comp_name}" if ename else f"{eid}.{comp_name}"
+                store = db.components.get(component_id_of(qual))
+                if store is None or store.len == 0:
+                    continue
+                ts, row = store.latest()
+                col[i] = np.asarray(row).reshape(col.shape[1:])
+                latest_ts = ts if latest_ts is None else max(latest_ts, ts)
+                hit = True
+            if hit:
+                new_cols[comp_name] = jnp.asarray(col, dtype=self.cols[comp_name].dtype)
+                restored += 1
+        self.cols = new_cols
+        if "tick" in self.cols and restored:
+            self._tick = int(np.asarray(self.cols["tick"]).max())
+        return restored
+
     def save_checkpoint(self, path: str) -> None:
         """Write the live device state as an npz checkpoint."""
         np.savez(

@@ -1324,3 +1324,49 @@ def test_table_writer_write_batch(server):
     assert ts[-1] == (n - 1) * 10
     np.testing.assert_allclose(vals[-1], [n - 1, -(n - 1)])
     client.close()
+
+
+def test_resume_from_db(tmp_path):
+    """The DB is the checkpoint: serve, stop, re-serve with resume=True and
+    the sim continues from the stored tail instead of tick 0."""
+    import typing as ty
+
+    import jax
+    from dataclasses import dataclass, field as dc_field
+
+    import elodin as el
+    from elodin_tpu.db.server import serve_exec
+
+    V = ty.Annotated[
+        jax.Array, el.Component("res_v", el.ComponentType(el.PrimitiveType.F64, ()))
+    ]
+
+    @dataclass
+    class T(el.Archetype):
+        res_v: V = dc_field(default_factory=lambda: np.float64(0.0))
+
+    @el.system
+    def bump(q: el.Query[V]) -> el.Query[V]:
+        return q.map(V, lambda v: v + 1.0)
+
+    def build():
+        w = el.World()
+        w.spawn(T(), "t")
+        return w.build(bump, db_path=str(tmp_path / "db"))
+
+    ex1 = build()
+    srv1 = serve_exec(ex1, "127.0.0.1:0")
+    ex1.run(10)
+    ex1.flush_telemetry()
+    srv1.stop()
+    assert float(ex1.read_component("t.res_v")) == 10.0
+
+    ex2 = build()
+    srv2 = serve_exec(ex2, "127.0.0.1:0", resume=True)
+    try:
+        assert float(ex2.read_component("t.res_v")) == 10.0
+        assert ex2.tick() == 10
+        ex2.run(5)
+        assert float(ex2.read_component("t.res_v")) == 15.0
+    finally:
+        srv2.stop()
