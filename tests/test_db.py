@@ -1293,7 +1293,7 @@ def test_external_control_over_wire(tmp_path):
     srv = serve_exec(exec_, "127.0.0.1:0")
     try:
         exec_.run(3)
-        assert float(exec_.read_component("craft.wire_vel")) == 0.0
+        assert float(exec_.read_component("craft.wire_vel")[0]) == 0.0
 
         client = edb.Client.connect(f"127.0.0.1:{srv.port}")
         writer = client.table_writer({"craft.wire_thrust": edb.f64})
@@ -1301,7 +1301,7 @@ def test_external_control_over_wire(tmp_path):
         time.sleep(0.4)
         exec_.run(4)
         # commanded thrust applied from the wire: vel += 2.5 per tick
-        assert float(exec_.read_component("craft.wire_vel")) == 10.0
+        assert float(exec_.read_component("craft.wire_vel")[0]) == 10.0
         writer.close()
         client.close()
     finally:
@@ -1359,14 +1359,14 @@ def test_resume_from_db(tmp_path):
     ex1.run(10)
     ex1.flush_telemetry()
     srv1.stop()
-    assert float(ex1.read_component("t.res_v")) == 10.0
+    assert float(ex1.read_component("t.res_v")[0]) == 10.0
 
     ex2 = build()
     srv2 = serve_exec(ex2, "127.0.0.1:0", resume=True)
     try:
-        assert float(ex2.read_component("t.res_v")) == 10.0
+        assert float(ex2.read_component("t.res_v")[0]) == 10.0
         assert ex2.tick() == 10
         ex2.run(5)
-        assert float(ex2.read_component("t.res_v")) == 15.0
+        assert float(ex2.read_component("t.res_v")[0]) == 15.0
     finally:
         srv2.stop()
