@@ -4,6 +4,8 @@ libs/db/cli).
 
 Usage:
     python -m elodin_tpu.db run [path] [--addr HOST:PORT]
+    python -m elodin_tpu.db query <path> --sql "SELECT ..." | --eql expr [--precision full]
+    python -m elodin_tpu.db bench [--rows N]
     python -m elodin_tpu.db export <path> --output DIR [--format csv|parquet|arrow] [--join]
     python -m elodin_tpu.db merge <dst> <src...>
     python -m elodin_tpu.db trim <path> --start-us N --stop-us N

@@ -1370,3 +1370,70 @@ def test_resume_from_db(tmp_path):
         assert float(ex2.read_component("t.res_v")[0]) == 15.0
     finally:
         srv2.stop()
+
+
+def test_db_survives_sim_sigkill(tmp_path):
+    """Crash consistency: SIGKILL a serving sim mid-run; the on-disk DB
+    must reopen with intact, monotonic rows (the reference's mmap store
+    makes the same guarantee)."""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+
+    sim = tmp_path / "sim.py"
+    sim.write_text(textwrap.dedent("""
+        import typing as ty
+        from dataclasses import dataclass, field
+        import jax, numpy as np
+        import elodin as el
+
+        V = ty.Annotated[jax.Array, el.Component(
+            "kv", el.ComponentType(el.PrimitiveType.F64, ()))]
+
+        @dataclass
+        class T(el.Archetype):
+            kv: V = field(default_factory=lambda: np.float64(0.0))
+
+        @el.system
+        def bump(q: el.Query[V]) -> el.Query[V]:
+            return q.map(V, lambda v: v + 1.0)
+
+        w = el.World()
+        w.spawn(T(), "t")
+        w.run(bump, simulation_rate=120.0, generate_real_time=True)
+    """))
+    import os
+
+    env = dict(os.environ)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["ELODIN_DB_PATH"] = str(tmp_path / "db")
+    proc = subprocess.Popen(
+        [sys.executable, str(sim), "run", "127.0.0.1:0"],
+        env=env, cwd=str(tmp_path),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 60
+    db_dir = tmp_path / "db"
+    # wait until rows are flowing to disk, then SIGKILL mid-run
+    while time.time() < deadline:
+        if db_dir.exists() and any(db_dir.rglob("data.bin")):
+            time.sleep(1.0)
+            break
+        time.sleep(0.2)
+    proc.send_signal(signal.SIGKILL)
+    proc.wait(timeout=10)
+
+    from elodin_tpu.db.storage import Database
+
+    db = Database(str(db_dir))
+    stores = [s for s in db.components.values() if s.name == "t.kv"]
+    assert stores, "kv component not persisted"
+    s = stores[0]
+    assert s.len >= 1
+    ts = s.timestamps[: s.len]
+    assert (np.diff(ts) > 0).all(), "timestamps not monotonic after crash"
+    vals = s.values[: s.len, 0]
+    assert np.isfinite(vals).all()
