@@ -194,6 +194,13 @@ def main() -> None:
             result.update(bench_verify())
         except Exception as e:  # noqa: BLE001
             result["verify_error"] = str(e)
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            result["hbm_peak_mb"] = round(stats["peak_bytes_in_use"] / 2**20, 1)
+    except Exception:  # noqa: BLE001
+        pass
     print(json.dumps(result))
 
 
