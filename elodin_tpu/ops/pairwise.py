@@ -118,7 +118,7 @@ def pairwise_gravity_sharded(pos, mass, mesh, axis: str | None = None,
     """
     import functools as _ft
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis = axis or mesh.axis_names[0]
