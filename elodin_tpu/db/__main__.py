@@ -224,14 +224,16 @@ def cmd_export(args):
         if not out.suffix:
             out.mkdir(parents=True, exist_ok=True)
             out = out / "archive.mcap"
-        n = export_mcap(db, str(out))
+        n = export_mcap(db, str(out), include_private=args.include_private)
         print(f"exported {n} messages -> {out}")
         return
     if args.join and args.format == "csv":
         Path(args.output).mkdir(parents=True, exist_ok=True)
-        export_csv_joined(db, str(Path(args.output) / "joined.csv"))
+        export_csv_joined(db, str(Path(args.output) / "joined.csv"),
+                          include_private=args.include_private)
     else:
-        save_archive(db, args.output, args.format)
+        save_archive(db, args.output, args.format,
+                     include_private=args.include_private)
     print(f"exported {len(db.components)} components -> {args.output}")
 
 
@@ -542,6 +544,7 @@ def main(argv=None):
     exp.add_argument("--mono-ns", action="store_true")
     exp.add_argument("--csv-fast-floats", action="store_true")
     exp.add_argument("--pattern", default=None)
+    exp.add_argument("--include-private", action="store_true")
     exp.set_defaults(fn=cmd_export)
 
     mrg = sub.add_parser("merge")

@@ -22,11 +22,20 @@ def _arrow_table(store) -> pa.Table:
     return pa.table({"time": time, name: data})
 
 
-def save_archive(db, path: str, fmt: str = "arrow_ipc") -> None:
+def _is_private(store) -> bool:
+    """Components flagged `metadata={"private": "true"}` are skipped on
+    export unless explicitly included (src/export.rs:752-855)."""
+    return str(store.metadata.get("private", "")).lower() == "true"
+
+
+def save_archive(db, path: str, fmt: str = "arrow_ipc",
+                 include_private: bool = False) -> None:
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
     for store in db.components.values():
         if store.len == 0:
+            continue
+        if _is_private(store) and not include_private:
             continue
         name = store.name or f"{store.component_id:016x}"
         table = _arrow_table(store)
@@ -69,13 +78,16 @@ def export_mcap(db, path: str) -> int:
     return _impl(db, path)
 
 
-def export_csv_joined(db, out_path: str) -> None:
+def export_csv_joined(db, out_path: str,
+                      include_private: bool = False) -> None:
     """Single wide CSV joined on time (export.rs --join mode)."""
     import pandas as pd
 
     frames = []
     for store in db.components.values():
         if store.len == 0:
+            continue
+        if _is_private(store) and not include_private:
             continue
         n = store.len
         name = store.name or f"{store.component_id:016x}"

@@ -135,16 +135,21 @@ def _element_labels(store) -> list[str]:
     return out
 
 
-def export_mcap(db, path: str) -> int:
+def export_mcap(db, path: str, include_private: bool = False) -> int:
     """Write every non-empty component series to ``path`` as one MCAP file
-    with a JSON channel per component; returns the message count."""
+    with a JSON channel per component; returns the message count.
+    Components flagged private are skipped unless include_private
+    (export_mcap.rs:49-50,2337)."""
+    from .export import _is_private
+
     out = Path(path)
     out.parent.mkdir(parents=True, exist_ok=True)
     written = 0
     with open(out, "wb") as fh:
         w = McapWriter(fh)
         stores = sorted(
-            (s for s in db.components.values() if s.len > 0),
+            (s for s in db.components.values()
+             if s.len > 0 and (include_private or not _is_private(s))),
             key=lambda s: s.name or f"{s.component_id:016x}",
         )
         for store in stores:

@@ -1437,3 +1437,28 @@ def test_db_survives_sim_sigkill(tmp_path):
     assert (np.diff(ts) > 0).all(), "timestamps not monotonic after crash"
     vals = s.values[: s.len, 0]
     assert np.isfinite(vals).all()
+
+
+def test_export_skips_private_components(tmp_path):
+    """Components with metadata private=true are excluded from exports
+    unless include_private (src/export.rs:752-855 and the
+    csv_export_private goldens)."""
+    from elodin_tpu.db.export import save_archive
+    from elodin_tpu.db.storage import Database
+
+    db = Database(str(tmp_path / "db"))
+    pub = db.get_or_create(component_id_of("pub.x"), "f64", (), "pub.x")
+    sec = db.get_or_create(component_id_of("sec.x"), "f64", (), "sec.x")
+    sec.set_metadata(metadata={"private": "true"})
+    pub.append(1, np.float64(1.0).tobytes())
+    sec.append(1, np.float64(2.0).tobytes())
+
+    out = tmp_path / "exp"
+    save_archive(db, str(out), "csv")
+    names = {p.name for p in out.glob("*.csv")}
+    assert "pub.x.csv" in names and "sec.x.csv" not in names
+
+    out2 = tmp_path / "exp2"
+    save_archive(db, str(out2), "csv", include_private=True)
+    names2 = {p.name for p in out2.glob("*.csv")}
+    assert "sec.x.csv" in names2
