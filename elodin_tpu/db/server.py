@@ -43,12 +43,36 @@ class Connection:
 
     async def run(self) -> None:
         try:
+            buf = bytearray()
             while True:
-                hdr = await self.reader.readexactly(4)
-                n = int.from_bytes(hdr, "little")
-                buf = await self.reader.readexactly(n)
-                pkt = M.parse_packet(buf)
-                await self.handle(pkt)
+                chunk = await self.reader.read(1 << 16)
+                if not chunk:
+                    break
+                buf += chunk
+                # drain every complete packet in the buffer; consecutive
+                # data-plane table packets with the same vtable batch into
+                # one vectorized store append (high-rate ingest path)
+                pending_tables: list[M.Packet] = []
+                pos = 0
+                while len(buf) - pos >= 4:
+                    n = int.from_bytes(buf[pos : pos + 4], "little")
+                    if len(buf) - pos - 4 < n:
+                        break
+                    pkt = M.parse_packet(bytes(buf[pos + 4 : pos + 4 + n]))
+                    pos += 4 + n
+                    if pkt.ty == M.TY_TABLE:
+                        if pending_tables and pending_tables[0].id != pkt.id:
+                            self.handle_table_batch(pending_tables)
+                            pending_tables = []
+                        pending_tables.append(pkt)
+                        continue
+                    if pending_tables:
+                        self.handle_table_batch(pending_tables)
+                        pending_tables = []
+                    await self.handle(pkt)
+                if pending_tables:
+                    self.handle_table_batch(pending_tables)
+                del buf[:pos]
         except (asyncio.IncompleteReadError, ConnectionError):
             pass
         finally:
@@ -116,6 +140,74 @@ class Connection:
             if self.server.on_external_write is not None:
                 self.server.on_external_write(touched)
         self.server.forward_vtable_stream(pkt, vt)
+
+    def handle_table_batch(self, pkts: list[M.Packet]) -> None:
+        """Vectorized ingest of consecutive same-vtable table packets:
+        one numpy slice + one store.append_batch per field instead of a
+        Python parse per row."""
+        if len(pkts) == 1:
+            self.handle_table(pkts[0])
+            return
+        vt = self.vtables.get(pkts[0].id) or self.db.vtables.get(pkts[0].id)
+        if vt is None:
+            return
+        layout = vt.static_layout()
+        row_len = len(pkts[0].body)
+        if (
+            layout is None
+            or len(pkts) < 4
+            or any(len(p.body) != row_len for p in pkts)
+        ):
+            for p in pkts:
+                self.handle_table(p)
+            return
+        import numpy as _np
+
+        mat = _np.frombuffer(
+            b"".join(p.body for p in pkts), dtype=_np.uint8
+        ).reshape(len(pkts), row_len)
+        default_ts = now_timestamp_us()
+        touched = []
+        max_ts = None
+        from .vtable import PRIM_NP
+
+        for fld in layout:
+            cid, ty = fld["component_id"], fld["ty"]
+            if cid is None or ty is None:
+                continue
+            store = self.db.get_or_create(cid, ty, fld["shape"])
+            if fld["ts_offset"] is not None:
+                ts = (
+                    _np.ascontiguousarray(
+                        mat[:, fld["ts_offset"] : fld["ts_offset"] + 8]
+                    )
+                    .view("<i8")
+                    .reshape(-1)
+                )
+                if fld["ts_div"] != 1:
+                    ts = ts // fld["ts_div"]
+            else:
+                ts = _np.full(len(pkts), default_ts, dtype=_np.int64)
+            vals = (
+                _np.ascontiguousarray(
+                    mat[:, fld["offset"] : fld["offset"] + fld["len"]]
+                )
+                .view(PRIM_NP[ty])
+                .reshape(len(pkts), -1)
+            )
+            store.append_batch(ts, vals)
+            m = int(ts[-1])
+            max_ts = m if max_ts is None else max(max_ts, m)
+            touched.append(cid)
+        if touched:
+            self.server.notify_table(
+                touched, max_ts if max_ts is not None else default_ts
+            )
+            if self.server.on_external_write is not None:
+                self.server.on_external_write(touched)
+        if self.server.vtable_stream_subs.get(pkts[0].id):
+            for p in pkts:
+                self.server.forward_vtable_stream(p, vt)
 
     # -- message handlers --------------------------------------------------
 
@@ -273,49 +365,50 @@ class Connection:
         self.stream_tasks.append(asyncio.ensure_future(pump()))
 
     async def _stream_loop(self, msg: M.Stream, req_id: int) -> None:
-        """Real-time: push the latest row of every component on each commit,
-        preceded by a vtable describing the layout
-        (libs/db/src/vtable_stream.rs)."""
-        sent_layout: tuple | None = None
+        """Real-time: push EVERY row committed after the subscribe point,
+        per component, each packet preceded (once) by that component's
+        vtable (libs/db/src/vtable_stream.rs — the reference streams the
+        time series, it does not coalesce to latest-value)."""
+        sent_vts: dict[int, bytes] = {}  # cid -> vtable id
+        sent_len: dict[int, int] = {}
+        # start from "now": only rows committed after subscribing stream
+        with self.db.lock:
+            for cid, c in self.db.components.items():
+                sent_len[cid] = c.len
         while True:
             component_ids, ts = await self.sub_queue.get()
-            with self.db.lock:
-                comps = [
-                    self.db.components[cid]
-                    for cid in component_ids
-                    if cid in self.db.components
-                ]
-                rows = [(c, c.latest()) for c in comps if c.len > 0]
-            if not rows:
-                continue
-            layout_key = tuple(c.component_id for c, _ in rows)
-            if layout_key != sent_layout:
-                vt_id = bytes([2, len(self.stream_tasks) & 0xFF])
-                fields = []
-                offset = 8  # leading shared timestamp
-                for c, _ in rows:
-                    pad = (-offset) % c.dtype.itemsize
-                    offset += pad
-                    fields.append(
-                        (c.name or f"{c.component_id:016x}", c.prim, c.shape,
-                         offset, c.row_nbytes)
+            for cid in component_ids:
+                with self.db.lock:
+                    c = self.db.components.get(cid)
+                    if c is None:
+                        continue
+                    start = sent_len.get(cid, 0)
+                    n = c.len
+                    if n <= start:
+                        continue
+                    ts_rows = c.timestamps[start:n].copy()
+                    val_rows = c.values[start:n].copy()
+                    sent_len[cid] = n
+                vt_id = sent_vts.get(cid)
+                if vt_id is None:
+                    self._vt_counter = getattr(self, "_vt_counter", 0) + 1
+                    vt_id = bytes([2, self._vt_counter & 0xFF])
+                    pad = (-8) % c.dtype.itemsize
+                    vt = build_table_vtable(
+                        [(c.name or f"{cid:016x}", c.prim, c.shape,
+                          8 + pad, c.row_nbytes)],
+                        timestamp_offset=0,
                     )
-                    offset += c.row_nbytes
-                vt = build_table_vtable(fields, timestamp_offset=0)
-                vtm = M.VTableMsg(vt_id, vt)
-                await self.send(vtm.packet(req_id))
-                sent_layout = layout_key
-                self._stream_vt_id = vt_id
-                self._stream_fields = fields
-            body = bytearray(np.int64(ts).tobytes())
-            for (c, (row_ts, row)), f in zip(rows, self._stream_fields):
-                pad = f[3] - len(body)
-                if pad > 0:
-                    body += b"\x00" * pad
-                body += row.tobytes()
-            await self.send(
-                M.frame(M.TY_TABLE, self._stream_vt_id, bytes(body), req_id)
-            )
+                    await self.send(M.VTableMsg(vt_id, vt).packet(req_id))
+                    sent_vts[cid] = vt_id
+                pad = (-8) % c.dtype.itemsize
+                for i in range(len(ts_rows)):
+                    body = (
+                        np.int64(ts_rows[i]).tobytes()
+                        + b"\x00" * pad
+                        + val_rows[i].tobytes()
+                    )
+                    await self.send(M.frame(M.TY_TABLE, vt_id, body, req_id))
 
     async def on_GetTimeSeries(self, msg: M.GetTimeSeries, req_id: int) -> None:
         store = self.db.components.get(msg.component_id)

@@ -142,6 +142,68 @@ class VTable:
         vt.data = bytearray(r.bytes_())
         return vt
 
+    def static_layout(self) -> list[dict] | None:
+        """Fully-static per-field layout for vectorized batch ingest, or
+        None when any op depends on table contents in a non-slice way.
+
+        Returns dicts {component_id, ty, shape, offset, len, ts_offset,
+        ts_div} — ts_offset is the byte offset of a little-endian i64
+        timestamp inside the table body (ts_div 1000 for the nanosecond
+        ext op), or None when rows carry no inline timestamp."""
+        out = []
+        for f in self.fields:
+            info = {
+                "component_id": None, "ty": None, "shape": (),
+                "offset": f.offset, "len": f.len,
+                "ts_offset": None, "ts_div": 1,
+                "mean_window": None,
+            }
+            ref = f.arg
+            while True:
+                op = self.ops[ref]
+                if op.kind == OP_SCHEMA:
+                    ty_op = self.ops[op.ty]
+                    dim_op = self.ops[op.dim]
+                    if ty_op.kind != OP_DATA or dim_op.kind != OP_DATA:
+                        return None  # schema from table bytes: not static
+                    ty_slice, _ = self._op_slice(op.ty, b"")
+                    dim_slice, _ = self._op_slice(op.dim, b"")
+                    info["ty"] = PRIM_TYPES[ty_slice[0]]
+                    info["shape"] = tuple(
+                        np.frombuffer(dim_slice, dtype="<u8").astype(int)
+                    )
+                    ref = op.arg
+                elif op.kind == OP_COMPONENT:
+                    cid_op = self.ops[op.component_id]
+                    if cid_op.kind != OP_DATA:
+                        return None
+                    cid_slice, _ = self._op_slice(op.component_id, b"")
+                    info["component_id"] = int.from_bytes(cid_slice, "little")
+                    break
+                elif op.kind == OP_TIMESTAMP:
+                    src = self.ops[op.source]
+                    if src.kind == OP_TABLE and src.len == 8:
+                        info["ts_offset"] = src.offset
+                        info["ts_div"] = 1
+                    ref = op.arg
+                elif op.kind == OP_EXT:
+                    if op.ext_id == TIMESTAMP_NS_EXT_ID:
+                        src = self.ops[op.data]
+                        if src.kind == OP_TABLE and src.len == 8:
+                            info["ts_offset"] = src.offset
+                            info["ts_div"] = 1000
+                    elif op.ext_id == MEAN_EXT_ID:
+                        src, _ = self._op_slice(op.data, b"")
+                        if src:
+                            info["mean_window"] = Reader(src).varint()
+                    ref = op.arg
+                elif op.kind == OP_NONE:
+                    break
+                else:
+                    return None
+            out.append(info)
+        return out
+
     def validate_alignment(self) -> None:
         """Reject fields whose table offset is not aligned to their
         primitive size (libs/db vtable registration: zero-copy views
