@@ -754,6 +754,7 @@ class _UdpIngest(asyncio.DatagramProtocol):
 
     def datagram_received(self, data: bytes, addr) -> None:
         pos = 0
+        tables: list[M.Packet] = []
         while pos + 4 <= len(data):
             n = int.from_bytes(data[pos : pos + 4], "little")
             frame_body = data[pos + 4 : pos + 4 + n]
@@ -763,7 +764,11 @@ class _UdpIngest(asyncio.DatagramProtocol):
             pkt = M.parse_packet(frame_body)
             try:
                 if pkt.ty == M.TY_TABLE:
-                    self.conn.handle_table(pkt)
+                    # batch runs of same-vtable tables like the TCP path
+                    if tables and tables[0].id != pkt.id:
+                        self.conn.handle_table_batch(tables)
+                        tables = []
+                    tables.append(pkt)
                 elif pkt.ty == M.TY_MSG_WITH_TIMESTAMP:
                     ts = int.from_bytes(pkt.body[:8], "little", signed=True)
                     self.server.db.msg_log(pkt.id).append(ts, pkt.body[8:])
@@ -789,6 +794,11 @@ class _UdpIngest(asyncio.DatagramProtocol):
                     self.server.notify_msg(pkt.id, ts, pkt.body)
             except Exception:
                 pass  # malformed datagrams are dropped, never fatal
+        if tables:
+            try:
+                self.conn.handle_table_batch(tables)
+            except Exception:
+                pass
 
 
 class Server:
