@@ -15,6 +15,10 @@ from .storage import Database
 
 
 class Follower:
+    """Mirrors a leader database: metadata, schemas, FULL history, and
+    live rows, over one FollowStream subscription (follow.rs unified
+    replication; wire shape msgs.rs FollowStream [224,37])."""
+
     def __init__(self, db: Database, leader_addr: str, server=None):
         self.db = db
         self.server = server  # optional local Server to notify for fan-out
@@ -25,16 +29,7 @@ class Follower:
         self.rows_mirrored = 0
         self._conn.add_stream_handler(self._on_packet)
         req_id = self._conn.next_req_id()
-        self._conn.send_bytes(M.Stream("real-time", id=req_id).packet(req_id))
-        # learn names for store naming
-        try:
-            rid = self._conn.next_req_id()
-            [pkt] = self._conn.request(M.DumpMetadata().packet(rid), rid)
-            meta = M.DumpMetadataResp.decode(pkt.body)
-            for cm in meta.component_metadata:
-                self._id_names[cm.component_id] = cm.name
-        except Exception:
-            pass
+        self._conn.send_bytes(M.FollowStream(1500).packet(req_id))
 
     def _on_packet(self, pkt: M.Packet) -> None:
         if self._stop.is_set():
@@ -43,6 +38,15 @@ class Follower:
             vtm = M.VTableMsg.decode(pkt.body)
             self._vtables[vtm.id] = vtm.vtable
             return
+        if pkt.ty == M.TY_MSG and pkt.id == M.ComponentMetadata.ID:
+            cm = M.ComponentMetadata.decode(pkt.body)
+            self._id_names[cm.component_id] = cm.name
+            store = self.db.components.get(cm.component_id)
+            if store is not None:
+                store.set_metadata(name=cm.name, metadata=cm.metadata)
+            return
+        if pkt.ty == M.TY_MSG and pkt.id == M.DumpSchemaResp.ID:
+            return  # schemas arrive implicitly with each table's vtable
         if pkt.ty == M.TY_TABLE:
             vt = self._vtables.get(pkt.id)
             if vt is None:

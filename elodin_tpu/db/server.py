@@ -364,17 +364,22 @@ class Connection:
 
         self.stream_tasks.append(asyncio.ensure_future(pump()))
 
-    async def _stream_loop(self, msg: M.Stream, req_id: int) -> None:
+    async def _stream_loop(self, msg: M.Stream, req_id: int,
+                           initial_sent: dict | None = None) -> None:
         """Real-time: push EVERY row committed after the subscribe point,
         per component, each packet preceded (once) by that component's
         vtable (libs/db/src/vtable_stream.rs — the reference streams the
-        time series, it does not coalesce to latest-value)."""
+        time series, it does not coalesce to latest-value).
+
+        ``initial_sent`` overrides the watermark per component —
+        FollowStream passes the exact row counts its history replay
+        covered so no commit in between is lost or duplicated."""
         sent_vts: dict[int, bytes] = {}  # cid -> vtable id
-        sent_len: dict[int, int] = {}
+        sent_len: dict[int, int] = dict(initial_sent or {})
         # start from "now": only rows committed after subscribing stream
         with self.db.lock:
             for cid, c in self.db.components.items():
-                sent_len[cid] = c.len
+                sent_len.setdefault(cid, c.len)
         while True:
             component_ids, ts = await self.sub_queue.get()
             for cid in component_ids:
@@ -698,14 +703,18 @@ class Connection:
             for s in self.db.components.values()
         }
         await self.send(M.DumpSchemaResp(schemas).packet(req_id))
-        # historical component rows as one vtable + table per component
+        # historical component rows as one vtable + table per component;
+        # record the exact watermark so the live stream resumes where the
+        # replay stopped (no loss, no duplication)
         import numpy as np
 
+        watermark: dict[int, int] = {}
         for s in list(self.db.components.values()):
             with self.db.lock:
                 n = s.len
                 ts = s.timestamps[:n].copy()
                 vals = s.values[:n].copy()
+            watermark[s.component_id] = n
             if n == 0:
                 continue
             vt_id = bytes([5, s.component_id & 0xFF])
@@ -729,7 +738,10 @@ class Connection:
             self.sub_queue = asyncio.Queue(maxsize=1024)
             self.server.add_subscriber(self.sub_queue)
         task = asyncio.ensure_future(
-            self._stream_loop(M.Stream("real-time", id=req_id), req_id)
+            self._stream_loop(
+                M.Stream("real-time", id=req_id), req_id,
+                initial_sent=watermark,
+            )
         )
         self.stream_tasks.append(task)
         self.server.follow_all_msgs.append((self, req_id))

@@ -1462,3 +1462,40 @@ def test_export_skips_private_components(tmp_path):
     save_archive(db, str(out2), "csv", include_private=True)
     names2 = {p.name for p in out2.glob("*.csv")}
     assert "sec.x.csv" in names2
+
+
+def test_follower_mirrors_history_and_names(tmp_path):
+    """Upgraded follow: a follower attaching AFTER rows exist mirrors the
+    full history plus names, then stays live (unified FollowStream,
+    follow.rs)."""
+    from elodin_tpu.db.follow import follow
+
+    leader = edb.Server.start(str(tmp_path / "leader"))
+    try:
+        client = edb.Client.connect(leader.addr)
+        writer = client.table_writer({"h.x": edb.f64})
+        for i in range(6):
+            writer.write(timestamp_us=i * 10, values={"h.x": float(i)})
+        time.sleep(0.4)
+
+        f = follow(leader.addr, str(tmp_path / "follower"))
+        deadline = time.time() + 10
+        while time.time() < deadline and f.rows_mirrored < 6:
+            time.sleep(0.1)
+        store = f.db.by_name("h.x")
+        assert store is not None and store.len == 6  # history mirrored
+        np.testing.assert_allclose(store.values[:6, 0], np.arange(6.0))
+
+        # still live: new rows keep flowing
+        for i in range(6, 9):
+            writer.write(timestamp_us=i * 10, values={"h.x": float(i)})
+        deadline = time.time() + 10
+        while time.time() < deadline and store.len < 9:
+            time.sleep(0.1)
+        assert store.len == 9
+        assert (np.diff(store.timestamps[:9]) > 0).all()
+        f.stop()
+        writer.close()
+        client.close()
+    finally:
+        leader.stop()
