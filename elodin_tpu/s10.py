@@ -318,17 +318,33 @@ class PyRecipe:
 
 
 class Supervisor:
-    """Minimal recipe supervisor with restart policies
-    (libs/s10/src/lib.rs run loop)."""
+    """Recipe supervisor with restart policies, liveness enforcement,
+    watch mode, and an admission budget (libs/s10/src/lib.rs run loop +
+    admission.rs S10_MAX_INFLIGHT: at most N recipes run concurrently,
+    the rest queue until a slot frees)."""
 
-    def __init__(self):
+    def __init__(self, max_inflight: int | None = None):
         self.running: list[RunningProcess] = []
+        self.queued: list = []
+        if max_inflight is None:
+            env = os.environ.get("S10_MAX_INFLIGHT")
+            max_inflight = int(env) if env else None
+        self.max_inflight = max_inflight
+
+    def _slots_free(self) -> int:
+        if self.max_inflight is None:
+            return 1 << 30
+        live = sum(1 for rp in self.running if rp.poll() is None)
+        return max(0, self.max_inflight - live)
 
     def start(self, recipes) -> None:
         for r in recipes:
             obj = r.inner if isinstance(r, PyRecipe) else r
             if hasattr(obj, "spawn"):
-                self.running.append(obj.spawn())
+                if self._slots_free() > 0:
+                    self.running.append(obj.spawn())
+                else:
+                    self.queued.append(obj)
 
     def tick(self) -> None:
         for i, rp in enumerate(self.running):
@@ -351,6 +367,9 @@ class Supervisor:
             policy = getattr(rp.recipe, "restart_policy", "never")
             if policy == "always" or (policy == "on-failure" and code != 0):
                 self.running[i] = rp.recipe.spawn()
+        # admit queued recipes into freed slots
+        while self.queued and self._slots_free() > 0:
+            self.running.append(self.queued.pop(0).spawn())
 
     def wait_ready(self, timeout: float = 30.0) -> bool:
         return all(rp.wait_ready(timeout) for rp in self.running)

@@ -439,3 +439,38 @@ def test_lqr_service_against_live_db(tmp_path):
         sensor.close()
     finally:
         srv.stop()
+
+
+def test_s10_admission_budget(tmp_path):
+    """S10_MAX_INFLIGHT (libs/s10/src/admission.rs): at most N recipes run
+    concurrently; the rest queue until a slot frees."""
+    import sys
+    import time as _time
+
+    from elodin_tpu.s10 import ProcessRecipe, Supervisor
+
+    marker = tmp_path / "order.txt"
+    recipes = [
+        ProcessRecipe(
+            name=f"r{i}", cmd=sys.executable,
+            args=["-c",
+                  f"import time; open(r'{marker}', 'a').write('{i}');"
+                  " time.sleep(0.4)"],
+        )
+        for i in range(4)
+    ]
+    sup = Supervisor(max_inflight=2)
+    sup.start(recipes)
+    assert sum(1 for rp in sup.running if rp.poll() is None) <= 2
+    assert len(sup.queued) == 2
+    deadline = _time.monotonic() + 20
+    while _time.monotonic() < deadline:
+        sup.tick()
+        if (
+            not sup.queued
+            and all(rp.poll() is not None for rp in sup.running)
+        ):
+            break
+        _time.sleep(0.1)
+    sup.stop_all()
+    assert sorted(marker.read_text()) == ["0", "1", "2", "3"]
