@@ -126,15 +126,16 @@ class Connection:
         default_ts = now_timestamp_us()
         touched = []
         max_ts = None
-        for f in vt.realize_fields(pkt.body):
-            cid = f["component_id"]
-            if cid is None or f["ty"] is None:
-                continue
-            store = self.db.get_or_create(cid, f["ty"], f["shape"])
-            ts = f["timestamp"] if f["timestamp"] is not None else default_ts
-            store.append(ts, f["data"])
-            max_ts = ts if max_ts is None else max(max_ts, ts)
-            touched.append(cid)
+        with self.db.lock:  # readers (SQL sync, exports) slice under it
+            for f in vt.realize_fields(pkt.body):
+                cid = f["component_id"]
+                if cid is None or f["ty"] is None:
+                    continue
+                store = self.db.get_or_create(cid, f["ty"], f["shape"])
+                ts = f["timestamp"] if f["timestamp"] is not None else default_ts
+                store.append(ts, f["data"])
+                max_ts = ts if max_ts is None else max(max_ts, ts)
+                touched.append(cid)
         if touched:
             self.server.notify_table(touched, max_ts if max_ts is not None else default_ts)
             if self.server.on_external_write is not None:
@@ -171,7 +172,8 @@ class Connection:
         max_ts = None
         from .vtable import PRIM_NP
 
-        for fld in layout:
+        with self.db.lock:
+          for fld in layout:
             cid, ty = fld["component_id"], fld["ty"]
             if cid is None or ty is None:
                 continue
