@@ -233,7 +233,10 @@ def cmd_export(args):
                           include_private=args.include_private)
     else:
         save_archive(db, args.output, args.format,
-                     include_private=args.include_private)
+                     include_private=args.include_private,
+                     pattern=args.pattern, flatten=not args.no_flatten,
+                     mono_ns=args.mono_ns,
+                     fast_floats=args.csv_fast_floats)
     print(f"exported {len(db.components)} components -> {args.output}")
 
 
@@ -540,7 +543,8 @@ def main(argv=None):
     exp.add_argument("--output", required=True)
     exp.add_argument("--format", default="csv")
     exp.add_argument("--join", action="store_true")
-    exp.add_argument("--flatten", action="store_true")
+    exp.add_argument("--no-flatten", action="store_true",
+                     help="keep vector components as one array column")
     exp.add_argument("--mono-ns", action="store_true")
     exp.add_argument("--csv-fast-floats", action="store_true")
     exp.add_argument("--pattern", default=None)

@@ -29,13 +29,24 @@ def _is_private(store) -> bool:
 
 
 def save_archive(db, path: str, fmt: str = "arrow_ipc",
-                 include_private: bool = False) -> None:
+                 include_private: bool = False, pattern: str | None = None,
+                 flatten: bool = True, mono_ns: bool = False,
+                 fast_floats: bool = False) -> None:
+    """Export every component series (src/export.rs options: name glob
+    pattern, per-element flatten, ns vs us timestamps, fast float
+    formatting — the knobs behind the reference csv-export goldens)."""
+    import fnmatch
+
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
     for store in db.components.values():
         if store.len == 0:
             continue
         if _is_private(store) and not include_private:
+            continue
+        if pattern and not fnmatch.fnmatch(
+            store.name or f"{store.component_id:016x}", pattern
+        ):
             continue
         name = store.name or f"{store.component_id:016x}"
         table = _arrow_table(store)
@@ -49,23 +60,35 @@ def save_archive(db, path: str, fmt: str = "arrow_ipc",
 
             pq.write_table(table, str(out / f"{name}.parquet"))
         elif fmt == "csv":
-            # flatten vector columns for csv
             n = store.len
-            cols = {"time": store.timestamps[:n]}
+            ts = store.timestamps[:n]
+            tcol = "time_ns" if mono_ns else "time_us"
+            cols = {tcol: ts * 1000 if mono_ns else ts}
             if store.elem_count == 1:
                 cols[name] = store.values[:n, 0]
-            else:
+            elif flatten:
                 labels = (store.metadata.get("element_names") or "").split(",")
                 for i in range(store.elem_count):
                     label = labels[i] if i < len(labels) and labels[i] else str(i)
                     cols[f"{name}.{label}"] = store.values[:n, i]
+            else:
+                # one column holding the whole element vector per row
+                cols[name] = [
+                    "[" + ", ".join(map(repr, row)) + "]"
+                    for row in store.values[:n]
+                ]
             import csv as _csv
+
+            def fmt_val(v):
+                if fast_floats and isinstance(v, float):
+                    return f"{v:.9g}"
+                return v
 
             with open(out / f"{name}.csv", "w", newline="") as f:
                 w = _csv.writer(f)
                 w.writerow(cols.keys())
                 for row in zip(*cols.values()):
-                    w.writerow(row)
+                    w.writerow([fmt_val(v) for v in row])
         else:
             raise ValueError(f"unknown archive format {fmt!r}")
 

@@ -1499,3 +1499,29 @@ def test_follower_mirrors_history_and_names(tmp_path):
         client.close()
     finally:
         leader.stop()
+
+
+def test_export_flags_pattern_noflatten_ns(tmp_path):
+    """Export option knobs behind the reference goldens: --pattern name
+    glob, --no-flatten array columns, --mono-ns nanosecond timestamps."""
+    import csv as _csv
+
+    from elodin_tpu.db.export import save_archive
+    from elodin_tpu.db.storage import Database
+
+    db = Database(str(tmp_path / "db"))
+    a = db.get_or_create(component_id_of("vec.a"), "f64", (2,), "vec.a")
+    b = db.get_or_create(component_id_of("other.b"), "f64", (), "other.b")
+    a.append(5, np.array([1.5, -2.5]).tobytes())
+    b.append(5, np.float64(9.0).tobytes())
+
+    out = tmp_path / "e1"
+    save_archive(db, str(out), "csv", pattern="vec.*", flatten=False,
+                 mono_ns=True)
+    files = sorted(p.name for p in out.glob("*.csv"))
+    assert files == ["vec.a.csv"]  # pattern filtered other.b out
+    with open(out / "vec.a.csv") as f:
+        rows = list(_csv.reader(f))
+    assert rows[0] == ["time_ns", "vec.a"]
+    assert rows[1][0] == "5000"  # us -> ns
+    assert rows[1][1] == "[1.5, -2.5]"  # unflattened array column
