@@ -74,7 +74,7 @@ def save_archive(db, path: str, fmt: str = "arrow_ipc",
             else:
                 # one column holding the whole element vector per row
                 cols[name] = [
-                    "[" + ", ".join(map(repr, row)) + "]"
+                    "[" + ", ".join(repr(float(v)) for v in row) + "]"
                     for row in store.values[:n]
                 ]
             import csv as _csv
