@@ -174,6 +174,7 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
 
     ctx = StepContext(exec_)
     metrics = TickMetrics()
+    exec_.commit_hist = metrics.hist["commit"]
     liveness = Liveness(getattr(args, "liveness_port", None))
     dt = 1.0 / simulation_rate
     tick = 0

@@ -182,6 +182,9 @@ class _TelemetryPump:
         self.history = history
         self.on_commit = on_commit
         self.profiler = profiler
+        # optional Log2Histogram: serve-loop tick metrics "commit" phase
+        # (recorded here because the commit runs off the sim thread)
+        self.commit_hist = None
         self.stalls = 0
         self.error: BaseException | None = None
         self._thread = threading.Thread(
@@ -216,7 +219,10 @@ class _TelemetryPump:
                     start = self.history.start_timestamp.timestamp()
                     ts_us = ((start + ts) * 1e6).astype(np.int64)
                     self.on_commit(ts_us, stacked_np)
-                self.profiler.copy_s += time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                self.profiler.copy_s += dt
+                if self.commit_hist is not None:
+                    self.commit_hist.observe_us(dt * 1e6)
             except BaseException as e:  # noqa: BLE001
                 self.error = e
             finally:
@@ -402,6 +408,7 @@ class Exec:
                     ),
                     self.profiler,
                 )
+                self._pump.commit_hist = getattr(self, "commit_hist", None)
             self._pump.submit(ts, dict(stacked))
         else:
             final, _ = fn(self.cols)
