@@ -44,6 +44,16 @@ def main():
         client.send("ground.station_temp", [21.5], timestamp_us=int(time.time() * 1e6))
         time.sleep(0.3)
         print("wrote ground.station_temp:", client.latest("ground.station_temp").values)
+
+        # editor-grade downsample query: LTTB sparkline
+        ts_s, vals_s = client.sparkline("ball.world_pos", 32)
+        print(f"sparkline: {len(ts_s)} points, last value {vals_s[-1]:.3f}")
+
+        # downsampled element window (plot panel initial load)
+        ts_p, vz = client.plot_overview("ball.world_pos", max_points=64,
+                                        element_index=6)
+        print(f"plot overview: {len(ts_p)} points, z range "
+              f"[{vz.min():.2f}, {vz.max():.2f}]")
         client.close()
     finally:
         running.stop()
