@@ -6,6 +6,11 @@ probes, and a liveness heartbeat.  This Python implementation keeps the
 recipe model and subprocess supervision; the TPU engine itself never needs
 process-per-sample (Monte Carlo batches on-device), so recipes only serve
 external co-processes.
+
+Process-tree cleanup: children spawn in their own session
+(start_new_session) and stop() kills the whole process group — the
+portable equivalent of the reference's cgroup teardown (cgroup.rs; cgroup
+v2 kill-files are not available in every deployment, including this one).
 """
 
 from __future__ import annotations
