@@ -473,6 +473,134 @@ def cmd_time_align(args):
         print(f"aligned {len(stores)} components to {target_us} us")
 
 
+def cmd_truncate(args):
+    """Clear all data from a database, preserving schemas and metadata
+    (parity: libs/db/src/truncate.rs — component series and msg logs are
+    emptied; schema.json / msg metadata stay so writers can resume)."""
+    db = Database(args.path)
+    rows = sum(s.len for s in db.components.values())
+    msgs = sum(len(m.entries) for m in db.msg_logs.values())
+    print(f"database {args.path}: {len(db.components)} components "
+          f"({rows} rows), {len(db.msg_logs)} msg logs ({msgs} entries)")
+    if rows == 0 and msgs == 0:
+        print("database is already empty; nothing to truncate")
+        return
+    if args.dry_run:
+        print(f"would clear {rows} rows + {msgs} msg entries (dry run)")
+        return
+    for store in db.components.values():
+        store.len = 0
+        _rewrite(store)
+    for log in db.msg_logs.values():
+        log.entries.clear()
+        if log._file is not None:
+            log._file.close()
+            log._file = open(log.path / "log.bin", "wb")
+    print(f"truncated: cleared {rows} rows + {msgs} msg entries "
+          "(schemas and metadata preserved)")
+
+
+def _fuzzy_score(query: str, name: str) -> int | None:
+    """Subsequence match score (parity: libs/db/src/drop.rs's SkimMatcherV2
+    selection — exact > prefix > substring > subsequence; None = no match)."""
+    q, n = query.lower(), name.lower()
+    if q == n:
+        return 1000
+    if n.startswith(q):
+        return 500
+    if q in n:
+        return 250
+    pos = 0
+    for ch in q:
+        pos = n.find(ch, pos)
+        if pos < 0:
+            return None
+        pos += 1
+    return 100 - len(n)
+
+
+def cmd_drop(args):
+    """Drop (delete) components from a database with fuzzy / glob / --all
+    selection (parity: libs/db/src/drop.rs)."""
+    import fnmatch
+    import shutil
+
+    db = Database(args.path)
+    stores = [s for s in db.components.values() if s.path]
+    if not stores:
+        print("no components found in database")
+        return
+    if args.all:
+        matched = stores
+    elif args.pattern:
+        matched = [
+            s for s in stores
+            if fnmatch.fnmatch(s.name or f"{s.component_id:016x}", args.pattern)
+        ]
+    elif args.name:
+        scored = [
+            (s, _fuzzy_score(args.name, s.name or f"{s.component_id:016x}"))
+            for s in stores
+        ]
+        scored = [(s, sc) for s, sc in scored if sc is not None]
+        scored.sort(key=lambda t: -t[1])
+        # exact/prefix matches drop just the best hit; otherwise every
+        # subsequence match is shown and requires --yes to proceed
+        matched = [s for s, sc in scored if sc >= scored[0][1]] if scored else []
+    else:
+        print("specify a component name, --pattern, or --all")
+        return
+    if not matched:
+        print("no components matched")
+        return
+    total = sum(s.len for s in matched)
+    for s in matched:
+        print(f"{'would drop' if args.dry_run else 'drop'} "
+              f"{s.name or hex(s.component_id)} ({s.len} rows)")
+    if args.dry_run:
+        print(f"{len(matched)} components, {total} rows (dry run)")
+        return
+    if len(matched) > 1 and not (args.yes or args.all or args.pattern):
+        print(f"{len(matched)} fuzzy matches; pass --yes to drop all of them "
+              "or narrow the name")
+        return
+    for s in matched:
+        if s._native is not None:
+            s._native.close()
+            s._native = None
+        if s._ts_file is not None:
+            s._ts_file.close()
+            s._data_file.close()
+        shutil.rmtree(s.path)
+        del db.components[s.component_id]
+    print(f"dropped {len(matched)} components ({total} rows)")
+
+
+def cmd_info(args):
+    """Display information about a database (parity: libs/db/src/main.rs
+    Info command — counts, size on disk, time span)."""
+    db = Database(args.path)
+    rows = sum(s.len for s in db.components.values())
+    msgs = sum(len(m.entries) for m in db.msg_logs.values())
+    nbytes = sum(
+        f.stat().st_size
+        for f in Path(args.path).rglob("*") if f.is_file()
+    )
+    spans = [
+        (int(s.timestamps[0]), int(s.timestamps[s.len - 1]))
+        for s in db.components.values() if s.len
+    ]
+    print(f"path:         {args.path}")
+    print(f"components:   {len(db.components)} ({rows} rows)")
+    print(f"msg logs:     {len(db.msg_logs)} ({msgs} entries)")
+    print(f"assets:       {len(db.assets.mem)}")
+    print(f"size on disk: {nbytes / 1e6:.2f} MB")
+    if spans:
+        t0 = min(t for t, _ in spans)
+        t1 = max(t for _, t in spans)
+        print(f"time span:    [{t0} .. {t1}] us ({(t1 - t0) / 1e6:.3f} s)")
+
+
 def cmd_repl(args):
     """Interactive DB console (parity: `elodin-db lua` REPL + script runner,
     libs/db/src/main.rs:28-29 and libs/db/cli/src/lib.rs:681-814 — the
@@ -595,6 +723,27 @@ def main(argv=None):
     ta.add_argument("--component", default=None)
     ta.add_argument("--dry-run", action="store_true")
     ta.set_defaults(fn=cmd_time_align)
+
+    trunc = sub.add_parser(
+        "truncate", help="clear all data, preserving schemas and metadata")
+    trunc.add_argument("path")
+    trunc.add_argument("--dry-run", action="store_true")
+    trunc.add_argument("--yes", action="store_true")
+    trunc.set_defaults(fn=cmd_truncate)
+
+    drp = sub.add_parser("drop", help="drop (delete) components")
+    drp.add_argument("path")
+    drp.add_argument("name", nargs="?", default=None,
+                     help="component name (fuzzy matched)")
+    drp.add_argument("--pattern", default=None, help="glob pattern")
+    drp.add_argument("--all", action="store_true")
+    drp.add_argument("--dry-run", action="store_true")
+    drp.add_argument("--yes", action="store_true")
+    drp.set_defaults(fn=cmd_drop)
+
+    info = sub.add_parser("info", help="display database information")
+    info.add_argument("path")
+    info.set_defaults(fn=cmd_info)
 
     repl = sub.add_parser("repl", help="interactive console / script runner")
     repl.add_argument("addr", nargs="?", default=None)

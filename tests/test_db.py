@@ -1525,3 +1525,70 @@ def test_export_flags_pattern_noflatten_ns(tmp_path):
     assert rows[0] == ["time_ns", "vec.a"]
     assert rows[1][0] == "5000"  # us -> ns
     assert rows[1][1] == "[1.5, -2.5]"  # unflattened array column
+
+
+def test_cli_truncate_drop_info(tmp_path):
+    """truncate/drop/info surgery subcommands (libs/db/src/truncate.rs,
+    drop.rs, main.rs Info)."""
+    import subprocess
+    import sys as _s
+
+    import numpy as np
+
+    from elodin_tpu.db.storage import Database
+
+    path = str(tmp_path / "db")
+    db = Database(path)
+    a = db.get_or_create(0x1, "f64", (3,), "ball.world_pos")
+    b = db.get_or_create(0x2, "f64", (), "ball.mass")
+    c = db.get_or_create(0x3, "f64", (), "rocket.thrust")
+    for i in range(5):
+        a.append(1000 + i, np.arange(3.0) + i)
+        b.append(1000 + i, np.array([1.0]))
+        c.append(1000 + i, np.array([2.0]))
+    db.msg_log(b"\x12\x34").append(1000, b"hello")
+    db.flush()
+    del db, a, b, c
+
+    def run(*argv):
+        return subprocess.run(
+            [_s.executable, "-m", "elodin_tpu.db", *argv],
+            capture_output=True, text=True,
+        )
+
+    out = run("info", path)
+    assert out.returncode == 0, out.stderr
+    assert "components:   3 (15 rows)" in out.stdout
+    assert "msg logs:     1 (1 entries)" in out.stdout
+
+    # drop: glob pattern removes both ball.* components, keeps rocket
+    out = run("drop", path, "--pattern", "ball.*", "--dry-run")
+    assert "would drop ball.world_pos" in out.stdout
+    db2 = Database(path)
+    assert len(db2.components) == 3  # dry run changed nothing
+    del db2
+    out = run("drop", path, "--pattern", "ball.*")
+    assert out.returncode == 0, out.stderr
+    db2 = Database(path)
+    assert set(db2.components) == {0x3}
+    del db2
+
+    # drop: fuzzy name match
+    out = run("drop", path, "thrust")
+    assert out.returncode == 0 and "dropped 1 components" in out.stdout
+    assert len(Database(path).components) == 0
+
+    # truncate: clears rows + msg entries, keeps schemas
+    db3 = Database(path)
+    s = db3.get_or_create(0x9, "f64", (), "x.y")
+    s.set_metadata(metadata={"element_names": "v"})
+    s.append(1, np.array([3.0]))
+    db3.flush()
+    del db3, s
+    out = run("truncate", path, "--yes")
+    assert out.returncode == 0, out.stderr
+    db4 = Database(path)
+    s4 = db4.components[0x9]
+    assert s4.len == 0 and s4.name == "x.y"
+    assert s4.metadata["element_names"] == "v"  # schema survived
+    assert sum(len(m.entries) for m in db4.msg_logs.values()) == 0
