@@ -473,6 +473,60 @@ def cmd_time_align(args):
         print(f"aligned {len(stores)} components to {target_us} us")
 
 
+def cmd_export_videos(args):
+    """Export H.264 video message logs to MP4 files (parity:
+    libs/db/src/export_videos.rs — Annex-B logs are muxed directly; raw
+    sensor-camera RGBA logs would need an H.264 encoder, which this image
+    doesn't ship, so they are dumped as .rgba.bin + a shape sidecar)."""
+    import fnmatch
+    import json as _json
+
+    from .video import export_h264_log, find_nal, NAL_SPS
+
+    db = Database(args.path)
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    names = {}
+    for mid, log in db.msg_logs.items():
+        name = getattr(log.metadata, "name", None)
+        names[mid] = name or mid.hex()
+    exported = 0
+    for mid, log in sorted(db.msg_logs.items(), key=lambda kv: names[kv[0]]):
+        name = names[mid]
+        if args.pattern and not fnmatch.fnmatch(name, args.pattern):
+            continue
+        if not log.entries:
+            continue
+        safe = name.replace("/", "_")
+        if any(find_nal(p, NAL_SPS) for _, p in log.entries[:20]):
+            stats = export_h264_log(
+                log.entries, name, out_dir / f"{safe}.mp4", args.fps
+            )
+            if stats:
+                print(
+                    f"  {name}: {stats['frames']} frames, "
+                    f"{stats['duration_s']:.1f}s, "
+                    f"{stats['width']}x{stats['height']} @ {stats['fps']:g} fps"
+                    f" -> {out_dir / (safe + '.mp4')}"
+                )
+                exported += 1
+        elif args.raw:
+            blob = b"".join(p for _, p in log.entries)
+            (out_dir / f"{safe}.rgba.bin").write_bytes(blob)
+            (out_dir / f"{safe}.rgba.json").write_text(
+                _json.dumps({"frames": len(log.entries),
+                             "frame_bytes": len(log.entries[0][1])})
+            )
+            print(f"  {name}: {len(log.entries)} raw frames (no SPS; "
+                  "dumped .rgba.bin — no encoder in this image)")
+            exported += 1
+    if exported == 0:
+        print("no video message logs found"
+              + (f" matching {args.pattern!r}" if args.pattern else ""))
+    else:
+        print(f"exported {exported} video logs -> {out_dir}")
+
+
 def cmd_truncate(args):
     """Clear all data from a database, preserving schemas and metadata
     (parity: libs/db/src/truncate.rs — component series and msg logs are
@@ -723,6 +777,18 @@ def main(argv=None):
     ta.add_argument("--component", default=None)
     ta.add_argument("--dry-run", action="store_true")
     ta.set_defaults(fn=cmd_time_align)
+
+    ev = sub.add_parser("export-videos",
+                        help="export H.264 msg logs to MP4 files")
+    ev.add_argument("path")
+    ev.add_argument("--output", "-o", required=True)
+    ev.add_argument("--pattern", default=None,
+                    help="filter message logs by name glob")
+    ev.add_argument("--fps", type=float, default=30.0,
+                    help="frame rate when SPS has no timing_info")
+    ev.add_argument("--raw", action="store_true",
+                    help="also dump non-H.264 logs as raw frame blobs")
+    ev.set_defaults(fn=cmd_export_videos)
 
     trunc = sub.add_parser(
         "truncate", help="clear all data, preserving schemas and metadata")

@@ -487,7 +487,7 @@ class Connection:
         )
 
     async def on_SetMsgMetadata(self, msg: M.SetMsgMetadata, req_id: int) -> None:
-        self.db.msg_log(msg.id).metadata = msg.metadata
+        self.db.msg_log(msg.id).set_metadata(msg.metadata)
 
     async def on_MsgStream(self, msg: M.MsgStream, req_id: int) -> None:
         self.msg_subs.add(msg.msg_id)

@@ -211,6 +211,34 @@ class MsgLog:
             if log_path.is_file():
                 self._load(log_path)
             self._file = open(log_path, "ab")
+            meta_path = path / "meta.json"
+            if meta_path.is_file():
+                try:
+                    from . import msgs as M
+
+                    d = json.loads(meta_path.read_text())
+                    self.metadata = M.MsgMetadata(
+                        d.get("msg_id", 0), d.get("name", ""),
+                        d.get("metadata") or {},
+                    )
+                except Exception:
+                    pass
+
+    def set_metadata(self, metadata) -> None:
+        """Assign (and persist) this log's MsgMetadata so names survive a
+        reopen (reference keeps msg metadata in its metadata log,
+        libs/db/src/lib.rs SetMsgMetadata handling)."""
+        self.metadata = metadata
+        if self.path is not None and metadata is not None:
+            (self.path / "meta.json").write_text(
+                json.dumps(
+                    {
+                        "msg_id": getattr(metadata, "msg_id", 0),
+                        "name": getattr(metadata, "name", ""),
+                        "metadata": getattr(metadata, "metadata", {}) or {},
+                    }
+                )
+            )
 
     def _load(self, log_path: Path) -> None:
         """Replay persisted entries (i64 ts + u32 len + payload records)."""

@@ -1592,3 +1592,153 @@ def test_cli_truncate_drop_info(tmp_path):
     assert s4.len == 0 and s4.name == "x.y"
     assert s4.metadata["element_names"] == "v"  # schema survived
     assert sum(len(m.entries) for m in db4.msg_logs.values()) == 0
+
+
+def _golomb_sps(width_mbs=40, height_mbs=30, fps=30):
+    """Hand-assembled baseline SPS (independent encoder for round-trip
+    testing of elodin_tpu.db.video.parse_sps)."""
+    bits = []
+
+    def u(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def ue(v):
+        k = v + 1
+        n = k.bit_length()
+        u(0, n - 1)
+        u(k, n)
+
+    u(66, 8)        # profile_idc baseline
+    u(0, 8)         # constraint flags
+    u(30, 8)        # level_idc
+    ue(0)           # sps_id
+    ue(0)           # log2_max_frame_num_minus4
+    ue(2)           # pic_order_cnt_type
+    ue(0)           # max_num_ref_frames
+    u(0, 1)         # gaps_in_frame_num
+    ue(width_mbs - 1)
+    ue(height_mbs - 1)
+    u(1, 1)         # frame_mbs_only
+    u(0, 1)         # direct_8x8
+    u(0, 1)         # frame_cropping
+    u(1, 1)         # vui_present
+    u(0, 1)         # aspect_ratio_info
+    u(0, 1)         # overscan
+    u(0, 1)         # video_signal_type
+    u(0, 1)         # chroma_loc
+    u(1, 1)         # timing_info_present
+    u(1, 32)        # num_units_in_tick
+    u(2 * fps, 32)  # time_scale
+    u(1, 1)         # rbsp stop bit
+    while len(bits) % 8:
+        bits.append(0)
+    rbsp = bytes(
+        int("".join(map(str, bits[i:i + 8])), 2) for i in range(0, len(bits), 8)
+    )
+    # emulation prevention: 00 00 {00,01,02,03} -> 00 00 03 xx
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return b"\x67" + bytes(out)
+
+
+def _walk_boxes(data, offset=0, end=None):
+    """Independent ISO-BMFF box walker: {fourcc: (payload_offset, size)}."""
+    import struct as st
+
+    end = len(data) if end is None else end
+    boxes = []
+    while offset + 8 <= end:
+        size, fourcc = st.unpack_from(">I4s", data, offset)
+        assert size >= 8, f"bad box size {size} at {offset}"
+        boxes.append((fourcc, offset + 8, offset + size))
+        offset += size
+    assert offset == end, "box sizes don't tile the file"
+    return boxes
+
+
+def test_export_videos_mp4(tmp_path):
+    """export-videos muxes an Annex-B H.264 msg log into a structurally
+    valid MP4 (libs/db/src/export_videos.rs equivalent)."""
+    import struct as st
+    import subprocess
+    import sys as _s
+
+    from elodin_tpu.db import msgs as M
+    from elodin_tpu.db.storage import Database
+    from elodin_tpu.db.video import parse_sps
+
+    sps = _golomb_sps()  # 640x480 @ 30fps
+    info = parse_sps(sps)
+    assert (info.width, info.height, info.fps) == (640, 480, 30.0)
+
+    pps = b"\x68\xce\x38\x80"
+    sc = b"\x00\x00\x00\x01"
+    idr = b"\x65" + bytes(range(1, 40))
+    p_frame = b"\x41" + bytes(range(1, 24))
+
+    path = str(tmp_path / "db")
+    db = Database(path)
+    log = db.msg_log(b"\xab\xcd")
+    log.set_metadata(M.MsgMetadata(0xABCD, "video.cam0", {}))
+    t0 = 1_000_000
+    frame_us = 33_333
+    n = 12
+    for i in range(n):
+        if i % 6 == 0:
+            payload = sc + sps + sc + pps + sc + idr
+        else:
+            payload = sc + p_frame
+        log.append(t0 + i * frame_us, payload)
+    db.flush()
+    del db, log
+
+    out = subprocess.run(
+        [_s.executable, "-m", "elodin_tpu.db", "export-videos", path,
+         "-o", str(tmp_path / "vids"), "--pattern", "video.*"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "640x480" in out.stdout and "exported 1 video logs" in out.stdout
+
+    mp4 = (tmp_path / "vids" / "video.cam0.mp4").read_bytes()
+    top = _walk_boxes(mp4)
+    assert [f for f, _, _ in top] == [b"ftyp", b"mdat", b"moov"]
+    moov = next(b for b in top if b[0] == b"moov")
+    moov_kids = _walk_boxes(mp4, moov[1], moov[2])
+    trak = next(b for b in moov_kids if b[0] == b"trak")
+    mdia = next(b for b in _walk_boxes(mp4, trak[1], trak[2])
+                if b[0] == b"mdia")
+    mdia_kids = _walk_boxes(mp4, mdia[1], mdia[2])
+    mdhd = next(b for b in mdia_kids if b[0] == b"mdhd")
+    timescale = st.unpack_from(">I", mp4, mdhd[1] + 12)[0]
+    assert timescale == 90_000
+    minf = next(b for b in mdia_kids if b[0] == b"minf")
+    stbl = next(b for b in _walk_boxes(mp4, minf[1], minf[2])
+                if b[0] == b"stbl")
+    stbl_kids = {f: (s, e) for f, s, e in _walk_boxes(mp4, stbl[1], stbl[2])}
+    assert set(stbl_kids) == {b"stsd", b"stts", b"stss", b"stsc", b"stsz",
+                              b"stco"}
+    # stsz: 12 samples
+    szs, szn = st.unpack_from(">II", mp4, stbl_kids[b"stsz"][0] + 4)
+    assert (szs, szn) == (0, n)
+    # stss: keyframes at samples 1 and 7 (i = 0 and 6)
+    kf_count = st.unpack_from(">I", mp4, stbl_kids[b"stss"][0] + 4)[0]
+    kfs = st.unpack_from(f">{kf_count}I", mp4, stbl_kids[b"stss"][0] + 8)
+    assert list(kfs) == [1, 7]
+    # stco points at the first sample; its first NAL length is len(idr)
+    chunk_off = st.unpack_from(">I", mp4, stbl_kids[b"stco"][0] + 8)[0]
+    first_len = st.unpack_from(">I", mp4, chunk_off)[0]
+    assert first_len == len(idr)
+    assert mp4[chunk_off + 4] == 0x65  # IDR NAL header
+    # avcC embeds the exact SPS bytes (SPS/PPS lifted out of samples)
+    assert sps in mp4[stbl_kids[b"stsd"][0]:stbl_kids[b"stsd"][1]]
+    # metadata round-trip: name survived reopen via meta.json
+    db2 = Database(path)
+    assert db2.msg_logs[b"\xab\xcd"].metadata.name == "video.cam0"
