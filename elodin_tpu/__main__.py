@@ -76,9 +76,11 @@ def main(argv=None) -> None:
             finally:
                 sup.stop_all()
         elif target and _re.fullmatch(r"[\w.\-\[\]:]+:\d+", target):
+            host, _, port = target.rpartition(":")
             print(
-                f"{target} is a live database address — point the editor "
-                "at it directly (nothing to launch)"
+                f"{target} is a live database address — its web viewer is "
+                f"at http://{host}:{int(port) + 1}/ (the native editor can "
+                "also attach directly)"
             )
         else:
             from .db.__main__ import main as db_main

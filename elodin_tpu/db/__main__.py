@@ -31,6 +31,8 @@ def cmd_run(args):
     db = Database(args.path)
     srv = Server(db, args.addr).start()
     print(f"elodin-db listening on 127.0.0.1:{srv.port} (path={args.path})")
+    if getattr(srv, "assets_http", None) is not None:
+        print(f"web viewer at http://127.0.0.1:{srv.assets_http.port}/")
     try:
         while True:
             time.sleep(1)

@@ -63,6 +63,16 @@ class AssetHttpServer:
                  host: str = "127.0.0.1", db=None):
         self.store = store
         self.db = db  # optional Database for /healthz and /metrics
+        # extensible GET routes: prefix -> fn(path, query) -> (status, ctype,
+        # body); the web UI (db/webui.py) registers /api/* and / here
+        self.routes: dict[str, object] = {}
+        if db is not None:
+            try:
+                from .webui import register_routes
+
+                register_routes(self.routes, db)
+            except Exception:
+                pass
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -70,6 +80,31 @@ class AssetHttpServer:
                 pass
 
             def do_GET(self):
+                from urllib.parse import parse_qs, urlparse
+
+                parsed = urlparse(self.path)
+                route = None
+                for prefix in sorted(outer.routes, key=len, reverse=True):
+                    if parsed.path == prefix or (
+                        len(prefix) > 1 and prefix.endswith("/")
+                        and parsed.path.startswith(prefix)
+                    ):
+                        route = outer.routes[prefix]
+                        break
+                if route is not None:
+                    query = {
+                        k: v[-1] for k, v in parse_qs(parsed.query).items()
+                    }
+                    try:
+                        status, ctype, body = route(parsed.path, query)
+                    except Exception as e:  # surface handler errors as 500s
+                        status, ctype = 500, "text/plain"
+                        body = str(e).encode()
+                    if status == 200:
+                        self._ok(body, ctype)
+                    else:
+                        self.send_error(status, body.decode(errors="replace"))
+                    return
                 if self.path == "/healthz":
                     self._ok(b"ok", "text/plain")
                     return

@@ -1,0 +1,598 @@
+"""Browser-based live telemetry viewer served from the DB's HTTP port.
+
+Parity: the data-facing core of libs/elodin-editor — component browser,
+live time-series plots, value readouts, playback over recorded ranges — as a
+dependency-free single-page app.  The reference editor is a native Bevy app
+(libs/elodin-editor/src/ui/plot/, ui/tiles.rs); its 3D viewport is out of
+scope here, but every query it makes (DumpMetadata, GetTimeSeries,
+SparklineQuery-style downsampling) has a JSON mirror under ``/api/*`` so a
+browser can attach to any running sim or recorded DB:
+
+- ``GET /``                  — the viewer app (no external assets)
+- ``GET /api/info``          — DB summary (counts, time span)
+- ``GET /api/components``    — name/prim/shape/rows/metadata/latest
+- ``GET /api/series``        — LTTB-downsampled series (name, start_us,
+  stop_us, max_points)
+- ``GET /api/latest``        — newest sample for one component
+
+Routes are registered into ``AssetHttpServer.routes`` (db/assets.py), so the
+viewer rides the same port the asset store already serves.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from .downsample import lttb
+
+
+def _json_resp(obj) -> tuple[int, str, bytes]:
+    return 200, "application/json", json.dumps(obj).encode()
+
+
+def register_routes(routes: dict, db) -> None:
+    def api_info(path, query):
+        with db.lock:
+            comps = list(db.components.values())
+            rows = sum(c.len for c in comps)
+            msgs = sum(len(m.entries) for m in db.msg_logs.values())
+            spans = [
+                (int(c.timestamps[0]), int(c.timestamps[c.len - 1]))
+                for c in comps if c.len
+            ]
+        t0 = min((t for t, _ in spans), default=0)
+        t1 = max((t for _, t in spans), default=0)
+        return _json_resp({
+            "path": str(db.path) if db.path else None,
+            "components": len(comps), "rows": rows, "msgs": msgs,
+            "start_us": t0, "stop_us": t1,
+        })
+
+    def api_components(path, query):
+        out = []
+        with db.lock:
+            for c in db.components.values():
+                latest = c.latest()
+                out.append({
+                    "name": c.name or f"{c.component_id:016x}",
+                    "prim": c.prim,
+                    "shape": list(c.shape),
+                    "rows": c.len,
+                    "metadata": c.metadata,
+                    "latest_us": latest[0] if latest else None,
+                })
+        out.sort(key=lambda d: d["name"])
+        return _json_resp(out)
+
+    def _find(name: str):
+        with db.lock:
+            for c in db.components.values():
+                if c.name == name or f"{c.component_id:016x}" == name:
+                    return c
+        return None
+
+    def api_series(path, query):
+        name = query.get("name", "")
+        c = _find(name)
+        if c is None:
+            return 404, "text/plain", f"unknown component {name}".encode()
+        start = int(query.get("start_us", -(2**62)))
+        stop = int(query.get("stop_us", 2**62))
+        max_points = max(16, min(4000, int(query.get("max_points", 600))))
+        with db.lock:
+            ts, vals = c.range(start, stop)
+            ts = np.asarray(ts).copy()
+            vals = np.asarray(vals, dtype=np.float64).copy()
+        if len(ts) > max_points:
+            # LTTB on the first channel picks the indices for all channels
+            idx = lttb(ts.astype(np.float64), vals[:, 0], max_points)
+            ts, vals = ts[idx], vals[idx]
+        names = None
+        labels = (c.metadata or {}).get("element_names")
+        if labels:
+            names = [s for s in labels.split(",") if s]
+        return _json_resp({
+            "name": name,
+            "t": [int(x) for x in ts],
+            "v": [[float(x) for x in row] for row in vals],
+            "element_names": names,
+            "prim": c.prim, "shape": list(c.shape),
+        })
+
+    def api_latest(path, query):
+        name = query.get("name", "")
+        c = _find(name)
+        if c is None:
+            return 404, "text/plain", f"unknown component {name}".encode()
+        latest = c.latest()
+        if latest is None:
+            return _json_resp({"name": name, "t": None, "v": None})
+        ts, row = latest
+        return _json_resp({
+            "name": name, "t": int(ts),
+            "v": [float(x) for x in np.asarray(row).reshape(-1)],
+        })
+
+    def index(path, query):
+        if path != "/":
+            return 404, "text/plain", b"not found"
+        return 200, "text/html; charset=utf-8", VIEWER_HTML.encode()
+
+    routes["/api/info"] = api_info
+    routes["/api/components"] = api_components
+    routes["/api/series"] = api_series
+    routes["/api/latest"] = api_latest
+    routes["/"] = index
+
+
+# The single-page viewer.  Chart styling follows the repo's data-viz
+# conventions: fixed-order categorical palette (validated for adjacent-pair
+# CVD separation in light and dark), 2px lines, hairline grid, crosshair
+# tooltip listing every series, legend for >=2 series, table view toggle.
+VIEWER_HTML = r"""<!doctype html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>elodin-db viewer</title>
+<style>
+:root {
+  color-scheme: light;
+  --surface-1:#fcfcfb; --page:#f9f9f7;
+  --ink-1:#0b0b0b; --ink-2:#52514e; --ink-3:#898781;
+  --grid:#e1e0d9; --axis:#c3c2b7; --border:rgba(11,11,11,0.10);
+  --good:#0ca30c; --critical:#d03b3b;
+  --s1:#2a78d6; --s2:#eb6834; --s3:#1baf7a; --s4:#eda100;
+  --s5:#e87ba4; --s6:#008300; --s7:#4a3aa7; --s8:#e34948;
+}
+@media (prefers-color-scheme: dark) {
+  :root {
+    color-scheme: dark;
+    --surface-1:#1a1a19; --page:#0d0d0d;
+    --ink-1:#ffffff; --ink-2:#c3c2b7; --ink-3:#898781;
+    --grid:#2c2c2a; --axis:#383835; --border:rgba(255,255,255,0.10);
+    --s1:#3987e5; --s2:#d95926; --s3:#199e70; --s4:#c98500;
+    --s5:#d55181; --s6:#008300; --s7:#9085e9; --s8:#e66767;
+  }
+}
+* { box-sizing: border-box; }
+body {
+  margin:0; background:var(--page); color:var(--ink-1);
+  font:14px/1.45 system-ui,-apple-system,"Segoe UI",sans-serif;
+}
+header {
+  display:flex; align-items:baseline; gap:16px; padding:10px 16px;
+  border-bottom:1px solid var(--border); background:var(--surface-1);
+  position:sticky; top:0; z-index:3;
+}
+header h1 { font-size:15px; margin:0; font-weight:600; }
+header .sub { color:var(--ink-2); font-size:12px; }
+#status { margin-left:auto; font-size:12px; color:var(--ink-2);
+  display:flex; align-items:center; gap:6px; }
+#dot { width:8px; height:8px; border-radius:50%; background:var(--critical); }
+#dot.live { background:var(--good); }
+.layout { display:flex; min-height:calc(100vh - 45px); }
+nav {
+  width:260px; flex:none; border-right:1px solid var(--border);
+  background:var(--surface-1); padding:10px; overflow-y:auto;
+  max-height:calc(100vh - 45px); position:sticky; top:45px;
+}
+nav input {
+  width:100%; padding:6px 8px; margin-bottom:8px;
+  border:1px solid var(--axis); border-radius:6px;
+  background:var(--page); color:var(--ink-1); font:inherit;
+}
+.comp {
+  display:flex; justify-content:space-between; gap:6px; padding:5px 8px;
+  border-radius:6px; cursor:pointer; font-size:13px;
+}
+.comp:hover { background:var(--page); }
+.comp.on { background:var(--page); font-weight:600; }
+.comp .rows { color:var(--ink-3); font-size:11px;
+  font-variant-numeric:tabular-nums; }
+main { flex:1; padding:14px; min-width:0; }
+.filters { display:flex; gap:6px; margin-bottom:12px; align-items:center; }
+.filters button {
+  font:12px system-ui; padding:4px 10px; border-radius:6px;
+  border:1px solid var(--axis); background:var(--surface-1);
+  color:var(--ink-2); cursor:pointer;
+}
+.filters button.on { color:var(--ink-1); font-weight:600;
+  border-color:var(--ink-3); }
+.card {
+  background:var(--surface-1); border:1px solid var(--border);
+  border-radius:10px; padding:12px 14px 8px; margin-bottom:14px;
+}
+.card h2 { font-size:13px; font-weight:600; margin:0; }
+.card .head { display:flex; align-items:center; gap:10px; }
+.card .latest { color:var(--ink-2); font-size:12px;
+  font-variant-numeric:tabular-nums; }
+.card .tools { margin-left:auto; display:flex; gap:6px; }
+.card .tools button {
+  font:11px system-ui; padding:2px 8px; border-radius:5px;
+  border:1px solid var(--axis); background:transparent;
+  color:var(--ink-2); cursor:pointer;
+}
+.legend { display:flex; flex-wrap:wrap; gap:4px 14px; margin:6px 0 2px;
+  font-size:12px; color:var(--ink-2); }
+.legend .key { display:inline-block; width:14px; height:0;
+  border-top:2px solid; border-radius:1px; vertical-align:middle;
+  margin-right:5px; }
+.plotwrap { position:relative; }
+canvas { display:block; width:100%; height:220px; }
+.tip {
+  position:absolute; pointer-events:none; background:var(--surface-1);
+  border:1px solid var(--border); border-radius:6px; padding:6px 9px;
+  font-size:12px; box-shadow:0 2px 8px rgba(0,0,0,0.12); display:none;
+  z-index:2; min-width:120px;
+}
+.tip .t { color:var(--ink-3); margin-bottom:3px;
+  font-variant-numeric:tabular-nums; }
+.tip .row { display:flex; gap:8px; justify-content:space-between; }
+.tip .v { font-weight:600; font-variant-numeric:tabular-nums; }
+.tip .n { color:var(--ink-2); }
+table.vals { border-collapse:collapse; width:100%; font-size:12px;
+  margin:6px 0; }
+table.vals th, table.vals td {
+  text-align:right; padding:3px 8px; border-bottom:1px solid var(--grid);
+  font-variant-numeric:tabular-nums; color:var(--ink-2);
+}
+table.vals th { color:var(--ink-3); font-weight:500; }
+.empty { color:var(--ink-3); padding:40px; text-align:center; }
+</style>
+</head>
+<body>
+<header>
+  <h1>elodin-db</h1>
+  <span class="sub" id="dbinfo"></span>
+  <span id="status"><span id="dot"></span><span id="stext">connecting</span></span>
+</header>
+<div class="layout">
+  <nav>
+    <input id="search" placeholder="filter components" aria-label="filter components">
+    <div id="complist"></div>
+  </nav>
+  <main>
+    <div class="filters" id="ranges" role="group" aria-label="time range">
+      <span style="font-size:12px;color:var(--ink-3)">window</span>
+    </div>
+    <div id="cards"><div class="empty">select components on the left to plot them</div></div>
+  </main>
+</div>
+<script>
+"use strict";
+const SERIES = ["--s1","--s2","--s3","--s4","--s5","--s6","--s7","--s8"]
+  .map(v => getComputedStyle(document.documentElement).getPropertyValue(v).trim());
+const css = v => getComputedStyle(document.documentElement).getPropertyValue(v).trim();
+const RANGES = [["5s", 5e6], ["30s", 30e6], ["5m", 300e6], ["all", null]];
+let windowUs = 30e6;
+const open = new Map();   // name -> card state
+let components = [];
+
+function fmtTs(us) {
+  if (us == null) return "";
+  const d = new Date(us / 1000);
+  if (us > 946684800000000) return d.toISOString().slice(11, 23);
+  return (us / 1e6).toFixed(3) + "s";
+}
+function fmtVal(x) {
+  if (!isFinite(x)) return String(x);
+  const a = Math.abs(x);
+  if (a !== 0 && (a >= 1e5 || a < 1e-3)) return x.toExponential(3);
+  return x.toFixed(a >= 100 ? 1 : 4);
+}
+
+async function refreshComponents() {
+  try {
+    const [info, comps] = await Promise.all([
+      fetch("/api/info").then(r => r.json()),
+      fetch("/api/components").then(r => r.json()),
+    ]);
+    components = comps;
+    document.getElementById("dbinfo").textContent =
+      `${info.components} components · ${info.rows.toLocaleString()} rows` +
+      (info.path ? ` · ${info.path}` : "");
+    document.getElementById("dot").classList.add("live");
+    document.getElementById("stext").textContent = "live";
+    renderList();
+  } catch (e) {
+    document.getElementById("dot").classList.remove("live");
+    document.getElementById("stext").textContent = "disconnected";
+  }
+}
+
+function renderList() {
+  const q = document.getElementById("search").value.toLowerCase();
+  const list = document.getElementById("complist");
+  list.replaceChildren();
+  for (const c of components) {
+    if (q && !c.name.toLowerCase().includes(q)) continue;
+    const div = document.createElement("div");
+    div.className = "comp" + (open.has(c.name) ? " on" : "");
+    div.setAttribute("role", "button");
+    div.tabIndex = 0;
+    const n = document.createElement("span");
+    n.textContent = c.name;
+    const r = document.createElement("span");
+    r.className = "rows";
+    r.textContent = c.rows.toLocaleString();
+    div.append(n, r);
+    const toggle = () => { open.has(c.name) ? closeCard(c.name) : openCard(c); };
+    div.onclick = toggle;
+    div.onkeydown = e => { if (e.key === "Enter" || e.key === " ") toggle(); };
+    list.append(div);
+  }
+}
+
+function seriesNames(c, width) {
+  if (c.element_names && c.element_names.length === width) return c.element_names;
+  if (width === 1) return [c.name.split(".").pop()];
+  return Array.from({length: width}, (_, i) => "[" + i + "]");
+}
+
+function openCard(c) {
+  if (document.querySelector(".empty")) document.querySelector(".empty").remove();
+  const card = document.createElement("div");
+  card.className = "card";
+  const head = document.createElement("div");
+  head.className = "head";
+  const h2 = document.createElement("h2");
+  h2.textContent = c.name;
+  const latest = document.createElement("span");
+  latest.className = "latest";
+  const tools = document.createElement("div");
+  tools.className = "tools";
+  const tbtn = document.createElement("button");
+  tbtn.textContent = "table";
+  const xbtn = document.createElement("button");
+  xbtn.textContent = "close";
+  xbtn.onclick = () => closeCard(c.name);
+  tools.append(tbtn, xbtn);
+  head.append(h2, latest, tools);
+  const legend = document.createElement("div");
+  legend.className = "legend";
+  const wrap = document.createElement("div");
+  wrap.className = "plotwrap";
+  const canvas = document.createElement("canvas");
+  const tip = document.createElement("div");
+  tip.className = "tip";
+  wrap.append(canvas, tip);
+  const table = document.createElement("div");
+  table.style.display = "none";
+  tbtn.onclick = () => {
+    const showing = table.style.display !== "none";
+    table.style.display = showing ? "none" : "";
+    wrap.style.display = showing ? "" : "none";
+    tbtn.textContent = showing ? "table" : "plot";
+    renderTable(st);
+  };
+  card.append(head, legend, wrap, table);
+  document.getElementById("cards").append(card);
+  const st = {c, card, canvas, tip, legend, latest, table, data: null, hoverX: null};
+  canvas.addEventListener("pointermove", e => {
+    const rect = canvas.getBoundingClientRect();
+    st.hoverX = e.clientX - rect.left;
+    draw(st);
+  });
+  canvas.addEventListener("pointerleave", () => { st.hoverX = null; tip.style.display = "none"; draw(st); });
+  open.set(c.name, st);
+  renderList();
+  poll(st);
+}
+
+function closeCard(name) {
+  const st = open.get(name);
+  if (st) st.card.remove();
+  open.delete(name);
+  renderList();
+  if (!open.size) {
+    const d = document.createElement("div");
+    d.className = "empty";
+    d.textContent = "select components on the left to plot them";
+    document.getElementById("cards").append(d);
+  }
+}
+
+async function poll(st) {
+  if (!open.has(st.c.name)) return;
+  try {
+    const params = new URLSearchParams({name: st.c.name, max_points: 600});
+    if (windowUs != null) {
+      const info = await fetch("/api/info").then(r => r.json());
+      params.set("start_us", String(info.stop_us - windowUs));
+    }
+    const data = await fetch("/api/series?" + params).then(r => r.json());
+    st.data = data;
+    if (data.t.length) {
+      const last = data.v[data.v.length - 1];
+      st.latest.textContent = fmtTs(data.t[data.t.length - 1]) + "  [" +
+        last.slice(0, 4).map(fmtVal).join(", ") + (last.length > 4 ? ", …" : "") + "]";
+    }
+    renderLegend(st);
+    renderTable(st);
+    draw(st);
+  } catch (e) { /* transient; next poll retries */ }
+  setTimeout(() => poll(st), 700);
+}
+
+function renderLegend(st) {
+  const width = st.data && st.data.v.length ? st.data.v[0].length : 0;
+  st.legend.replaceChildren();
+  if (width < 2) return;  // single series: the title names it
+  const names = seriesNames(st.data, width);
+  const n = Math.min(width, 8);
+  for (let i = 0; i < n; i++) {
+    const item = document.createElement("span");
+    const key = document.createElement("span");
+    key.className = "key";
+    key.style.borderTopColor = SERIES[i];
+    item.append(key, document.createTextNode(names[i]));
+    st.legend.append(item);
+  }
+  if (width > 8) {
+    const more = document.createElement("span");
+    more.textContent = "+" + (width - 8) + " more (table)";
+    st.legend.append(more);
+  }
+}
+
+function renderTable(st) {
+  if (!st.data || st.table.style.display === "none") return;
+  const width = st.data.v.length ? st.data.v[0].length : 0;
+  const names = seriesNames(st.data, width);
+  const tbl = document.createElement("table");
+  tbl.className = "vals";
+  const hr = document.createElement("tr");
+  hr.append(Object.assign(document.createElement("th"), {textContent: "t"}));
+  for (const nm of names)
+    hr.append(Object.assign(document.createElement("th"), {textContent: nm}));
+  tbl.append(hr);
+  const rows = st.data.t.length;
+  for (let i = Math.max(0, rows - 12); i < rows; i++) {
+    const tr = document.createElement("tr");
+    tr.append(Object.assign(document.createElement("td"),
+      {textContent: fmtTs(st.data.t[i])}));
+    for (const x of st.data.v[i])
+      tr.append(Object.assign(document.createElement("td"),
+        {textContent: fmtVal(x)}));
+    tbl.append(tr);
+  }
+  st.table.replaceChildren(tbl);
+}
+
+function niceTicks(lo, hi, n) {
+  if (!(hi > lo)) { hi = lo + 1; lo -= 1; }
+  const span = hi - lo, step0 = span / n;
+  const mag = Math.pow(10, Math.floor(Math.log10(step0)));
+  const step = [1, 2, 5, 10].map(m => m * mag).find(s => span / s <= n) || 10 * mag;
+  const ticks = [];
+  for (let t = Math.ceil(lo / step) * step; t <= hi + 1e-12 * span; t += step)
+    ticks.push(t);
+  return ticks;
+}
+
+function draw(st) {
+  const {canvas, data} = st;
+  if (!data || !data.t.length) return;
+  const dpr = window.devicePixelRatio || 1;
+  const w = canvas.clientWidth, h = canvas.clientHeight;
+  canvas.width = w * dpr; canvas.height = h * dpr;
+  const ctx = canvas.getContext("2d");
+  ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
+  ctx.clearRect(0, 0, w, h);
+  const padL = 54, padR = 10, padT = 8, padB = 20;
+  const t = data.t, v = data.v;
+  const width = Math.min(v[0].length, 8);
+  const t0 = t[0], t1 = t[t.length - 1] || t0 + 1;
+  let lo = Infinity, hi = -Infinity;
+  for (const row of v) for (let i = 0; i < width; i++) {
+    if (isFinite(row[i])) { lo = Math.min(lo, row[i]); hi = Math.max(hi, row[i]); }
+  }
+  if (!isFinite(lo)) { lo = 0; hi = 1; }
+  if (hi === lo) { hi += 1; lo -= 1; }
+  const pad = (hi - lo) * 0.06;
+  lo -= pad; hi += pad;
+  const X = tt => padL + (w - padL - padR) * (tt - t0) / Math.max(1, t1 - t0);
+  const Y = vv => padT + (h - padT - padB) * (1 - (vv - lo) / (hi - lo));
+  // grid + y ticks
+  ctx.strokeStyle = css("--grid"); ctx.lineWidth = 1;
+  ctx.fillStyle = css("--ink-3");
+  ctx.font = "11px system-ui"; ctx.textAlign = "right";
+  for (const tick of niceTicks(lo, hi, 4)) {
+    const y = Math.round(Y(tick)) + 0.5;
+    ctx.beginPath(); ctx.moveTo(padL, y); ctx.lineTo(w - padR, y); ctx.stroke();
+    ctx.fillText(fmtVal(tick), padL - 6, y + 3.5);
+  }
+  // baseline
+  ctx.strokeStyle = css("--axis");
+  ctx.beginPath();
+  ctx.moveTo(padL, h - padB + 0.5); ctx.lineTo(w - padR, h - padB + 0.5);
+  ctx.stroke();
+  // x labels: start/end
+  ctx.textAlign = "left";
+  ctx.fillText(fmtTs(t0), padL, h - 6);
+  ctx.textAlign = "right";
+  ctx.fillText(fmtTs(t1), w - padR, h - 6);
+  // series lines: 2px, round joins
+  ctx.lineWidth = 2; ctx.lineJoin = "round"; ctx.lineCap = "round";
+  for (let i = 0; i < width; i++) {
+    ctx.strokeStyle = SERIES[i];
+    ctx.beginPath();
+    for (let k = 0; k < t.length; k++) {
+      const x = X(t[k]), y = Y(v[k][i]);
+      k ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+    }
+    ctx.stroke();
+  }
+  // crosshair + tooltip
+  if (st.hoverX != null && st.hoverX >= padL && st.hoverX <= w - padR) {
+    let best = 0, bd = Infinity;
+    for (let k = 0; k < t.length; k++) {
+      const d = Math.abs(X(t[k]) - st.hoverX);
+      if (d < bd) { bd = d; best = k; }
+    }
+    const hx = Math.round(X(t[best])) + 0.5;
+    ctx.strokeStyle = css("--axis"); ctx.lineWidth = 1;
+    ctx.beginPath(); ctx.moveTo(hx, padT); ctx.lineTo(hx, h - padB); ctx.stroke();
+    // end-dots with surface ring
+    for (let i = 0; i < width; i++) {
+      const y = Y(v[best][i]);
+      ctx.beginPath(); ctx.arc(X(t[best]), y, 5.5, 0, 7);
+      ctx.fillStyle = css("--surface-1"); ctx.fill();
+      ctx.beginPath(); ctx.arc(X(t[best]), y, 4, 0, 7);
+      ctx.fillStyle = SERIES[i]; ctx.fill();
+    }
+    const names = seriesNames(data, v[0].length);
+    const tip = st.tip;
+    tip.replaceChildren();
+    const tl = document.createElement("div");
+    tl.className = "t"; tl.textContent = fmtTs(t[best]);
+    tip.append(tl);
+    for (let i = 0; i < width; i++) {
+      const row = document.createElement("div");
+      row.className = "row";
+      const nm = document.createElement("span");
+      nm.className = "n";
+      const key = document.createElement("span");
+      key.className = "key";
+      key.style.borderTopColor = SERIES[i];
+      nm.append(key, document.createTextNode(names[i]));
+      const val = document.createElement("span");
+      val.className = "v"; val.textContent = fmtVal(v[best][i]);
+      row.append(nm, val);
+      tip.append(row);
+    }
+    tip.style.display = "block";
+    const left = hx + 12 + tip.offsetWidth < w ? hx + 12 : hx - tip.offsetWidth - 12;
+    tip.style.left = left + "px";
+    tip.style.top = padT + 6 + "px";
+  } else {
+    st.tip.style.display = "none";
+  }
+}
+
+function buildRanges() {
+  const bar = document.getElementById("ranges");
+  for (const [label, us] of RANGES) {
+    const b = document.createElement("button");
+    b.textContent = label;
+    if (us === windowUs) b.className = "on";
+    b.onclick = () => {
+      windowUs = us;
+      for (const btn of bar.querySelectorAll("button"))
+        btn.classList.toggle("on", btn === b);
+    };
+    bar.append(b);
+  }
+}
+
+document.getElementById("search").addEventListener("input", renderList);
+buildRanges();
+refreshComponents();
+setInterval(refreshComponents, 2000);
+</script>
+</body>
+</html>
+"""

@@ -1,0 +1,82 @@
+"""Web viewer API tests (editor-lite: elodin_tpu/db/webui.py)."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.headers.get_content_type(), r.read()
+
+
+def test_webui_api_and_page(tmp_path):
+    from elodin_tpu.db import Client, Server
+
+    srv = Server.start(str(tmp_path / "db"))
+    try:
+        base = f"http://127.0.0.1:{srv.port + 1}"
+        c = Client.connect(srv.addr)
+        from elodin_tpu.db import f64
+
+        spec = f64[3].labeled("x", "y", "z")
+        with c.table_writer({"ball.world_pos": spec}) as w:
+            for i in range(100):
+                w.write(1_000_000 + i * 1000,
+                        {"ball.world_pos": np.array([i, 2.0 * i, -i])})
+        time.sleep(0.4)
+
+        status, ctype, body = _get(base + "/api/info")
+        info = json.loads(body)
+        assert status == 200 and info["components"] == 1
+        assert info["rows"] == 100
+
+        status, _, body = _get(base + "/api/components")
+        comps = json.loads(body)
+        assert comps[0]["name"] == "ball.world_pos"
+        assert comps[0]["shape"] == [3]
+        assert comps[0]["metadata"]["element_names"] == "x,y,z"
+
+        # series: downsampled to max_points, labels carried
+        status, _, body = _get(
+            base + "/api/series?name=ball.world_pos&max_points=20")
+        s = json.loads(body)
+        assert status == 200
+        assert 16 <= len(s["t"]) <= 20
+        assert s["element_names"] == ["x", "y", "z"]
+        assert s["t"][0] == 1_000_000 and s["t"][-1] == 1_099_000
+        assert s["v"][-1] == [99.0, 198.0, -99.0]
+
+        # time-window query
+        status, _, body = _get(
+            base + "/api/series?name=ball.world_pos"
+            "&start_us=1050000&stop_us=1060000")
+        s = json.loads(body)
+        assert all(1_050_000 <= t < 1_060_000 for t in s["t"])
+
+        status, _, body = _get(base + "/api/latest?name=ball.world_pos")
+        latest = json.loads(body)
+        assert latest["v"] == [99.0, 198.0, -99.0]
+
+        # unknown component -> 404
+        try:
+            _get(base + "/api/series?name=nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        # the viewer page serves, and older routes still work
+        status, ctype, body = _get(base + "/")
+        assert status == 200 and ctype == "text/html"
+        html = body.decode()
+        assert "elodin-db viewer" in html
+        # untrusted names must go through textContent, never innerHTML
+        assert "innerHTML" not in html
+        assert "textContent" in html
+        status, _, body = _get(base + "/healthz")
+        assert status == 200 and body == b"ok"
+        c.close()
+    finally:
+        srv.stop()
