@@ -258,6 +258,15 @@ table.vals th { color:var(--ink-3); font-weight:500; }
     <div class="filters" id="ranges" role="group" aria-label="time range">
       <span style="font-size:12px;color:var(--ink-3)">window</span>
     </div>
+    <div class="filters timeline" role="group" aria-label="timeline">
+      <button id="playbtn" aria-label="play">&#9654;</button>
+      <input id="scrub" type="range" min="0" max="1000" value="1000"
+             aria-label="timeline position" style="flex:1;max-width:420px">
+      <span id="timelabel" style="font-size:12px;color:var(--ink-2);
+        font-variant-numeric:tabular-nums;min-width:90px"></span>
+      <button id="livebtn" class="on">live</button>
+      <button id="view3d">3D view</button>
+    </div>
     <div id="cards"><div class="empty">select components on the left to plot them</div></div>
   </main>
 </div>
@@ -268,6 +277,12 @@ const SERIES = ["--s1","--s2","--s3","--s4","--s5","--s6","--s7","--s8"]
 const css = v => getComputedStyle(document.documentElement).getPropertyValue(v).trim();
 const RANGES = [["5s", 5e6], ["30s", 30e6], ["5m", 300e6], ["all", null]];
 let windowUs = 30e6;
+// timeline state: live follow vs scrubbed playback position
+let live = true;
+let scrubUs = null;      // absolute us when !live
+let playing = false;
+let dbSpan = [0, 0];     // [start_us, stop_us] from /api/info
+function endUs() { return live || scrubUs == null ? dbSpan[1] : scrubUs; }
 const open = new Map();   // name -> card state
 let components = [];
 
@@ -291,6 +306,8 @@ async function refreshComponents() {
       fetch("/api/components").then(r => r.json()),
     ]);
     components = comps;
+    dbSpan = [info.start_us, info.stop_us];
+    updateTimeline();
     document.getElementById("dbinfo").textContent =
       `${info.components} components · ${info.rows.toLocaleString()} rows` +
       (info.path ? ` · ${info.path}` : "");
@@ -399,10 +416,9 @@ async function poll(st) {
   if (!open.has(st.c.name)) return;
   try {
     const params = new URLSearchParams({name: st.c.name, max_points: 600});
-    if (windowUs != null) {
-      const info = await fetch("/api/info").then(r => r.json());
-      params.set("start_us", String(info.stop_us - windowUs));
-    }
+    const stop = endUs();
+    if (!live) params.set("stop_us", String(stop + 1));
+    if (windowUs != null) params.set("start_us", String(stop - windowUs));
     const data = await fetch("/api/series?" + params).then(r => r.json());
     st.data = data;
     if (data.t.length) {
@@ -573,6 +589,216 @@ function draw(st) {
   }
 }
 
+// -- timeline ---------------------------------------------------------------
+
+function updateTimeline() {
+  const scrub = document.getElementById("scrub");
+  const label = document.getElementById("timelabel");
+  const span = Math.max(1, dbSpan[1] - dbSpan[0]);
+  if (live) {
+    scrub.value = 1000;
+    label.textContent = fmtTs(dbSpan[1]);
+  } else {
+    scrub.value = Math.round(1000 * (endUs() - dbSpan[0]) / span);
+    label.textContent = fmtTs(endUs());
+  }
+}
+
+function setLive(on) {
+  live = on;
+  if (on) { playing = false; updatePlayBtn(); }
+  document.getElementById("livebtn").classList.toggle("on", on);
+  updateTimeline();
+}
+
+function updatePlayBtn() {
+  document.getElementById("playbtn").textContent = playing ? "❚❚" : "▶";
+}
+
+function initTimeline() {
+  const scrub = document.getElementById("scrub");
+  scrub.addEventListener("input", () => {
+    live = false;
+    document.getElementById("livebtn").classList.remove("on");
+    scrubUs = dbSpan[0] + (dbSpan[1] - dbSpan[0]) * scrub.value / 1000;
+    updateTimeline();
+  });
+  document.getElementById("livebtn").onclick = () => setLive(true);
+  document.getElementById("playbtn").onclick = () => {
+    if (live) { live = false; scrubUs = dbSpan[0]; }
+    document.getElementById("livebtn").classList.remove("on");
+    playing = !playing;
+    updatePlayBtn();
+  };
+  let lastStep = performance.now();
+  setInterval(() => {
+    const now = performance.now();
+    const dt = (now - lastStep) * 1000;  // wall us
+    lastStep = now;
+    if (playing && !live) {
+      scrubUs = Math.min(dbSpan[1], (scrubUs ?? dbSpan[0]) + dt);
+      if (scrubUs >= dbSpan[1]) { playing = false; updatePlayBtn(); }
+      updateTimeline();
+    }
+  }, 100);
+  document.getElementById("view3d").onclick = toggle3d;
+}
+
+// -- 3D viewport ------------------------------------------------------------
+
+let view3d = null;  // {card, canvas, yaw, pitch, zoom, data}
+
+function toggle3d() {
+  if (view3d) { view3d.card.remove(); view3d = null; return; }
+  if (document.querySelector(".empty")) document.querySelector(".empty").remove();
+  const card = document.createElement("div");
+  card.className = "card";
+  const head = document.createElement("div");
+  head.className = "head";
+  const h2 = document.createElement("h2");
+  h2.textContent = "3D trajectories";
+  const hint = document.createElement("span");
+  hint.className = "latest";
+  hint.textContent = "drag to orbit · wheel to zoom";
+  const tools = document.createElement("div");
+  tools.className = "tools";
+  const xbtn = document.createElement("button");
+  xbtn.textContent = "close";
+  xbtn.onclick = toggle3d;
+  tools.append(xbtn);
+  head.append(h2, hint, tools);
+  const legend = document.createElement("div");
+  legend.className = "legend";
+  const canvas = document.createElement("canvas");
+  canvas.style.height = "380px";
+  canvas.style.cursor = "grab";
+  card.append(head, legend, canvas);
+  document.getElementById("cards").prepend(card);
+  view3d = {card, canvas, legend, yaw: 0.7, pitch: 0.45, zoom: 1, data: []};
+  let drag = null;
+  canvas.addEventListener("pointerdown", e => {
+    drag = [e.clientX, e.clientY];
+    canvas.setPointerCapture(e.pointerId);
+    canvas.style.cursor = "grabbing";
+  });
+  canvas.addEventListener("pointermove", e => {
+    if (!drag) return;
+    view3d.yaw += (e.clientX - drag[0]) * 0.008;
+    view3d.pitch = Math.max(-1.5, Math.min(1.5,
+      view3d.pitch + (e.clientY - drag[1]) * 0.008));
+    drag = [e.clientX, e.clientY];
+    draw3d();
+  });
+  canvas.addEventListener("pointerup", () => {
+    drag = null; canvas.style.cursor = "grab";
+  });
+  canvas.addEventListener("wheel", e => {
+    e.preventDefault();
+    view3d.zoom *= Math.exp(-e.deltaY * 0.001);
+    draw3d();
+  }, {passive: false});
+  poll3d();
+}
+
+async function poll3d() {
+  if (!view3d) return;
+  try {
+    const names = components.map(c => c.name)
+      .filter(n => n.endsWith(".world_pos"));
+    const stop = endUs();
+    const reqs = names.slice(0, 8).map(n => {
+      const params = new URLSearchParams({name: n, max_points: 400});
+      if (!live) params.set("stop_us", String(stop + 1));
+      if (windowUs != null) params.set("start_us", String(stop - windowUs));
+      return fetch("/api/series?" + params).then(r => r.json());
+    });
+    view3d.data = (await Promise.all(reqs)).filter(d => d.t.length);
+    renderLegend3d();
+    draw3d();
+  } catch (e) { /* retry next poll */ }
+  if (view3d) setTimeout(poll3d, 700);
+}
+
+function renderLegend3d() {
+  const lg = view3d.legend;
+  lg.replaceChildren();
+  view3d.data.forEach((d, i) => {
+    const item = document.createElement("span");
+    const key = document.createElement("span");
+    key.className = "key";
+    key.style.borderTopColor = SERIES[i % 8];
+    item.append(key,
+      document.createTextNode(d.name.replace(/\.world_pos$/, "")));
+    lg.append(item);
+  });
+}
+
+function draw3d() {
+  if (!view3d) return;
+  const {canvas, data} = view3d;
+  const dpr = window.devicePixelRatio || 1;
+  const w = canvas.clientWidth, h = canvas.clientHeight;
+  canvas.width = w * dpr; canvas.height = h * dpr;
+  const ctx = canvas.getContext("2d");
+  ctx.setTransform(dpr, 0, 0, dpr, 0, 0);
+  ctx.clearRect(0, 0, w, h);
+  // world_pos rows are [qx qy qz qw, x y z]; gather xyz extents
+  let ext = 1e-9;
+  const cen = [0, 0, 0];
+  let npts = 0;
+  for (const d of data) for (const row of d.v) {
+    cen[0] += row[4]; cen[1] += row[5]; cen[2] += row[6]; npts++;
+  }
+  if (npts) { cen[0] /= npts; cen[1] /= npts; cen[2] /= npts; }
+  for (const d of data) for (const row of d.v) {
+    ext = Math.max(ext, Math.abs(row[4] - cen[0]),
+      Math.abs(row[5] - cen[1]), Math.abs(row[6] - cen[2]));
+  }
+  const cy = Math.cos(view3d.yaw), sy = Math.sin(view3d.yaw);
+  const cp = Math.cos(view3d.pitch), sp = Math.sin(view3d.pitch);
+  const scale = 0.42 * Math.min(w, h) / ext * view3d.zoom;
+  const P = (x, y, z) => {
+    x -= cen[0]; y -= cen[1]; z -= cen[2];
+    const x1 = x * cy + y * sy, y1 = -x * sy + y * cy;
+    // pitch about the screen-x axis; canvas y grows downward
+    return [w / 2 + x1 * scale, h / 2 + (y1 * sp - z * cp) * scale];
+  };
+  // axes triad
+  ctx.lineWidth = 1;
+  ctx.strokeStyle = css("--axis");
+  ctx.fillStyle = css("--ink-3");
+  ctx.font = "11px system-ui";
+  const axisLen = ext * 0.5;
+  const o = P(cen[0], cen[1], cen[2]);
+  for (const [dx, dy, dz, nm] of [[axisLen, 0, 0, "x"], [0, axisLen, 0, "y"],
+                                   [0, 0, axisLen, "z"]]) {
+    const p = P(cen[0] + dx, cen[1] + dy, cen[2] + dz);
+    ctx.beginPath(); ctx.moveTo(o[0], o[1]); ctx.lineTo(p[0], p[1]);
+    ctx.stroke();
+    ctx.fillText(nm, p[0] + 3, p[1] - 3);
+  }
+  // trajectories
+  ctx.lineWidth = 2; ctx.lineJoin = "round"; ctx.lineCap = "round";
+  data.forEach((d, i) => {
+    ctx.strokeStyle = SERIES[i % 8];
+    ctx.beginPath();
+    d.v.forEach((row, k) => {
+      const p = P(row[4], row[5], row[6]);
+      k ? ctx.lineTo(p[0], p[1]) : ctx.moveTo(p[0], p[1]);
+    });
+    ctx.stroke();
+    // current position: marker with surface ring + name label
+    const last = d.v[d.v.length - 1];
+    const p = P(last[4], last[5], last[6]);
+    ctx.beginPath(); ctx.arc(p[0], p[1], 6.5, 0, 7);
+    ctx.fillStyle = css("--surface-1"); ctx.fill();
+    ctx.beginPath(); ctx.arc(p[0], p[1], 5, 0, 7);
+    ctx.fillStyle = SERIES[i % 8]; ctx.fill();
+    ctx.fillStyle = css("--ink-2");
+    ctx.fillText(d.name.replace(/\.world_pos$/, ""), p[0] + 9, p[1] + 4);
+  });
+}
+
 function buildRanges() {
   const bar = document.getElementById("ranges");
   for (const [label, us] of RANGES) {
@@ -590,6 +816,7 @@ function buildRanges() {
 
 document.getElementById("search").addEventListener("input", renderList);
 buildRanges();
+initTimeline();
 refreshComponents();
 setInterval(refreshComponents, 2000);
 </script>
