@@ -474,3 +474,36 @@ def test_s10_admission_budget(tmp_path):
         _time.sleep(0.1)
     sup.stop_all()
     assert sorted(marker.read_text()) == ["0", "1", "2", "3"]
+
+
+def test_status_banner(tmp_path):
+    """aleph-status equivalent: banner sections + live DB rows
+    (fsw/aleph-status/src/main.rs)."""
+    import subprocess
+    import sys as _s
+    import time
+
+    import numpy as np
+
+    from elodin_tpu.db import Client, Server
+
+    srv = Server.start(str(tmp_path / "db"))
+    try:
+        c = Client.connect(srv.addr)
+        c.send("imu.accel", np.array([0.1, 0.2, 9.81]), timestamp_us=1_000_000)
+        time.sleep(0.3)
+        out = subprocess.run(
+            [_s.executable, "-m", "elodin_tpu.status",
+             "--db-addr", srv.addr],
+            capture_output=True, text=True, timeout=120,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+                 "NO_COLOR": "1"},
+        )
+        assert out.returncode == 0, out.stderr
+        for section in ("OS Info", "HW Info", "Accelerators", "Telemetry DB"):
+            assert section in out.stdout, out.stdout
+        assert "imu.accel" in out.stdout
+        assert "9.81" in out.stdout
+        c.close()
+    finally:
+        srv.stop()
