@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 import jax.numpy.linalg as la
 import numpy as onp
-from jax.scipy.ndimage import map_coordinates
+from jax.scipy.ndimage import map_coordinates  # noqa: F401 — kept for parity
+
+from elodin_tpu.ops.interp import interp as el_interp
+from elodin_tpu.ops.interp import lerp_nd
 
 SIM_TIME_STEP = 1.0 / 120.0
 lp_sample_freq = round(1.0 / SIM_TIME_STEP)
@@ -162,6 +165,37 @@ def second_order_butterworth(signal, f_sampling, f_cutoff):
     return jnp.concatenate((out[0:1],) * 2 + (out,))
 
 
+def _butterworth_last_weights(n: int, f_sampling: float,
+                              f_cutoff: float) -> onp.ndarray:
+    """The filter above is linear, and the control loop only consumes its
+    LAST sample — so the final output is a fixed linear functional of the
+    buffer.  Running the identical recurrence over an identity matrix in
+    numpy at import time yields the weight vector; per tick the filter then
+    costs one (n,)·(n,3) contraction instead of an (n-2)-step sequential
+    lax.scan, which is the TPU-friendly formulation (the scan serializes
+    ~478 tiny steps per tick and dominated the batched-rocket profile)."""
+    ff = f_cutoff / f_sampling
+    ita = 1.0 / onp.tan(onp.pi * ff)
+    q = onp.sqrt(2.0)
+    b0 = 1.0 / (1.0 + q * ita + ita**2)
+    b1, b2 = 2 * b0, b0
+    a1 = 2.0 * (ita**2 - 1.0) * b0
+    a2 = -(1.0 - q * ita + ita**2) * b0
+    x = onp.eye(n)  # column j tracks sample j's contribution
+    x_im1, x_im2 = x[1], x[0]
+    y_im1, y_im2 = x[1], x[0]
+    for i in range(2, n):
+        y = b0 * x[i] + b1 * x_im1 + b2 * x_im2 + a1 * y_im1 + a2 * y_im2
+        x_im1, x_im2 = x[i], x_im1
+        y_im1, y_im2 = y, y_im1
+    return y_im1
+
+
+_BUTTER_LAST_W = _butterworth_last_weights(
+    lp_buffer_size, lp_sample_freq, lp_cutoff_freq
+)
+
+
 def euler_to_quat(angles_deg: jax.Array) -> el.Quaternion:
     return el.Quaternion.from_euler(jnp.deg2rad(angles_deg))
 
@@ -216,8 +250,8 @@ _ISA = {
 @el.map
 def mach(p: el.WorldPos, v: el.WorldVel, w: Wind) -> tuple[Mach, DynamicPressure]:
     altitude = p.linear()[2]
-    temperature = jnp.interp(altitude, _ISA["h"], _ISA["T"]) + 273.15
-    density = jnp.interp(altitude, _ISA["h"], _ISA["d"])
+    temperature = el_interp(altitude, _ISA["h"], _ISA["T"]) + 273.15
+    density = el_interp(altitude, _ISA["h"], _ISA["d"])
     speed_of_sound = jnp.sqrt(1.4 * 287.05 * temperature)
     v_flow = la.norm(v.linear() - w)
     return v_flow / speed_of_sound, jnp.clip(0.5 * density * v_flow**2, 1e-6)
@@ -255,9 +289,10 @@ def aero_coefs(
         to_coord(DELTA_GRID, effective),
         to_coord(ALPHA_GRID, jnp.abs(angle_of_attack)),
     ]
-    coefs = jnp.array(
-        [map_coordinates(c, coords, 1, mode="nearest") for c in AERO_TABLE]
-    )
+    # gather-free multilinear lookup — identical to
+    # map_coordinates(c, coords, 1, mode="nearest") on this clamped grid,
+    # but dense (no dynamic gathers; see elodin_tpu/ops/interp.py)
+    coefs = jnp.array([lerp_nd(c, coords) for c in AERO_TABLE])
     cl = fin_trim * 0.1
     return jnp.array([cl, 0.0, coefs[0] * aoa_sign, coefs[1], coefs[2] * aoa_sign, 0.0])
 
@@ -284,7 +319,7 @@ def thrust(
     q: el.Query[Motor],
 ) -> el.Query[Thrust]:
     t = tick[0] * dt[0]
-    f_t = jnp.interp(t, THRUST_TIME, THRUST_N)
+    f_t = el_interp(t, THRUST_TIME, THRUST_N)
     return q.map(Thrust, lambda _: f_t)
 
 
@@ -312,7 +347,10 @@ def v_rel_accel_buffer(a_rel: VRelAccel, buffer: VRelAccelBuffer) -> VRelAccelBu
 
 @el.map
 def v_rel_accel_filtered(s: VRelAccelBuffer) -> VRelAccelFiltered:
-    return second_order_butterworth(s, lp_sample_freq, lp_cutoff_freq)[-1]
+    # identical math to second_order_butterworth(s, ...)[-1] — see
+    # _butterworth_last_weights for why the last sample is a fixed linear
+    # functional of the buffer
+    return _BUTTER_LAST_W @ s
 
 
 @el.map
