@@ -33,10 +33,18 @@ def cmd_run(args):
     print(f"elodin-db listening on 127.0.0.1:{srv.port} (path={args.path})")
     if getattr(srv, "assets_http", None) is not None:
         print(f"web viewer at http://127.0.0.1:{srv.assets_http.port}/")
+    follower = None
+    if args.follows:
+        from .follow import Follower
+
+        follower = Follower(db, args.follows, server=srv)
+        print(f"following {args.follows} (replicating all data)")
     try:
         while True:
             time.sleep(1)
     except KeyboardInterrupt:
+        if follower is not None:
+            follower.stop()
         srv.stop()
 
 
@@ -708,6 +716,9 @@ def main(argv=None):
     run_p = sub.add_parser("run")
     run_p.add_argument("path", nargs="?", default=None)
     run_p.add_argument("--addr", default="127.0.0.1:2240")
+    run_p.add_argument("--follows", default=None, metavar="ADDR",
+                       help="follow another elodin-db instance, "
+                            "replicating all data")
     run_p.set_defaults(fn=cmd_run)
 
     bench_p = sub.add_parser("bench", help="ingest/fan-out throughput")

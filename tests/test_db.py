@@ -1742,3 +1742,46 @@ def test_export_videos_mp4(tmp_path):
     # metadata round-trip: name survived reopen via meta.json
     db2 = Database(path)
     assert db2.msg_logs[b"\xab\xcd"].metadata.name == "video.cam0"
+
+
+def test_cli_run_follows(tmp_path):
+    """`elodin-db run --follows ADDR` replicates a leader
+    (libs/db/src/main.rs RunArgs.follows)."""
+    import subprocess
+    import sys as _s
+    import time as _t
+
+    import numpy as np
+
+    from elodin_tpu.db import Client, Server
+
+    leader = Server.start(str(tmp_path / "leader"))
+    try:
+        c = Client.connect(leader.addr)
+        c.send("lead.x", np.array([7.0]), timestamp_us=1_000_000)
+        _t.sleep(0.2)
+        proc = subprocess.Popen(
+            [_s.executable, "-m", "elodin_tpu.db", "run",
+             str(tmp_path / "mirror"), "--addr", "127.0.0.1:0",
+             "--follows", leader.addr],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        try:
+            c.send("lead.x", np.array([8.0]), timestamp_us=2_000_000)
+            deadline = _t.time() + 15
+            seen = False
+            from elodin_tpu.db.storage import Database
+            from elodin_tpu.db.vtable import component_id_of
+
+            while _t.time() < deadline and not seen:
+                _t.sleep(0.5)
+                db = Database(str(tmp_path / "mirror"))
+                s = db.components.get(component_id_of("lead.x"))
+                seen = s is not None and s.len >= 1
+            assert seen, "mirror never replicated lead.x"
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
+        c.close()
+    finally:
+        leader.stop()
