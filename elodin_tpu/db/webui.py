@@ -115,6 +115,69 @@ def register_routes(routes: dict, db) -> None:
             "v": [float(x) for x in np.asarray(row).reshape(-1)],
         })
 
+    def api_schematic(path, query):
+        raw = db.assets.get("schematic.kdl")
+        if raw is None:
+            return _json_resp({"components": [], "raw": None})
+        from ..kdl import schematic_components
+
+        text = raw.decode(errors="replace")
+        return _json_resp({
+            "components": schematic_components(text),
+            "raw": text,
+        })
+
+    def api_msg_logs(path, query):
+        out = []
+        with db.lock:
+            for mid, log in db.msg_logs.items():
+                name = getattr(log.metadata, "name", None)
+                out.append({
+                    "id": mid.hex(),
+                    "name": name or mid.hex(),
+                    "entries": len(log.entries),
+                    "latest_us": log.entries[-1][0] if log.entries else None,
+                })
+        out.sort(key=lambda d: d["name"])
+        return _json_resp(out)
+
+    def api_msgs(path, query):
+        mid_hex = query.get("id", "")
+        limit = max(1, min(500, int(query.get("limit", 50))))
+        start = int(query.get("start_us", 0))
+        with db.lock:
+            log = db.msg_logs.get(bytes.fromhex(mid_hex))
+            if log is None:
+                return 404, "text/plain", b"unknown msg log"
+            entries = [e for e in log.entries if e[0] >= start][-limit:]
+        rows = []
+        for ts, data in entries:
+            # decode LogEntry-style text payloads; binary shown as hex head
+            try:
+                text = data.decode("utf-8")
+                if not text.isprintable() and "\n" not in text:
+                    raise ValueError
+            except (UnicodeDecodeError, ValueError):
+                text = data[:48].hex() + ("…" if len(data) > 48 else "")
+            rows.append({"t": ts, "text": text, "bytes": len(data)})
+        return _json_resp(rows)
+
+    def api_sql(path, query):
+        q = query.get("q", "").strip()
+        if not q:
+            return 400, "text/plain", b"missing q"
+        from .sql import run_sql
+
+        table = run_sql(db, q)
+        cols = table.column_names[:32]
+        n = min(table.num_rows, 500)
+        data = table.slice(0, n).to_pydict()
+        rows = [
+            [_jsonable(data[c][i]) for c in cols] for i in range(n)
+        ]
+        return _json_resp({"columns": cols, "rows": rows,
+                           "total_rows": table.num_rows})
+
     def index(path, query):
         if path != "/":
             return 404, "text/plain", b"not found"
@@ -124,7 +187,27 @@ def register_routes(routes: dict, db) -> None:
     routes["/api/components"] = api_components
     routes["/api/series"] = api_series
     routes["/api/latest"] = api_latest
+    routes["/api/schematic"] = api_schematic
+    routes["/api/msg-logs"] = api_msg_logs
+    routes["/api/msgs"] = api_msgs
+    routes["/api/sql"] = api_sql
     routes["/"] = index
+
+
+def _jsonable(v):
+    import datetime as _dt
+
+    import numpy as _np
+
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+        return v.isoformat()
+    if isinstance(v, _np.generic):
+        return v.item()
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return str(v)
+    return v
 
 
 # The single-page viewer.  Chart styling follows the repo's data-viz
@@ -266,6 +349,8 @@ table.vals th { color:var(--ink-3); font-weight:500; }
         font-variant-numeric:tabular-nums;min-width:90px"></span>
       <button id="livebtn" class="on">live</button>
       <button id="view3d">3D view</button>
+      <button id="sqlbtn">SQL</button>
+      <button id="logsbtn">logs</button>
     </div>
     <div id="cards"><div class="empty">select components on the left to plot them</div></div>
   </main>
@@ -308,6 +393,7 @@ async function refreshComponents() {
     components = comps;
     dbSpan = [info.start_us, info.stop_us];
     updateTimeline();
+    if (comps.length) applySchematic();
     document.getElementById("dbinfo").textContent =
       `${info.components} components · ${info.rows.toLocaleString()} rows` +
       (info.path ? ` · ${info.path}` : "");
@@ -642,6 +728,8 @@ function initTimeline() {
     }
   }, 100);
   document.getElementById("view3d").onclick = toggle3d;
+  document.getElementById("sqlbtn").onclick = toggleSql;
+  document.getElementById("logsbtn").onclick = toggleLogs;
 }
 
 // -- 3D viewport ------------------------------------------------------------
@@ -797,6 +885,155 @@ function draw3d() {
     ctx.fillStyle = css("--ink-2");
     ctx.fillText(d.name.replace(/\.world_pos$/, ""), p[0] + 9, p[1] + 4);
   });
+}
+
+// -- schematic-driven layout -------------------------------------------------
+
+let schematicApplied = false;
+
+async function applySchematic() {
+  if (schematicApplied) return;
+  schematicApplied = true;
+  try {
+    const sch = await fetch("/api/schematic").then(r => r.json());
+    const have = new Set(components.map(c => c.name));
+    const want = [...new Set(sch.components)].filter(n => have.has(n));
+    for (const name of want.slice(0, 6)) {
+      if (!open.has(name)) openCard(components.find(c => c.name === name));
+    }
+  } catch (e) { /* no schematic: user picks manually */ }
+}
+
+// -- SQL console -------------------------------------------------------------
+
+let sqlCard = null;
+
+function toggleSql() {
+  if (sqlCard) { sqlCard.remove(); sqlCard = null; return; }
+  if (document.querySelector(".empty")) document.querySelector(".empty").remove();
+  const card = document.createElement("div");
+  card.className = "card";
+  const head = document.createElement("div");
+  head.className = "head";
+  const h2 = document.createElement("h2");
+  h2.textContent = "SQL";
+  const tools = document.createElement("div");
+  tools.className = "tools";
+  const xbtn = document.createElement("button");
+  xbtn.textContent = "close";
+  xbtn.onclick = toggleSql;
+  tools.append(xbtn);
+  head.append(h2, tools);
+  const row = document.createElement("div");
+  row.style.cssText = "display:flex;gap:8px;margin:8px 0";
+  const input = document.createElement("input");
+  input.placeholder = "select * from …  (table names: python -m elodin_tpu.db list)";
+  input.style.cssText = "flex:1;padding:6px 8px;border:1px solid var(--axis);" +
+    "border-radius:6px;background:var(--page);color:var(--ink-1);font:12px ui-monospace,monospace";
+  const run = document.createElement("button");
+  run.textContent = "run";
+  run.style.cssText = "font:12px system-ui;padding:4px 12px;border-radius:6px;" +
+    "border:1px solid var(--axis);background:var(--surface-1);color:var(--ink-1);cursor:pointer";
+  row.append(input, run);
+  const out = document.createElement("div");
+  out.style.cssText = "max-height:300px;overflow:auto";
+  card.append(head, row, out);
+  document.getElementById("cards").prepend(card);
+  sqlCard = card;
+  const exec = async () => {
+    out.replaceChildren();
+    try {
+      const res = await fetch("/api/sql?q=" + encodeURIComponent(input.value));
+      if (!res.ok) throw new Error(await res.text());
+      const data = await res.json();
+      const tbl = document.createElement("table");
+      tbl.className = "vals";
+      const hr = document.createElement("tr");
+      for (const c of data.columns)
+        hr.append(Object.assign(document.createElement("th"), {textContent: c}));
+      tbl.append(hr);
+      for (const r of data.rows) {
+        const tr = document.createElement("tr");
+        for (const v of r)
+          tr.append(Object.assign(document.createElement("td"),
+            {textContent: v == null ? "" : String(v)}));
+        tbl.append(tr);
+      }
+      const note = document.createElement("div");
+      note.style.cssText = "font-size:11px;color:var(--ink-3);margin:4px 0";
+      note.textContent = `${data.rows.length} of ${data.total_rows} rows`;
+      out.append(note, tbl);
+    } catch (e) {
+      const err = document.createElement("div");
+      err.style.cssText = "color:var(--critical);font-size:12px;padding:6px";
+      err.textContent = String(e.message || e);
+      out.append(err);
+    }
+  };
+  run.onclick = exec;
+  input.onkeydown = e => { if (e.key === "Enter") exec(); };
+  input.focus();
+}
+
+// -- msg-log pane ------------------------------------------------------------
+
+let logsCard = null;
+
+function toggleLogs() {
+  if (logsCard) { logsCard.st.open = false; logsCard.remove(); logsCard = null; return; }
+  if (document.querySelector(".empty")) document.querySelector(".empty").remove();
+  const card = document.createElement("div");
+  card.className = "card";
+  const head = document.createElement("div");
+  head.className = "head";
+  const h2 = document.createElement("h2");
+  h2.textContent = "message logs";
+  const sel = document.createElement("select");
+  sel.style.cssText = "font:12px system-ui;padding:3px 6px;border:1px solid " +
+    "var(--axis);border-radius:5px;background:var(--page);color:var(--ink-1)";
+  const tools = document.createElement("div");
+  tools.className = "tools";
+  const xbtn = document.createElement("button");
+  xbtn.textContent = "close";
+  xbtn.onclick = toggleLogs;
+  tools.append(xbtn);
+  head.append(h2, sel, tools);
+  const out = document.createElement("div");
+  out.style.cssText = "max-height:260px;overflow:auto;font:12px ui-monospace," +
+    "monospace;color:var(--ink-2)";
+  card.append(head, out);
+  document.getElementById("cards").prepend(card);
+  const st = {open: true};
+  card.st = st;
+  logsCard = card;
+  const poll = async () => {
+    if (!st.open) return;
+    try {
+      const logs = await fetch("/api/msg-logs").then(r => r.json());
+      const cur = sel.value;
+      sel.replaceChildren();
+      for (const l of logs) {
+        const o = document.createElement("option");
+        o.value = l.id;
+        o.textContent = `${l.name} (${l.entries})`;
+        sel.append(o);
+      }
+      if ([...sel.options].some(o => o.value === cur)) sel.value = cur;
+      if (sel.value) {
+        const msgs = await fetch("/api/msgs?id=" + sel.value + "&limit=40")
+          .then(r => r.json());
+        out.replaceChildren();
+        for (const m of msgs) {
+          const line = document.createElement("div");
+          line.textContent = `${fmtTs(m.t)}  ${m.text}`;
+          out.append(line);
+        }
+        out.scrollTop = out.scrollHeight;
+      }
+    } catch (e) { /* retry */ }
+    if (st.open) setTimeout(poll, 1000);
+  };
+  poll();
 }
 
 function buildRanges() {

@@ -80,3 +80,63 @@ def test_webui_api_and_page(tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_webui_schematic_sql_msgs(tmp_path):
+    """Schematic, SQL console, and msg-log endpoints (editor parity)."""
+    import urllib.error
+
+    from elodin_tpu.db import Client, Server
+    from elodin_tpu.db import msgs as M
+    from elodin_tpu.db.postcard import msg_id
+
+    srv = Server.start(str(tmp_path / "db"))
+    try:
+        base = f"http://127.0.0.1:{srv.port + 1}"
+        c = Client.connect(srv.addr)
+        c.send("ball.world_pos", np.arange(7.0), timestamp_us=1_000_000)
+        c.send("ball.mass", np.array([2.5]), timestamp_us=1_000_000)
+        time.sleep(0.3)
+
+        # schematic: none yet -> empty; then stored as asset
+        s = json.loads(_get(base + "/api/schematic")[2])
+        assert s["components"] == []
+        srv.db.assets.put("schematic.kdl", b'''
+tiles {
+    graph "ball.world_pos"
+    graph "ball.mass"
+}
+''')
+        s = json.loads(_get(base + "/api/schematic")[2])
+        assert s["components"] == ["ball.world_pos", "ball.mass"]
+
+        # sql over http
+        from elodin_tpu.db import sql_table_name
+
+        t = sql_table_name("ball.mass")
+        _, _, body = _get(base + "/api/sql?q=" +
+                          urllib.request.quote(f"select * from {t}"))
+        res = json.loads(body)
+        assert res["total_rows"] == 1
+        assert 2.5 in res["rows"][0]
+        # bad sql -> error status, not a hang
+        try:
+            _get(base + "/api/sql?q=drop%20table%20x")
+            assert False, "expected error"
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 500)
+
+        # msg logs
+        mid = msg_id("sim.log")
+        log = srv.db.msg_log(mid)
+        log.set_metadata(M.MsgMetadata(1, "sim.log", {}))
+        log.append(1_000_000, b"hello from the sim")
+        log.append(2_000_000, bytes([0, 1, 2, 254, 255]))
+        logs = json.loads(_get(base + "/api/msg-logs")[2])
+        assert logs[0]["name"] == "sim.log" and logs[0]["entries"] == 2
+        msgs = json.loads(_get(base + f"/api/msgs?id={mid.hex()}")[2])
+        assert msgs[0]["text"] == "hello from the sim"
+        assert msgs[1]["text"].startswith("000102")  # binary -> hex preview
+        c.close()
+    finally:
+        srv.stop()
