@@ -552,6 +552,10 @@ def cmd_truncate(args):
     if args.dry_run:
         print(f"would clear {rows} rows + {msgs} msg entries (dry run)")
         return
+    if not args.yes:
+        print(f"refusing to clear {rows} rows + {msgs} msg entries without "
+              "--yes (or use --dry-run to preview)")
+        return
     for store in db.components.values():
         store.len = 0
         _rewrite(store)
@@ -618,13 +622,16 @@ def cmd_drop(args):
         print("no components matched")
         return
     total = sum(s.len for s in matched)
+    ambiguous = (
+        len(matched) > 1 and not (args.yes or args.all or args.pattern)
+    )
+    verb = "would drop" if (args.dry_run or ambiguous) else "drop"
     for s in matched:
-        print(f"{'would drop' if args.dry_run else 'drop'} "
-              f"{s.name or hex(s.component_id)} ({s.len} rows)")
+        print(f"{verb} {s.name or hex(s.component_id)} ({s.len} rows)")
     if args.dry_run:
         print(f"{len(matched)} components, {total} rows (dry run)")
         return
-    if len(matched) > 1 and not (args.yes or args.all or args.pattern):
+    if ambiguous:
         print(f"{len(matched)} fuzzy matches; pass --yes to drop all of them "
               "or narrow the name")
         return

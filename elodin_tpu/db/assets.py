@@ -103,7 +103,14 @@ class AssetHttpServer:
                     if status == 200:
                         self._ok(body, ctype)
                     else:
-                        self.send_error(status, body.decode(errors="replace"))
+                        # error text goes in the BODY only — send_error would
+                        # echo it into the status line, and route errors can
+                        # contain user-controlled text (response splitting)
+                        self.send_response(status)
+                        self.send_header("Content-Type", "text/plain")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
                     return
                 if self.path == "/healthz":
                     self._ok(b"ok", "text/plain")

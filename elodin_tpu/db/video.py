@@ -230,12 +230,14 @@ class Mp4Writer:
 
     TIMESCALE = 90_000
 
-    def __init__(self, path, width: int, height: int, sps: bytes, pps: bytes):
+    def __init__(self, path, width: int, height: int, sps: bytes, pps: bytes,
+                 default_fps: float = 30.0):
         self.path = path
         self.width = width
         self.height = height
         self.sps = sps
         self.pps = pps
+        self.default_fps = max(1e-3, float(default_fps))
         self.samples: list[bytes] = []
         self.pts_us: list[int] = []
         self.keyframes: list[bool] = []
@@ -276,11 +278,16 @@ class Mp4Writer:
         n = len(self.samples)
         if n == 0:
             return []
+        fallback = max(1, int(round(self.TIMESCALE / self.default_fps)))
+        if n > 1 and self.pts_us[-1] <= self.pts_us[0]:
+            # degenerate timestamps (all equal / non-monotonic): fall back to
+            # the requested frame rate instead of 1-tick durations
+            return [fallback] * n
         ticks = [
             int(round(t * self.TIMESCALE / 1_000_000)) for t in self.pts_us
         ]
         durs = [max(1, ticks[i + 1] - ticks[i]) for i in range(n - 1)]
-        durs.append(durs[-1] if durs else self.TIMESCALE // 30)
+        durs.append(durs[-1] if durs else fallback)
         return durs
 
     def _stts(self, durs: list[int]) -> bytes:
@@ -401,7 +408,8 @@ def export_h264_log(entries, name: str, out_path, default_fps: float = 30.0):
     if sps is None or pps is None:
         return None
     info = parse_sps(sps)
-    writer = Mp4Writer(out_path, info.width, info.height, sps, pps)
+    writer = Mp4Writer(out_path, info.width, info.height, sps, pps,
+                       default_fps=info.fps or default_fps)
     t0 = entries[0][0]
     for ts, payload in entries:
         sample, _, _ = annexb_to_avcc(payload)

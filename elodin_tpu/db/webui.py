@@ -499,7 +499,7 @@ function closeCard(name) {
 }
 
 async function poll(st) {
-  if (!open.has(st.c.name)) return;
+  if (open.get(st.c.name) !== st) return;  // card closed (or replaced)
   try {
     const params = new URLSearchParams({name: st.c.name, max_points: 600});
     const stop = endUs();
@@ -789,7 +789,8 @@ function toggle3d() {
 }
 
 async function poll3d() {
-  if (!view3d) return;
+  const me = view3d;
+  if (!me) return;
   try {
     const names = components.map(c => c.name)
       .filter(n => n.endsWith(".world_pos"));
@@ -800,11 +801,12 @@ async function poll3d() {
       if (windowUs != null) params.set("start_us", String(stop - windowUs));
       return fetch("/api/series?" + params).then(r => r.json());
     });
+    if (view3d !== me) return;  // closed (or reopened) while fetching
     view3d.data = (await Promise.all(reqs)).filter(d => d.t.length);
     renderLegend3d();
     draw3d();
   } catch (e) { /* retry next poll */ }
-  if (view3d) setTimeout(poll3d, 700);
+  if (view3d === me) setTimeout(poll3d, 700);
 }
 
 function renderLegend3d() {

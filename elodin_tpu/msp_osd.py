@@ -299,19 +299,25 @@ class MspOsdService:
         self.state = TelemetryState()
 
     def step(self, client) -> None:
-        pos = client.latest(f"{self.entity}.world_pos")
-        if pos is not None:
-            self.state.update_world_pos(pos.values)
-        vel = client.latest(f"{self.entity}.world_vel")
-        if vel is not None:
-            self.state.update_world_vel(vel.values)
-        if self.target_entity:
-            tgt = client.latest(f"{self.target_entity}.world_pos")
-            if tgt is not None:
-                self.state.target_position = np.asarray(
-                    tgt.values, dtype=np.float64
-                ).reshape(-1)[4:7]
-        self.state.db_connected = True
+        got = False
+        try:
+            pos = client.latest(f"{self.entity}.world_pos")
+            if pos is not None:
+                self.state.update_world_pos(pos.values)
+                got = True
+            vel = client.latest(f"{self.entity}.world_vel")
+            if vel is not None:
+                self.state.update_world_vel(vel.values)
+                got = True
+            if self.target_entity:
+                tgt = client.latest(f"{self.target_entity}.world_pos")
+                if tgt is not None:
+                    self.state.target_position = np.asarray(
+                        tgt.values, dtype=np.float64
+                    ).reshape(-1)[4:7]
+        except Exception:
+            got = False  # DB unreachable: keep rendering the last state
+        self.state.db_connected = got
         render(self.grid, self.state)
         self.backend.render(self.grid)
 

@@ -32,9 +32,13 @@ def interp(x, xp, fp):
     fp = jnp.asarray(fp)
     x_e = jnp.expand_dims(jnp.asarray(x), -1)
     dx = xp[1:] - xp[:-1]
-    slopes = (fp[1:] - fp[:-1]) / dx
+    jump = fp[1:] - fp[:-1]
+    slopes = jump / jnp.where(dx > 0, dx, 1.0)
     rise = jnp.clip(x_e - xp[:-1], 0.0, dx)
-    return fp[0] + jnp.sum(slopes * rise, axis=-1)
+    # duplicate knots (dx == 0) encode a step: jnp.interp lands on the last
+    # duplicate's value once x reaches the knot, so add the full jump there
+    seg = jnp.where(dx > 0, slopes * rise, jump * (x_e >= xp[:-1]))
+    return fp[0] + jnp.sum(seg, axis=-1)
 
 
 def _hat_weights(coord, n: int, dtype):

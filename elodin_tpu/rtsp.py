@@ -28,12 +28,16 @@ import struct
 import time
 from dataclasses import dataclass, field
 
-START_CODE = b"\x00\x00\x00\x01"
+from .db.video import (  # shared H.264 vocabulary (db/video.py)
+    NAL_IDR,
+    NAL_PPS,
+    NAL_SPS,
+    START_CODE_4 as START_CODE,
+)
+
 NAL_NON_IDR = 1
-NAL_IDR = 5
-NAL_SPS = 7
-NAL_PPS = 8
 RTP_CLOCK_HZ = 90_000
+RTP_TS_MOD = 1 << 32
 
 
 def nal_unit_type(nal: bytes) -> int | None:
@@ -330,6 +334,8 @@ class RtspSession:
         depack = H264Depacketizer()
         conv = AnnexBConverter(self.params)
         count = 0
+        ts_base = 0          # unwrap offset for the 32-bit RTP timestamp
+        ts_prev: int | None = None
         try:
             while max_aus is None or count < max_aus:
                 first = self._read_exact(1)
@@ -344,13 +350,22 @@ class RtspSession:
                 if ch != 0 or len(data) < 12:
                     continue  # RTCP / runt
                 marker = bool(data[1] & 0x80)
-                ts = struct.unpack_from(">I", data, 4)[0]
-                cc = data[0] & 0x0F
-                payload = data[12 + 4 * cc:]
-                if data[0] & 0x10:  # extension header
-                    ext_len = struct.unpack_from(">H", payload, 2)[0]
-                    payload = payload[4 + 4 * ext_len:]
-                for nals, rtp_ts in depack.push(payload, ts, marker):
+                ts32 = struct.unpack_from(">I", data, 4)[0]
+                # unwrap: the 32-bit 90 kHz clock rolls over every ~13.25 h
+                if ts_prev is not None and ts32 < ts_prev - (RTP_TS_MOD >> 1):
+                    ts_base += RTP_TS_MOD
+                ts_prev = ts32
+                ts = ts_base + ts32
+                try:
+                    cc = data[0] & 0x0F
+                    payload = data[12 + 4 * cc:]
+                    if data[0] & 0x10:  # extension header
+                        ext_len = struct.unpack_from(">H", payload, 2)[0]
+                        payload = payload[4 + 4 * ext_len:]
+                    units = depack.push(payload, ts, marker)
+                except (IndexError, struct.error):
+                    continue  # malformed packet: skip, keep the session up
+                for nals, rtp_ts in units:
                     # in-band parameter sets override the SDP's
                     for n in nals:
                         t = nal_unit_type(n)

@@ -1578,6 +1578,16 @@ def test_cli_truncate_drop_info(tmp_path):
     assert out.returncode == 0 and "dropped 1 components" in out.stdout
     assert len(Database(path).components) == 0
 
+    # truncate refuses without --yes
+    db3 = Database(path)
+    s0 = db3.get_or_create(0x8, "f64", (), "keep.me")
+    s0.append(1, np.array([1.0]))
+    db3.flush()
+    del db3, s0
+    out = run("truncate", path)
+    assert "refusing" in out.stdout
+    assert Database(path).components[0x8].len == 1  # nothing cleared
+
     # truncate: clears rows + msg entries, keeps schemas
     db3 = Database(path)
     s = db3.get_or_create(0x9, "f64", (), "x.y")

@@ -74,3 +74,13 @@ def test_rocket_example_still_matches_reference_filter():
         m.second_order_butterworth(s, m.lp_sample_freq, m.lp_cutoff_freq)
     )[-1]
     np.testing.assert_allclose(m._BUTTER_LAST_W @ s, ref, atol=1e-12)
+
+
+def test_interp_duplicate_knots_step():
+    """Duplicate knots encode a step; match jnp.interp's semantics."""
+    xp = jnp.asarray([0.0, 1.0, 1.0, 2.0])
+    fp = jnp.asarray([0.0, 1.0, 2.0, 3.0])
+    xs = jnp.asarray([0.0, 0.5, 0.999, 1.0, 1.5, 2.0, 3.0])
+    np.testing.assert_allclose(
+        interp(xs, xp, fp), jnp.interp(xs, xp, fp), rtol=1e-12, atol=1e-12
+    )

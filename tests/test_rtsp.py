@@ -175,3 +175,75 @@ def test_rtsp_ingest_loopback(tmp_path):
     from elodin_tpu.db.video import is_keyframe
 
     assert is_keyframe(au0) and not is_keyframe(au1)
+
+
+def test_rtp_timestamp_unwrap_and_runt_tolerance(tmp_path):
+    """32-bit RTP timestamp wraparound unwraps; malformed packets are
+    skipped without killing the session."""
+    import socket
+    import struct as st
+    import threading
+
+    from elodin_tpu.db.postcard import msg_id
+    from elodin_tpu.db.storage import Database
+    from elodin_tpu.rtsp import ingest
+
+    sps = b"\x67\x42\x00\x1e\x01"
+    pps = b"\x68\xce\x38\x80"
+    import base64
+    sprop = (base64.b64encode(sps).decode() + ","
+             + base64.b64encode(pps).decode())
+    sdp = (
+        "v=0\r\nm=video 0 RTP/AVP 96\r\n"
+        f"a=fmtp:96 sprop-parameter-sets={sprop}\r\n"
+        "a=control:track1\r\n"
+    ).encode()
+    idr = b"\x65" + bytes(20)
+    p_nal = b"\x41" + bytes(10)
+    near_wrap = (1 << 32) - 3000
+    pkts = [
+        _rtp(1, near_wrap, idr, marker=True),
+        _rtp(2, near_wrap, b"\x7c", marker=True),  # 1-byte FU-A runt: skipped
+        _rtp(3, 1500, p_nal, marker=True),  # wrapped: 4500 ticks later
+    ]
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        buf = b""
+        played = False
+        while not played:
+            while b"\r\n\r\n" not in buf:
+                d = conn.recv(4096)
+                if not d:
+                    return
+                buf += d
+            req, _, buf = buf.partition(b"\r\n\r\n")
+            lines = req.decode().split("\r\n")
+            cseq = next(l.split(":")[1].strip() for l in lines
+                        if l.lower().startswith("cseq"))
+            method = lines[0].split()[0]
+            body = sdp if method == "DESCRIBE" else b""
+            head = (f"RTSP/1.0 200 OK\r\nCSeq: {cseq}\r\nSession: 1\r\n"
+                    + (f"Content-Length: {len(body)}\r\n" if body else "")
+                    + "\r\n")
+            conn.sendall(head.encode() + body)
+            played = method == "PLAY"
+        for p in pkts:
+            conn.sendall(b"$" + st.pack(">BH", 0, len(p)) + p)
+        conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    db = Database(str(tmp_path / "db"))
+    n = ingest(f"rtsp://127.0.0.1:{port}/c", db, "v", max_aus=2,
+               base_us=0)
+    srv.close()
+    assert n == 2
+    log = db.msg_logs[msg_id("v")]
+    ts0, ts1 = log.entries[0][0], log.entries[1][0]
+    # 4500 ticks @ 90 kHz = 50 ms forward, NOT a wrap to tiny deltas
+    assert ts1 - ts0 == 4500 * 1_000_000 // 90_000
