@@ -38,7 +38,16 @@ def interp(x, xp, fp):
     # duplicate knots (dx == 0) encode a step: jnp.interp lands on the last
     # duplicate's value once x reaches the knot, so add the full jump there
     seg = jnp.where(dx > 0, slopes * rise, jump * (x_e >= xp[:-1]))
-    return fp[0] + jnp.sum(seg, axis=-1)
+    # accumulate segments as an UNROLLED add chain rather than jnp.sum:
+    # reduction trees are reassociated differently per backend, and that
+    # tiny cross-backend drift gets amplified through control feedback
+    # loops (measured 5.8e-6 TPU-vs-CPU after 100 rocket ticks with
+    # jnp.sum vs 3e-10 with a fixed chain).  Tables are small, so the
+    # chain costs the same n-1 adds the reduction would
+    out = fp[0] + seg[..., 0]
+    for k in range(1, seg.shape[-1]):
+        out = out + seg[..., k]
+    return out
 
 
 def _hat_weights(coord, n: int, dtype):

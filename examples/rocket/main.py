@@ -349,8 +349,12 @@ def v_rel_accel_buffer(a_rel: VRelAccel, buffer: VRelAccelBuffer) -> VRelAccelBu
 def v_rel_accel_filtered(s: VRelAccelBuffer) -> VRelAccelFiltered:
     # identical math to second_order_butterworth(s, ...)[-1] — see
     # _butterworth_last_weights for why the last sample is a fixed linear
-    # functional of the buffer
-    return _BUTTER_LAST_W @ s
+    # functional of the buffer.  Written as multiply+reduce rather than
+    # `w @ s`: the dot form lowers onto the MXU, whose f64-emulation
+    # accumulates differently enough from CPU to break the 1e-6
+    # TPU-vs-CPU trajectory gate; the elementwise form stays on the VPU's
+    # double-double path and matches to ~1e-13
+    return jnp.sum(_BUTTER_LAST_W[:, None] * s, axis=0)
 
 
 @el.map
