@@ -55,6 +55,7 @@ from .execimpl import Exec  # noqa: F401
 from .step_context import StepContext  # noqa: F401
 from .world import DEFAULT_TIME_STEP, WorldBuilder  # noqa: F401
 from .jaxsim import JaxSim  # noqa: F401
+from .diff import rollout  # noqa: F401
 from . import monte_carlo as monte_carlo  # noqa: F401
 from . import s10 as s10  # noqa: F401
 
