@@ -29,7 +29,7 @@ class Connection:
         self.writer = writer
         self.vtables: dict[bytes, VTable] = {}
         self.stream_tasks: list[asyncio.Task] = []
-        self.sub_queue: asyncio.Queue | None = None
+        self.sub_queues: list[asyncio.Queue] = []
         self.msg_subs: set[bytes] = set()
         self.send_lock = asyncio.Lock()
         self.silent = False  # ConnectionSettings{silent}: suppress replies
@@ -78,8 +78,8 @@ class Connection:
         finally:
             for t in self.stream_tasks:
                 t.cancel()
-            if self.sub_queue is not None:
-                self.server.remove_subscriber(self.sub_queue)
+            for q in self.sub_queues:
+                self.server.remove_subscriber(q)
             for subs in self.server.vtable_stream_subs.values():
                 subs[:] = [s for s in subs if s[0] is not self]
             self.server.follow_all_msgs[:] = [
@@ -237,10 +237,12 @@ class Connection:
             )
             self.stream_tasks.append(task)
             return
-        if self.sub_queue is None:
-            self.sub_queue = asyncio.Queue(maxsize=1024)
-            self.server.add_subscriber(self.sub_queue)
-        task = asyncio.ensure_future(self._stream_loop(msg, req_id))
+        # one queue per stream: asyncio.Queue delivers each item to exactly
+        # one getter, so concurrent stream loops must not share a queue
+        queue: asyncio.Queue = asyncio.Queue(maxsize=1024)
+        self.server.add_subscriber(queue)
+        self.sub_queues.append(queue)
+        task = asyncio.ensure_future(self._stream_loop(msg, req_id, queue))
         self.stream_tasks.append(task)
 
     async def _replay_loop(self, msg: M.Stream, state: dict, req_id: int) -> None:
@@ -263,7 +265,8 @@ class Connection:
                 await asyncio.sleep(period)
                 continue
             if state["timestamp"] is not None:
-                ts = state.pop("timestamp")
+                ts = state["timestamp"]
+                state["timestamp"] = None  # consume the seek, keep the key
             with self.db.lock:
                 rows = []
                 for c in self.db.components.values():
@@ -289,16 +292,18 @@ class Connection:
                     vt = build_table_vtable(fields, timestamp_offset=0)
                     await self.send(M.VTableMsg(vt_id, vt).packet(req_id))
                     sent_layout = layout_key
-                    replay_fields = fields
-                    self._replay_cache = (vt_id, replay_fields)
-                vt_id, replay_fields = self._replay_cache
+                    # loop-local cache: a second replay stream on this
+                    # connection must not overwrite our layout
+                    replay_vt_id, replay_fields = vt_id, fields
                 body = bytearray(np.int64(ts).tobytes())
                 for (c, row), f in zip(rows, replay_fields):
                     pad = f[3] - len(body)
                     if pad > 0:
                         body += b"\x00" * pad
                     body += row.tobytes()
-                await self.send(M.frame(M.TY_TABLE, vt_id, bytes(body), req_id))
+                await self.send(
+                    M.frame(M.TY_TABLE, replay_vt_id, bytes(body), req_id)
+                )
                 await self.send(
                     M.StreamTimestamp(ts, msg.id).packet(req_id)
                 )
@@ -367,6 +372,7 @@ class Connection:
         self.stream_tasks.append(asyncio.ensure_future(pump()))
 
     async def _stream_loop(self, msg: M.Stream, req_id: int,
+                           queue: asyncio.Queue,
                            initial_sent: dict | None = None) -> None:
         """Real-time: push EVERY row committed after the subscribe point,
         per component, each packet preceded (once) by that component's
@@ -383,7 +389,7 @@ class Connection:
             for cid, c in self.db.components.items():
                 sent_len.setdefault(cid, c.len)
         while True:
-            component_ids, ts = await self.sub_queue.get()
+            component_ids, ts = await queue.get()
             for cid in component_ids:
                 with self.db.lock:
                     c = self.db.components.get(cid)
@@ -426,7 +432,9 @@ class Connection:
                 ).packet(req_id)
             )
             return
-        ts, values = store.range(msg.start, msg.stop, msg.limit)
+        with self.db.lock:  # _grow() resizes arrays on the writer thread
+            ts, values = store.range(msg.start, msg.stop, msg.limit)
+            ts, values = np.asarray(ts).copy(), np.asarray(values).copy()
         body = (
             np.uint64(len(ts)).tobytes()
             + np.ascontiguousarray(ts, dtype="<i8").tobytes()
@@ -622,7 +630,9 @@ class Connection:
                 ).packet(req_id)
             )
             return
-        ts, values = store.range(msg.start, msg.stop, None)
+        with self.db.lock:  # _grow() resizes arrays on the writer thread
+            ts, values = store.range(msg.start, msg.stop, None)
+            ts, values = np.asarray(ts).copy(), np.asarray(values).copy()
         vals = np.asarray(values)[:, msg.element_index].astype(np.float64)
         idx = lttb(np.asarray(ts, dtype=np.float64), vals, msg.max_points)
         body = (
@@ -666,7 +676,8 @@ class Connection:
                 await asyncio.sleep(period)
                 continue
             if state["timestamp"] is not None:
-                ts = state.pop("timestamp")
+                ts = state["timestamp"]
+                state["timestamp"] = None  # consume the seek, keep the key
             row = None
             for t, data in reversed(log.entries):
                 if t <= ts:
@@ -735,13 +746,13 @@ class Connection:
                             int(t).to_bytes(8, "little", signed=True) + data,
                             req_id)
                 )
-        # live from here on
-        if self.sub_queue is None:
-            self.sub_queue = asyncio.Queue(maxsize=1024)
-            self.server.add_subscriber(self.sub_queue)
+        # live from here on (own queue — see on_Stream)
+        queue: asyncio.Queue = asyncio.Queue(maxsize=1024)
+        self.server.add_subscriber(queue)
+        self.sub_queues.append(queue)
         task = asyncio.ensure_future(
             self._stream_loop(
-                M.Stream("real-time", id=req_id), req_id,
+                M.Stream("real-time", id=req_id), req_id, queue,
                 initial_sent=watermark,
             )
         )
@@ -1070,8 +1081,10 @@ def serve_exec(exec_, addr: str = "127.0.0.1:2240", resume: bool = False) -> Ser
     for comp_name, row, cid, store in plan:
         comp = meta.components[comp_name]
         if str(comp.metadata.get("external_control", "")).lower() == "true":
-            ename = id_to_name.get(meta.comp_entities[comp_name][row])
-            qual = f"{ename}.{comp_name}" if ename else f"{row}.{comp_name}"
+            eid = meta.comp_entities[comp_name][row]
+            ename = id_to_name.get(eid)
+            # must mirror the store-creation qual above (eid, not row index)
+            qual = f"{ename}.{comp_name}" if ename else f"{eid}.{comp_name}"
             control[cid] = (qual, store)
     if control:
 
@@ -1085,8 +1098,13 @@ def serve_exec(exec_, addr: str = "127.0.0.1:2240", resume: bool = False) -> Ser
                     _row_ts, row_vals = store.latest()
                     try:
                         exec_.write_component(qual, row_vals)
-                    except Exception:
-                        pass
+                    except Exception as e:  # noqa: BLE001
+                        import warnings
+
+                        warnings.warn(
+                            f"external control write {qual!r} failed: {e}",
+                            stacklevel=1,
+                        )
 
         server.on_external_write = on_external_write
     schematic = getattr(exec_, "schematic_content", None)

@@ -88,15 +88,31 @@ class _SqlEngine:
                 pass
 
     def sync(self, db) -> None:
-        with self.lock, db.lock:
-            for store in list(db.components.values()):
-                name = sanitize_sql_table_name(
-                    store.name or f"c_{store.component_id:x}"
-                )
-                n = store.len
-                done = self.loaded.get(store.component_id)
-                if done is None:
-                    cols = _element_columns(store)
+        with self.lock:
+            # snapshot under db.lock (cheap numpy copies only), then build
+            # the sqlite mirror with the lock RELEASED — holding db.lock
+            # through per-row conversion + executemany over a large backlog
+            # would stall the sim thread's commit_batch for the duration
+            pending = []
+            with db.lock:
+                for store in list(db.components.values()):
+                    name = sanitize_sql_table_name(
+                        store.name or f"c_{store.component_id:x}"
+                    )
+                    n = store.len
+                    done = self.loaded.get(store.component_id)
+                    cols = (
+                        _element_columns(store) if done is None else None
+                    )
+                    start = done or 0
+                    if done is None or n > start:
+                        pending.append((
+                            name, store.component_id, cols, start, n,
+                            store.timestamps[start:n].copy(),
+                            store.values[start:n].copy(),
+                        ))
+            for name, cid, cols, done, n, ts, vals in pending:
+                if cols is not None:
                     decls = ", ".join(f'"{c}" REAL' for c in cols)
                     self.conn.execute(
                         f'CREATE TABLE IF NOT EXISTS "{name}" '
@@ -106,11 +122,8 @@ class _SqlEngine:
                         f'CREATE INDEX IF NOT EXISTS "idx_{name}_time" '
                         f'ON "{name}" (time)'
                     )
-                    self.tables[name] = store.component_id
-                    done = 0
+                    self.tables[name] = cid
                 if n > done:
-                    ts = store.timestamps[done:n]
-                    vals = store.values[done:n]
                     width = vals.shape[1]
                     rows = np.empty((n - done, width + 1), dtype=np.float64)
                     rows[:, 0] = ts
@@ -123,7 +136,7 @@ class _SqlEngine:
                             for r in rows
                         ],
                     )
-                    self.loaded[store.component_id] = n
+                self.loaded[cid] = n
             self.conn.commit()
 
 

@@ -22,14 +22,28 @@ viewer rides the same port the asset store already serves.
 from __future__ import annotations
 
 import json
+import math
 
 import numpy as np
 
 from .downsample import lttb
 
 
+def _finite(o):
+    """NaN/Inf are not valid JSON (browser JSON.parse rejects the bare
+    tokens json.dumps emits) — map them to null, which plots render as a
+    gap instead of the whole response failing to parse."""
+    if isinstance(o, float):
+        return o if math.isfinite(o) else None
+    if isinstance(o, list):
+        return [_finite(x) for x in o]
+    if isinstance(o, dict):
+        return {k: _finite(v) for k, v in o.items()}
+    return o
+
+
 def _json_resp(obj) -> tuple[int, str, bytes]:
-    return 200, "application/json", json.dumps(obj).encode()
+    return 200, "application/json", json.dumps(_finite(obj)).encode()
 
 
 def register_routes(routes: dict, db) -> None:

@@ -244,6 +244,10 @@ def _run_one(sim_path: str, row: dict, out_dir: Path, max_ticks: int | None,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
+            # own process group: a timed-out sim is killed together with
+            # any SITL/co-process children it spawned (the reference's
+            # cgroup teardown equivalent, s10/src/lib.rs cgroup cleanup)
+            start_new_session=True,
         )
         if sampler is not None:
             sampler.track(proc.pid)
@@ -253,7 +257,12 @@ def _run_one(sim_path: str, row: dict, out_dir: Path, max_ticks: int | None,
         if proc.returncode != 0:
             (run_dir / "stderr.log").write_text(err or "")
     except subprocess.TimeoutExpired:
-        proc.kill()
+        import signal
+
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
         proc.communicate()
         record["exit_code"] = -1
         record["valid"] = False
@@ -318,6 +327,9 @@ def run_campaign(sim_path: str, config: dict, out_dir: str | Path,
                 quality, retention, sampler,
             )
 
+        records_log = out_dir / "records.jsonl"
+        if not resume and records_log.exists():
+            records_log.unlink()  # fresh campaign: don't merge stale runs
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = [
                 pool.submit(staggered_run, i, row)
@@ -327,10 +339,27 @@ def run_campaign(sim_path: str, config: dict, out_dir: str | Path,
                 rec = f.result()
                 records.append(rec)
                 done.add(rec["run_id"])
+                with open(records_log, "a") as lf:
+                    lf.write(json.dumps(rec) + "\n")
                 manifest_path.write_text(
                     json.dumps({"completed": sorted(done)}, indent=2)
                 )
         sampler.stop()
+
+        # results.csv/perf.csv/summary.json must cover the WHOLE campaign,
+        # including runs completed by earlier (resumed-over) invocations —
+        # merge the append-only records log, last record per run_id wins
+        merged: dict[str, dict] = {}
+        if records_log.exists():
+            for line in records_log.read_text().splitlines():
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                merged[r.get("run_id", "")] = r
+        for r in records:
+            merged[r["run_id"]] = r
+        records = list(merged.values())
 
         if records:
             results_path = out_dir / "results.csv"

@@ -340,10 +340,23 @@ class RtspSession:
             while max_aus is None or count < max_aus:
                 first = self._read_exact(1)
                 if first != b"$":
-                    # mid-stream RTSP message (e.g. keepalive response): skip
+                    # mid-stream RTSP message (e.g. keepalive response or
+                    # server ANNOUNCE/GET_PARAMETER): skip headers AND any
+                    # Content-Length body, or the demux desynchronizes and
+                    # treats body bytes as interleaved framing
                     buf = bytearray(first)
                     while not bytes(buf).endswith(b"\r\n\r\n"):
                         buf += self._read_exact(1)
+                    body_len = 0
+                    for line in bytes(buf).split(b"\r\n"):
+                        name, _, value = line.partition(b":")
+                        if name.strip().lower() == b"content-length":
+                            try:
+                                body_len = int(value.strip())
+                            except ValueError:
+                                pass
+                    if body_len > 0:
+                        self._read_exact(body_len)
                     continue
                 ch, ln = struct.unpack(">BH", self._read_exact(3))
                 data = self._read_exact(ln)

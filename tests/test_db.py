@@ -1795,3 +1795,79 @@ def test_cli_run_follows(tmp_path):
         c.close()
     finally:
         leader.stop()
+
+
+def test_stream_seek_twice_keeps_replaying(server):
+    """Regression: the replay loop used state.pop("timestamp"), so the tick
+    after a SetStreamState seek raised KeyError and silently killed the
+    stream task — a second seek (or just continued playback) never arrived."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"sk.x": edb.f64})
+    for i in range(100):
+        writer.write(timestamp_us=i * 1000, values={"sk.x": float(i)})
+    time.sleep(0.3)
+
+    req_id = client._conn.next_req_id()
+    behavior = M.FixedRateBehavior("earliest", int(1e9 // 200), 200)
+    q = client._conn.request_stream(
+        M.Stream(behavior, id=req_id).packet(req_id), req_id
+    )
+
+    def drain_ts(n, timeout=5.0):
+        out = []
+        deadline = time.time() + timeout
+        while len(out) < n and time.time() < deadline:
+            try:
+                pkt = q.get(timeout=1)
+            except Exception:
+                continue
+            if pkt.ty == M.TY_MSG and pkt.id == M.StreamTimestamp.ID:
+                out.append(M.StreamTimestamp.decode(pkt.body).timestamp)
+        return out
+
+    assert len(drain_ts(3)) == 3
+    for seek in range(2):
+        client._conn.send_bytes(
+            M.SetStreamState(id=req_id, timestamp=0).packet()
+        )
+        got = drain_ts(3)
+        assert len(got) == 3, f"stream dead after seek #{seek + 1}: {got}"
+    writer.close()
+    client.close()
+
+
+def test_two_realtime_streams_one_connection(server):
+    """Regression: both real-time stream loops on one connection shared a
+    single notification queue, so each stole roughly half the wake-ups and
+    the final row of a burst could permanently miss one stream."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"tw.x": edb.f64})
+    writer.write(timestamp_us=1, values={"tw.x": 0.0})
+    time.sleep(0.2)
+
+    queues = []
+    for _ in range(2):
+        rid = client._conn.next_req_id()
+        queues.append(client._conn.request_stream(
+            M.Stream("real-time", id=rid).packet(rid), rid
+        ))
+    time.sleep(0.3)
+    for i in range(10):
+        writer.write(timestamp_us=1000 + i, values={"tw.x": float(i)})
+
+    def saw_value(q, want, timeout=5.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                pkt = q.get(timeout=1)
+            except Exception:
+                continue
+            if pkt.ty == M.TY_TABLE and len(pkt.body) >= 16:
+                if float(np.frombuffer(pkt.body[-8:], dtype="<f8")[0]) == want:
+                    return True
+        return False
+
+    assert saw_value(queues[0], 9.0), "stream 1 missed the final row"
+    assert saw_value(queues[1], 9.0), "stream 2 missed the final row"
+    writer.close()
+    client.close()

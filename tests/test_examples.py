@@ -681,3 +681,40 @@ def test_nbody_batched_scale_runner():
     out = mod.run(256, 50, dtype=np.float64)
     assert out["momentum_drift_rel"] < 1e-10, out
     assert out["entity_steps_per_sec"] > 0
+
+
+def test_mc_process_campaign_resume_preserves_results(tmp_path):
+    """Regression: re-running a finished campaign with resume=True used to
+    rewrite results.csv/summary.json from only the newly-executed runs
+    (zero), discarding the whole campaign's records."""
+    import csv as _csv
+    import json
+
+    from elodin_tpu.monte_carlo import run_campaign
+
+    sim = os.path.join(EXAMPLES, "monte-carlo", "main.py")
+    if not os.path.exists(sim):
+        pytest.skip("no process-mode main.py")
+    config = {
+        "monte_carlo": {
+            "n_samples": 2,
+            "seed": 1,
+            "variables": {
+                "start_altitude": {"dist": "uniform", "min": 1800, "max": 2200},
+            },
+        }
+    }
+    out = tmp_path / "out"
+    first = run_campaign(sim, config, out, workers=2, max_ticks=20,
+                         timeout=300)
+    assert len(first) == 2
+    # everything already complete: the resumed run executes nothing new but
+    # must still report the full campaign
+    again = run_campaign(sim, config, out, workers=2, max_ticks=20,
+                         timeout=300, resume=True)
+    assert len(again) == 2
+    with open(out / "results.csv") as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 2
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["total"] == 2 and summary["valid"] == 2

@@ -140,3 +140,30 @@ tiles {
         c.close()
     finally:
         srv.stop()
+
+
+def test_webui_series_with_nan_parses(tmp_path):
+    """Regression: NaN samples made json.dumps emit bare NaN tokens, which
+    browser JSON.parse rejects — the plot never rendered. Non-finite floats
+    must serialize as null."""
+    from elodin_tpu.db import Client, Server, f64
+
+    srv = Server.start(str(tmp_path / "db"))
+    try:
+        base = f"http://127.0.0.1:{srv.port + 1}"
+        c = Client.connect(srv.addr)
+        with c.table_writer({"nan.x": f64}) as w:
+            w.write(1_000_000, {"nan.x": 1.0})
+            w.write(1_001_000, {"nan.x": float("nan")})
+            w.write(1_002_000, {"nan.x": float("inf")})
+            w.write(1_003_000, {"nan.x": 3.0})
+        time.sleep(0.4)
+        _, _, body = _get(base + "/api/series?name=nan.x")
+        s = json.loads(body)  # strict JSON: would fail on bare NaN
+        flat = [v[0] for v in s["v"]]
+        assert flat == [1.0, None, None, 3.0]
+        _, _, body = _get(base + "/api/latest?name=nan.x")
+        assert json.loads(body)["v"] == [3.0]
+        c.close()
+    finally:
+        srv.stop()
