@@ -123,9 +123,27 @@ class _Conn:
         self._reader.start()
 
     def next_req_id(self) -> int:
+        """Allocate a wire req id (one byte, 1..255).  Ids registered in
+        ``_pending`` (long-lived stream subscriptions) are skipped so a
+        wrapped counter can't collide with a live stream — a collision
+        would deliver stream packets as another request's reply and then
+        orphan the stream's queue."""
         with self.lock:
-            self._req_id = self._req_id % 255 + 1
-            return self._req_id
+            for _ in range(255):
+                self._req_id = self._req_id % 255 + 1
+                if self._req_id not in self._pending:
+                    return self._req_id
+            raise RuntimeError(
+                "no free request ids: 255 live requests/streams on one "
+                "connection"
+            )
+
+    def release(self, req_id: int) -> None:
+        """Drop a stream subscription's queue and wake any blocked reader
+        with a None sentinel (consumed as end-of-stream)."""
+        q = self._pending.pop(req_id, None)
+        if q is not None:
+            q.put(None)
 
     def send_bytes(self, data: bytes) -> None:
         with self.lock:
@@ -296,9 +314,10 @@ class TableWriter:
         contiguous buffer of N table packets and sent with one syscall
         (the high-rate producer path; per-row ``write`` costs a Python
         pack + send each).  ``values[name]`` is an (N, *shape) array."""
+        # NOTE: row timestamps are microseconds ON THE WIRE regardless of
+        # the writer's input unit (write() converts ns inputs to us in
+        # _pack); timestamps_us is already us, so no conversion here
         ts = np.ascontiguousarray(np.asarray(timestamps_us, dtype=np.int64))
-        if self._timestamp_unit == "ns":
-            ts = ts * 1000
         n = len(ts)
         rows = np.zeros((n, self.row_nbytes), dtype=np.uint8)
         rows[:, 0:8] = ts.astype("<i8").view(np.uint8).reshape(n, 8)
@@ -379,12 +398,14 @@ class StreamRow:
 
 
 class ComponentStream:
-    def __init__(self, conn: _Conn, q: queue.Queue, names):
+    def __init__(self, conn: _Conn, q: queue.Queue, names,
+                 req_id: int | None = None):
         self._conn = conn
         self._q = q
         self._names = set(names) if names else None
         self._vtables: dict[bytes, object] = {}
         self._id_to_name: dict[int, str] = {}
+        self._req_id = req_id
         self._closed = False
 
     def __iter__(self):
@@ -395,6 +416,8 @@ class ComponentStream:
             if self._closed:
                 raise StopIteration
             pkt = self._q.get()
+            if pkt is None:  # close() sentinel
+                raise StopIteration
             if pkt.ty == M.TY_MSG and pkt.id == M.VTableMsg.ID:
                 vtm = M.VTableMsg.decode(pkt.body)
                 self._vtables[vtm.id] = vtm.vtable
@@ -420,6 +443,9 @@ class ComponentStream:
 
     def close(self) -> None:
         self._closed = True
+        if self._req_id is not None:
+            self._conn.release(self._req_id)
+            self._req_id = None
 
     def __enter__(self):
         return self
@@ -434,10 +460,13 @@ class _RawTableStream:
     subscription: VTableMsg packets update the layout, TY_TABLE packets
     yield realized rows."""
 
-    def __init__(self, q: queue.Queue, vtable_id: bytes):
+    def __init__(self, q: queue.Queue, vtable_id: bytes,
+                 conn: _Conn | None = None, req_id: int | None = None):
         self._q = q
         self.vtable_id = vtable_id
         self.vtable = None
+        self._conn = conn
+        self._req_id = req_id
         self._closed = False
 
     def __iter__(self):
@@ -448,6 +477,8 @@ class _RawTableStream:
             if self._closed:
                 raise StopIteration
             pkt = self._q.get()
+            if pkt is None:  # close() sentinel
+                raise StopIteration
             if pkt.ty == M.TY_MSG and pkt.id == M.VTableMsg.ID:
                 self.vtable = M.VTableMsg.decode(pkt.body).vtable
                 continue
@@ -461,12 +492,18 @@ class _RawTableStream:
 
     def close(self) -> None:
         self._closed = True
+        if self._conn is not None and self._req_id is not None:
+            self._conn.release(self._req_id)
+            self._req_id = None
 
 
 class MessageStream:
-    def __init__(self, q: queue.Queue, raw: bool):
+    def __init__(self, q: queue.Queue, raw: bool,
+                 conn: _Conn | None = None, req_id: int | None = None):
         self._q = q
         self._raw = raw
+        self._conn = conn
+        self._req_id = req_id
         self._closed = False
 
     def __iter__(self):
@@ -476,6 +513,8 @@ class MessageStream:
         if self._closed:
             raise StopIteration
         pkt = self._q.get()
+        if pkt is None:  # close() sentinel
+            raise StopIteration
         ts = int.from_bytes(pkt.body[:8], "little", signed=True)
         data = pkt.body[8:] if pkt.ty == M.TY_MSG_WITH_TIMESTAMP else pkt.body
         if self._raw:
@@ -484,6 +523,9 @@ class MessageStream:
 
     def close(self) -> None:
         self._closed = True
+        if self._conn is not None and self._req_id is not None:
+            self._conn.release(self._req_id)
+            self._req_id = None
 
     def __enter__(self):
         return self
@@ -501,6 +543,17 @@ class Client:
         self._conn = _Conn(addr)
         self._send_writers: Dict[str, TableWriter] = {}
         self._send_lock = threading.Lock()
+        self._info_cache: Dict[str, ComponentInfo] = {}
+
+    def _component_info(self, name: str) -> Optional[ComponentInfo]:
+        """Schema lookup with a one-shot cache: schemas are immutable once
+        a component exists, so high-rate callers (HzDriver polls every
+        tick) must not pay two metadata round trips per call."""
+        info = self._info_cache.get(name)
+        if info is None:
+            self._info_cache = self.components()
+            info = self._info_cache.get(name)
+        return info
 
     @classmethod
     def connect(cls, addr: str) -> "Client":
@@ -548,7 +601,7 @@ class Client:
         q = self._conn.request_stream(
             M.MsgStream(msg_id(name)).packet(req_id), req_id
         )
-        return MessageStream(q, raw)
+        return MessageStream(q, raw, conn=self._conn, req_id=req_id)
 
     # -- reads -------------------------------------------------------------
 
@@ -587,7 +640,7 @@ class Client:
         else:
             msg = M.Stream("real-time", id=req_id)
         q = self._conn.request_stream(msg.packet(req_id), req_id)
-        stream = ComponentStream(self._conn, q, components)
+        stream = ComponentStream(self._conn, q, components, req_id=req_id)
         # learn component names for id resolution
         try:
             for name, info in self.components().items():
@@ -600,7 +653,7 @@ class Client:
         cid = component_id_of(name)
         req_id = self._conn.next_req_id()
         msg = M.GetTimeSeries(
-            b"\x00\x01", -(2**62), 2**62, cid, limit=None
+            b"\x00\x01", -(2**62), 2**62, cid, limit=1
         )
         [pkt] = self._conn.request(msg.packet(req_id), req_id)
         if pkt.ty != M.TY_TIME_SERIES:
@@ -609,7 +662,7 @@ class Client:
         if n == 0:
             return None
         ts = np.frombuffer(pkt.body[8 : 8 + n * 8], dtype="<i8")
-        info = self.components().get(name)
+        info = self._component_info(name)
         prim = info.prim if info else "f64"
         shape = info.shape if info else ()
         data = np.frombuffer(pkt.body[8 + n * 8 :], dtype=PRIM_NP[prim])
@@ -627,7 +680,7 @@ class Client:
             raise RuntimeError(M.ErrorResponse.decode(pkt.body).description)
         n = int.from_bytes(pkt.body[:8], "little")
         ts = np.frombuffer(pkt.body[8 : 8 + n * 8], dtype="<i8").copy()
-        info = self.components().get(name)
+        info = self._component_info(name)
         prim = info.prim if info else "f64"
         shape = info.shape if info else ()
         data = np.frombuffer(pkt.body[8 + n * 8 :], dtype=PRIM_NP[prim])
@@ -645,17 +698,28 @@ class Client:
         import pyarrow.ipc as ipc
 
         req_id = self._conn.next_req_id()
-        pkts = self._conn.request(
-            M.SQLQuery(query).packet(req_id), req_id, n_replies=2
-        )
+        # reply shape differs by outcome — N ArrowIPC batches then an
+        # ArrowIPC(None) terminator on success, a single ErrorResponse on
+        # failure — so read until terminator/error rather than asking for a
+        # fixed reply count (which would hang on errors)
+        q = self._conn.request_stream(M.SQLQuery(query).packet(req_id), req_id)
         tables = []
-        for pkt in pkts:
-            if pkt.id == M.ErrorResponse.ID:
-                raise RuntimeError(M.ErrorResponse.decode(pkt.body).description)
-            arrow = M.ArrowIPC.decode(pkt.body)
-            if arrow.batch:
+        try:
+            while True:
+                pkt = q.get(timeout=10.0)
+                if pkt is None:
+                    break
+                if pkt.id == M.ErrorResponse.ID:
+                    raise RuntimeError(
+                        M.ErrorResponse.decode(pkt.body).description
+                    )
+                arrow = M.ArrowIPC.decode(pkt.body)
+                if arrow.batch is None:
+                    break  # terminator
                 with ipc.open_stream(io.BytesIO(arrow.batch)) as r:
                     tables.append(r.read_all())
+        finally:
+            self._conn._pending.pop(req_id, None)
         import pyarrow as pa
 
         return pa.concat_tables(tables) if tables else None
@@ -700,7 +764,7 @@ class Client:
             raise RuntimeError(M.ErrorResponse.decode(pkt.body).description)
         n = int.from_bytes(pkt.body[:8], "little")
         ts = np.frombuffer(pkt.body[8 : 8 + n * 8], dtype="<i8").copy()
-        info = self.components().get(name)
+        info = self._component_info(name)
         prim = info.prim if info else "f64"
         values = np.frombuffer(pkt.body[8 + n * 8 :], dtype=PRIM_NP[prim]).copy()
         return ts, values
@@ -712,7 +776,7 @@ class Client:
         q = self._conn.request_stream(
             M.VTableStream(vtable_id).packet(req_id), req_id
         )
-        return _RawTableStream(q, vtable_id)
+        return _RawTableStream(q, vtable_id, conn=self._conn, req_id=req_id)
 
     def timestamped_msg_stream(self, name: str, maxlen: int = 1024):
         """Message stream preserving source timestamps
@@ -724,7 +788,7 @@ class Client:
         q = self._conn.request_stream(
             M.TimestampedMsgStream(mid).packet(req_id), req_id
         )
-        return MessageStream(q, raw=True)
+        return MessageStream(q, raw=True, conn=self._conn, req_id=req_id)
 
     def fixed_rate_msg_stream(self, name: str, frequency: int = 60,
                               timestep_ns: int | None = None,
@@ -743,7 +807,7 @@ class Client:
             ).packet(req_id),
             req_id,
         )
-        return MessageStream(q, raw=True)
+        return MessageStream(q, raw=True, conn=self._conn, req_id=req_id)
 
     def save_archive(self, path: str, format: str = "arrow_ipc"):
         req_id = self._conn.next_req_id()

@@ -139,6 +139,9 @@ class _Parser:
 
     def atom(self):
         kind, val = self.next()
+        if (kind, val) == ("op", "-"):
+            # unary minus: -x parses as (0 - x) over the postfix expression
+            return ("binop", "-", ("num", 0.0), self.postfix())
         if kind == "num":
             return ("num", val)
         if kind == "str":

@@ -158,11 +158,18 @@ class ComponentStore:
             )
 
     def range(self, start: int, stop: int, limit: int | None = None):
+        """Rows with start <= t < stop.  ``limit`` DOWNSAMPLES evenly across
+        the window, always including the newest in-window row (limit=1 is
+        therefore a cheap "latest at-or-before stop").  Contrast
+        MsgLog.range, whose limit truncates to the first N entries."""
         ts = self.timestamps[: self.len]
         lo = int(np.searchsorted(ts, start, side="left"))
         hi = int(np.searchsorted(ts, stop, side="left"))
         if limit is not None and hi - lo > limit:
-            idx = np.linspace(lo, hi - 1, limit).astype(int)
+            if limit == 1:
+                idx = np.array([hi - 1])
+            else:
+                idx = np.linspace(lo, hi - 1, limit).astype(int)
             return ts[idx], self.values[idx]
         return ts[lo:hi], self.values[lo:hi]
 
@@ -189,12 +196,22 @@ class ComponentStore:
         if store._native is not None:
             return store  # loaded via the mmap header
         raw_ts = np.fromfile(path / "timestamps.bin", dtype="<i8")
-        data = np.fromfile(path / "data.bin", dtype=store.dtype).reshape(
-            len(raw_ts), store.elem_count
-        )
-        store.timestamps = raw_ts.copy()
-        store.values = data.copy()
-        store.len = len(raw_ts)
+        data = np.fromfile(path / "data.bin", dtype=store.dtype)
+        # torn-tail tolerance (crash between the ts and data appends):
+        # keep only fully-written rows, like MsgLog._load — a partial final
+        # row must not make the whole database unopenable
+        n = min(len(raw_ts), len(data) // store.elem_count)
+        if n * 8 < len(raw_ts) * 8 or n * store.row_nbytes < data.nbytes:
+            # repair on disk too, or subsequent appends would land after
+            # the partial row and misalign every later record
+            if store._ts_file is not None:
+                store._ts_file.truncate(n * 8)
+                store._data_file.truncate(n * store.row_nbytes)
+        store.timestamps = raw_ts[:n].copy()
+        store.values = data[: n * store.elem_count].reshape(
+            n, store.elem_count
+        ).copy()
+        store.len = n
         return store
 
 

@@ -484,7 +484,8 @@ class Exec:
         restored_time = h.times[tick]
         h.truncate(tick + 1)
         self._tick = int(round(restored_time / self.sim_time_step))
-        self._host_writes.clear()
+        with self._host_writes_lock:  # racing DB-thread write_component
+            self._host_writes.clear()
 
     def restore_from_db(self, db) -> int:
         """Resume from a telemetry database: load every component's latest
@@ -498,7 +499,6 @@ class Exec:
             eid: m.name for eid, m in self.meta.entity_metadata.items()
         }
         restored = 0
-        latest_ts = None
         new_cols = dict(self.cols)
         for comp_name, ids in self.meta.comp_entities.items():
             col = np.asarray(new_cols[comp_name]).copy()
@@ -509,15 +509,21 @@ class Exec:
                 store = db.components.get(component_id_of(qual))
                 if store is None or store.len == 0:
                     continue
-                ts, row = store.latest()
+                _ts, row = store.latest()
                 col[i] = np.asarray(row).reshape(col.shape[1:])
-                latest_ts = ts if latest_ts is None else max(latest_ts, ts)
                 hit = True
             if hit:
                 new_cols[comp_name] = jnp.asarray(col, dtype=self.cols[comp_name].dtype)
                 restored += 1
         self.cols = new_cols
         if "tick" in self.cols and restored:
+            # the tick column is the source of truth here: commit
+            # timestamps are wall-anchored (epoch_start + sim_time in
+            # _TelemetryPump), so they can't recover the tick across a
+            # process restart.  .max() over entities is safe because the
+            # global tick advances in lockstep for every entity
+            # (increment_sim_tick) — max only matters when some entities'
+            # stores are missing their newest rows.
             self._tick = int(np.asarray(self.cols["tick"]).max())
         return restored
 

@@ -111,6 +111,19 @@ Store* store_open(const char* ts_path, const char* data_path,
         free(s);
         return NULL;
     }
+    /* torn-tail repair: a crash between the ts-log commit and the data-log
+       commit (store_append commits them separately) leaves the two logs
+       disagreeing on the row count — clamp both to the complete rows so
+       readers never see uncommitted bytes and later appends stay aligned */
+    {
+        uint64_t rows = s->ts.len / 8;
+        uint64_t drows = row_nbytes ? s->data.len / row_nbytes : 0;
+        if (drows < rows) rows = drows;
+        s->ts.len = rows * 8;
+        s->data.len = rows * row_nbytes;
+        ((uint64_t*)s->ts.map)[1] = s->ts.len;
+        ((uint64_t*)s->data.map)[1] = s->data.len;
+    }
     return s;
 }
 

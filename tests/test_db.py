@@ -1871,3 +1871,141 @@ def test_two_realtime_streams_one_connection(server):
     assert saw_value(queues[1], 9.0), "stream 2 missed the final row"
     writer.close()
     client.close()
+
+
+def test_eql_unary_minus():
+    from elodin_tpu.db.eql import eql
+    from elodin_tpu.db.storage import Database
+    from elodin_tpu.db.vtable import component_id_of
+
+    db = Database()
+    x = db.get_or_create(component_id_of("u.x"), "f64", (), "u.x")
+    x.metadata["element_names"] = ""
+    for i in range(10):
+        x.append(i * 1000, np.float64(i))
+    np.testing.assert_allclose(eql(db, "-u.x").values[5], -5.0)
+    np.testing.assert_allclose(eql(db, "u.x * -2").values[3], -6.0)
+    np.testing.assert_allclose(eql(db, "u.x.clip(-1, 1)").values[9], 1.0)
+    np.testing.assert_allclose(eql(db, "--u.x").values[4], 4.0)
+
+
+def test_torn_tail_load_python_fallback(tmp_path, monkeypatch):
+    """Crash between the ts and data appends leaves a short data.bin; the
+    buffered-file store must load the intact prefix (and repair the files)
+    instead of the whole Database failing to open."""
+    import elodin_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    from elodin_tpu.db.storage import ComponentStore
+
+    path = tmp_path / "comp"
+    store = ComponentStore(123, "f64", (3,), "tt.v", path)
+    for i in range(20):
+        store.append(i * 100, np.array([i, i, i], dtype=np.float64))
+    store.flush()
+    del store
+
+    import os as _os
+
+    data_bin = path / "data.bin"
+    full = _os.path.getsize(data_bin)
+    with open(data_bin, "r+b") as f:
+        f.truncate(full - 10)  # torn final row
+
+    store2 = ComponentStore.load(path)
+    assert store2.len == 19  # last (torn) row dropped, rest intact
+    np.testing.assert_allclose(store2.values[18], [18, 18, 18])
+    # appends after the repair stay aligned
+    store2.append(5000, np.array([99.0, 98.0, 97.0]))
+    store2.flush()
+    store3 = ComponentStore.load(path)
+    assert store3.len == 20
+    np.testing.assert_allclose(store3.values[19], [99.0, 98.0, 97.0])
+
+
+def test_torn_tail_native_header_clamp(tmp_path):
+    """Native mmap engine: a crash between the ts-log commit and the
+    data-log commit leaves the two headers disagreeing — store_open must
+    clamp to the complete rows."""
+    from elodin_tpu import native as native_mod
+
+    if not native_mod.available():
+        pytest.skip("native store unavailable")
+    import struct as _struct
+
+    ts_p = str(tmp_path / "timestamps.bin")
+    da_p = str(tmp_path / "data.bin")
+    s = native_mod.NativeStore(ts_p, da_p, 24)
+    ts = np.arange(20, dtype="<i8")
+    rows = np.repeat(np.arange(20, dtype="<f8")[:, None], 3, axis=1)
+    s.append(ts, rows)
+    s.flush()
+    del s
+
+    # simulate ts committed one row ahead of data
+    with open(ts_p, "r+b") as f:
+        f.seek(8)
+        committed = _struct.unpack("<Q", f.read(8))[0]
+        f.seek(8)
+        f.write(_struct.pack("<Q", committed + 8))
+
+    s2 = native_mod.NativeStore(ts_p, da_p, 24)
+    assert len(s2) == 20  # clamped back to the data log's complete rows
+    np.testing.assert_allclose(
+        s2.rows(np.dtype("<f8"), 3)[-1], [19.0, 19.0, 19.0]
+    )
+
+
+def test_write_batch_ns_writer_unit_consistency(server):
+    """Regression: write_batch on a timestamp='ns' writer scaled us->ns
+    while write() stored us — a 1000x mismatch on the same writer."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"un.x": edb.f64}, timestamp="ns")
+    writer.write(timestamp_us=1000, values={"un.x": 1.0})
+    writer.write_batch(np.array([2000]), {"un.x": np.array([2.0])})
+    time.sleep(0.3)
+    ts, vals = client.time_series("un.x")
+    assert list(ts) == [1000, 2000], ts
+    writer.close()
+    client.close()
+
+
+def test_sql_error_surfaces_quickly(server):
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"se.x": edb.f64})
+    writer.write(timestamp_us=1, values={"se.x": 1.0})
+    time.sleep(0.3)
+    t0 = time.time()
+    with pytest.raises(RuntimeError):
+        client.sql("SELECT definitely_bogus FROM nowhere")
+    assert time.time() - t0 < 5.0  # used to hang 10 s then queue.Empty
+    writer.close()
+    client.close()
+
+
+def test_stream_close_wakes_blocked_reader(server):
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"cw.x": edb.f64})
+    writer.write(timestamp_us=1, values={"cw.x": 1.0})
+    time.sleep(0.2)
+    s = client.stream(["cw.x"])  # real-time: no data coming
+    got = []
+
+    def reader():
+        try:
+            for _row in s:
+                pass
+        except Exception:
+            pass
+        got.append("done")
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    s.close()
+    t.join(timeout=5)
+    assert got == ["done"], "blocked __next__ never woke after close()"
+    # the released req id is reusable without colliding
+    assert float(client.latest("cw.x").values) == 1.0
+    writer.close()
+    client.close()
