@@ -151,7 +151,12 @@ class AssetHttpServer:
                 if not self.path.startswith("/assets/"):
                     self.send_error(404)
                     return
-                key = self.path[len("/assets/"):]
+                from urllib.parse import unquote, urlparse
+
+                # strip query strings and percent-decoding like the route
+                # dispatch above — '/assets/foo.glb?v=2' and keys with
+                # spaces must resolve
+                key = unquote(urlparse(self.path).path[len("/assets/"):])
                 data = outer.store.get(key)
                 if data is None:
                     self.send_error(404)

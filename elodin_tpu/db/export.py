@@ -39,6 +39,7 @@ def save_archive(db, path: str, fmt: str = "arrow_ipc",
 
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
+    _seen: set[str] = set()
     for store in db.components.values():
         if store.len == 0:
             continue
@@ -49,6 +50,11 @@ def save_archive(db, path: str, fmt: str = "arrow_ipc",
         ):
             continue
         name = store.name or f"{store.component_id:016x}"
+        # duplicate display names (distinct ids) must not silently
+        # overwrite each other's output files
+        if name in _seen:
+            name = f"{name}.{store.component_id:016x}"
+        _seen.add(name)
         table = _arrow_table(store)
         if fmt in ("arrow", "arrow_ipc"):
             import pyarrow.ipc as ipc
@@ -107,6 +113,7 @@ def export_csv_joined(db, out_path: str,
     import pandas as pd
 
     frames = []
+    seen_names: dict[str, int] = {}
     for store in db.components.values():
         if store.len == 0:
             continue
@@ -114,6 +121,11 @@ def export_csv_joined(db, out_path: str,
             continue
         n = store.len
         name = store.name or f"{store.component_id:016x}"
+        # two stores sharing a display name (distinct ids) would make the
+        # pandas join raise on overlapping columns — disambiguate by id
+        if name in seen_names:
+            name = f"{name}.{store.component_id:016x}"
+        seen_names[name] = store.component_id
         data = {"time": store.timestamps[:n]}
         if store.elem_count == 1:
             data[name] = store.values[:n, 0]

@@ -92,6 +92,10 @@ class McapWriter:
                       data: bytes) -> None:
         seq = self._sequences[channel_id]
         self._sequences[channel_id] = seq + 1
+        # MCAP log_time is uint64 ns; stored timestamps are signed i64 —
+        # clamp pre-epoch times to 0 rather than struct.error-ing out
+        # mid-export and leaving a truncated file
+        log_time_ns = max(0, int(log_time_ns))
         payload = struct.pack(
             "<HIQQ", channel_id, seq, log_time_ns, log_time_ns
         ) + data
@@ -116,7 +120,7 @@ def _component_schema_json(store) -> bytes:
     props: dict = {"timestamp": num}
     labels = _element_labels(store)
     for label in labels:
-        props[label] = num
+        props[label if label != "timestamp" else "timestamp_el"] = num
     return json.dumps(
         {"type": "object", "properties": props}, separators=(",", ":")
     ).encode()
@@ -167,7 +171,10 @@ def export_mcap(db, path: str, include_private: bool = False) -> int:
                 t_us = int(ts[i])
                 row = {"timestamp": t_us / 1e6}
                 for j, label in enumerate(labels):
-                    row[label] = float(vals[i, j])
+                    # an element label literally named "timestamp" must not
+                    # clobber the time field
+                    key = label if label != "timestamp" else "timestamp_el"
+                    row[key] = float(vals[i, j])
                 w.write_message(
                     cid, t_us * 1000,
                     json.dumps(row, separators=(",", ":")).encode(),

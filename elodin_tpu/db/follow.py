@@ -64,13 +64,20 @@ class Follower:
                 if ts is None:
                     from .storage import now_timestamp_us
 
-                    ts = ts_fallback or now_timestamp_us()
+                    # explicit None check: a legitimate timestamp of 0
+                    # (epoch / sim-relative bases) is not "missing"
+                    ts = (
+                        ts_fallback if ts_fallback is not None
+                        else now_timestamp_us()
+                    )
                 ts_fallback = ts
                 store.append(ts, f["data"])
                 touched.append(cid)
                 self.rows_mirrored += 1
             if touched and self.server is not None:
-                self.server.notify_table(touched, ts_fallback or 0)
+                self.server.notify_table(
+                    touched, ts_fallback if ts_fallback is not None else 0
+                )
         elif pkt.ty == M.TY_MSG_WITH_TIMESTAMP:
             ts = int.from_bytes(pkt.body[:8], "little", signed=True)
             self.db.msg_log(pkt.id).append(ts, pkt.body[8:])

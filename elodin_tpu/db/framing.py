@@ -31,7 +31,11 @@ def cobs_encode(data: bytes) -> bytes:
         out += data[idx:block_end]
         if block_end >= n:
             break
-        if data[block_end] == 0:
+        # consume the delimiter zero ONLY if this group ended because of
+        # it — a window-capped 0xFF group implies no zero (the decoder
+        # inserts none after code 0xFF), so a zero right after a 254-byte
+        # run must start its own (empty) group or it is silently dropped
+        if code < 0xFF and data[block_end] == 0:
             block_end += 1
         idx = block_end
     out.append(0)

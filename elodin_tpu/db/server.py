@@ -60,18 +60,37 @@ class Connection:
                         break
                     pkt = M.parse_packet(bytes(buf[pos + 4 : pos + 4 + n]))
                     pos += 4 + n
-                    if pkt.ty == M.TY_TABLE:
-                        if pending_tables and pending_tables[0].id != pkt.id:
+                    try:
+                        if pkt.ty == M.TY_TABLE:
+                            if pending_tables and pending_tables[0].id != pkt.id:
+                                self.handle_table_batch(pending_tables)
+                                pending_tables = []
+                            pending_tables.append(pkt)
+                            continue
+                        if pending_tables:
                             self.handle_table_batch(pending_tables)
                             pending_tables = []
-                        pending_tables.append(pkt)
-                        continue
-                    if pending_tables:
-                        self.handle_table_batch(pending_tables)
-                        pending_tables = []
-                    await self.handle(pkt)
+                        await self.handle(pkt)
+                    except (asyncio.CancelledError, ConnectionError):
+                        raise
+                    except Exception as e:  # noqa: BLE001
+                        # one malformed packet (bad vtable, bogus msg body)
+                        # must not silently kill the whole connection task —
+                        # report and keep serving
+                        try:
+                            await self.send(
+                                M.ErrorResponse(str(e)).packet(pkt.req_id)
+                            )
+                        except Exception:  # noqa: BLE001
+                            pass
                 if pending_tables:
-                    self.handle_table_batch(pending_tables)
+                    try:
+                        self.handle_table_batch(pending_tables)
+                    except Exception as e:  # noqa: BLE001
+                        try:
+                            await self.send(M.ErrorResponse(str(e)).packet(0))
+                        except Exception:  # noqa: BLE001
+                            pass
                 del buf[:pos]
         except (asyncio.IncompleteReadError, ConnectionError):
             pass

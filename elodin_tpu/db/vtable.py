@@ -159,7 +159,13 @@ class VTable:
                 "mean_window": None,
             }
             ref = f.arg
+            seen: set[int] = set()
             while True:
+                # vtables come off the wire: a cyclic op-DAG must not hang
+                # the server's ingest loop (remote DoS)
+                if ref in seen:
+                    raise ValueError("vtable op chain contains a cycle")
+                seen.add(ref)
                 op = self.ops[ref]
                 if op.kind == OP_SCHEMA:
                     ty_op = self.ops[op.ty]
@@ -254,7 +260,12 @@ class VTable:
         self._walk(f.arg, out, table)
         return out
 
-    def _walk(self, ref: int, out: dict, table: bytes) -> None:
+    def _walk(self, ref: int, out: dict, table: bytes,
+              _seen: set[int] | None = None) -> None:
+        seen = set() if _seen is None else _seen
+        if ref in seen:  # wire-supplied DAG: guard cycles (see static_layout)
+            raise ValueError("vtable op chain contains a cycle")
+        seen.add(ref)
         op = self.ops[ref]
         if op.kind == OP_SCHEMA:
             ty_slice, _ = self._op_slice(op.ty, table)
@@ -263,7 +274,7 @@ class VTable:
             out["shape"] = tuple(
                 np.frombuffer(dim_slice, dtype="<u8").astype(int)
             )
-            self._walk(op.arg, out, table)
+            self._walk(op.arg, out, table, seen)
         elif op.kind == OP_COMPONENT:
             cid_slice, _ = self._op_slice(op.component_id, table)
             out["component_id"] = int.from_bytes(cid_slice, "little")
@@ -272,7 +283,7 @@ class VTable:
             src, _rng = self._op_slice(op.source, table)
             if src is not None and len(src) == 8 and table:
                 out["timestamp"] = int.from_bytes(src, "little", signed=True)
-            self._walk(op.arg, out, table)
+            self._walk(op.arg, out, table, seen)
         elif op.kind == OP_EXT:
             if op.ext_id == TIMESTAMP_NS_EXT_ID:
                 src, _ = self._op_slice(op.data, table)
@@ -285,7 +296,7 @@ class VTable:
                 src, _ = self._op_slice(op.data, table)
                 if src:
                     out["mean_window"] = Reader(src).varint()
-            self._walk(op.arg, out, table)
+            self._walk(op.arg, out, table, seen)
         elif op.kind == OP_NONE:
             pass
 

@@ -29,19 +29,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .six_dof import increment_sim_tick_system
-from .system import Pipe, SystemBuilder, as_system
+from .system import build_step
 
 
 def _build_step(world, system):
     meta, cols = world.snapshot()
-    full = Pipe(increment_sim_tick_system, as_system(system))
-
-    def step(state):
-        b = SystemBuilder(meta, dict(state))
-        full.call(b)
-        return b.cols
-
+    step = build_step(meta, system)
     return step, meta, {k: jnp.asarray(v) for k, v in cols.items()}
 
 

@@ -23,8 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .dataframe import DataFrame
-from .six_dof import increment_sim_tick_system
-from .system import Pipe, SystemBuilder, as_system
 from .world import WorldMeta
 
 
@@ -260,14 +258,9 @@ class Exec:
         else:
             self.ticks_per_telemetry = 1
 
-        full = Pipe(increment_sim_tick_system, as_system(system))
+        from .system import build_step
 
-        def step(state: dict[str, jax.Array]) -> dict[str, jax.Array]:
-            b = SystemBuilder(meta, dict(state))
-            full.call(b)
-            return b.cols
-
-        self._step = step
+        self._step = build_step(meta, system)
 
         t0 = time.perf_counter()
         self._jit_cache: dict[tuple[int, bool], Callable] = {}

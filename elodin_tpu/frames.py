@@ -378,7 +378,10 @@ def sun_vec(epoch: Epoch) -> np.ndarray:
     mean_long = 280.4606184 + 36000.77005361 * t
     mean_anom = np.radians(357.5277233 + 35999.05034 * t)
     ecl_long = np.radians(
-        mean_long + 1.914666471 * np.sin(mean_anom) + 0.918994643 * np.sin(2 * mean_anom)
+        # equation of center, Vallado low-precision sun: the sin(2M)
+        # coefficient is 0.019994643 deg (a 0.9 here inflates the term
+        # ~46x -> ~1 deg pointing error away from perihelion/aphelion)
+        mean_long + 1.914666471 * np.sin(mean_anom) + 0.019994643 * np.sin(2 * mean_anom)
     )
     obliquity = np.radians(23.43929 - (46.8093 / 3600.0) * t)
     x = np.cos(ecl_long)

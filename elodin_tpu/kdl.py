@@ -61,9 +61,27 @@ def _tokens(text: str):
     yield "eof", ""
 
 
+def _unescape(s: str) -> str:
+    # single left-to-right scan: sequential str.replace mis-decodes
+    # overlapping sequences ('\\\\n' would lose the backslash AND eat 'n')
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            out.append({"n": "\n", "t": "\t", "r": "\r", '"': '"',
+                        "\\": "\\"}.get(nxt, "\\" + nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _value(kind: str, raw: str):
     if kind == "string":
-        return raw[1:-1].replace('\\"', '"').replace("\\n", "\n").replace("\\\\", "\\")
+        return _unescape(raw[1:-1])
     if kind == "number":
         f = float(raw)
         return int(f) if f.is_integer() and "." not in raw and "e" not in raw.lower() else f
@@ -118,6 +136,10 @@ def parse(text: str) -> list[Node]:
                 if toks[i + 1][0] == "equals":
                     key = _value(kind, raw) if kind == "string" else raw
                     vkind, vraw = toks[i + 2]
+                    if vkind not in ("string", "number", "keyword", "ident"):
+                        raise ValueError(
+                            f"KDL: property {key!r} missing value"
+                        )
                     node.props[key] = _value(vkind, vraw)
                     i += 3
                 else:
@@ -137,10 +159,23 @@ def _fmt_value(v) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     s = str(v)
-    if s and re.fullmatch(r"[^\s{}=;\"#][^\s{}=;\"]*", s):
+    # bare only when the re-lex is unambiguous: no comment starters, not
+    # number-like, no slashes — otherwise 'a 42 //x' re-parses as int + a
+    # line comment swallowing the rest of the node's values
+    if (
+        s
+        and re.fullmatch(r"[^\s{}=;\"#/][^\s{}=;\"/]*", s)
+        and not re.fullmatch(r"[+-]?\d[\d_.eE+-]*", s)
+    ):
         return s  # bare identifier
-    escaped = s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    escaped = (
+        s.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+    )
     return f'"{escaped}"'
+
+
+_BARE_IDENT = r"[^\s{}=;\"#/][^\s{}=;\"/]*"
 
 
 def serialize(nodes: list[Node], indent: int = 0) -> str:
@@ -152,7 +187,13 @@ def serialize(nodes: list[Node], indent: int = 0) -> str:
         parts = [_fmt_value(n.name) if not re.fullmatch(
             r"[^\s{}=;\"]+", n.name) else n.name]
         parts += [_fmt_value(a) for a in n.args]
-        parts += [f"{k}={_fmt_value(v)}" for k, v in n.props.items()]
+        parts += [
+            # keys lex as node/prop names: quote anything that wouldn't
+            # re-lex as a single ident (spaces, '=', quotes, slashes)
+            f"{k if re.fullmatch(_BARE_IDENT, k) else _fmt_value(str(k))}"
+            f"={_fmt_value(v)}"
+            for k, v in n.props.items()
+        ]
         line = pad + " ".join(parts)
         if n.children:
             line += " {\n" + serialize(n.children, indent + 1) + "\n" + pad + "}"

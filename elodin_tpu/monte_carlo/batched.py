@@ -21,8 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..execimpl import History
-from ..six_dof import increment_sim_tick_system
-from ..system import Pipe, SystemBuilder, as_system
+from ..system import build_step
 
 
 class BatchedResult:
@@ -102,18 +101,13 @@ class BatchedCampaign:
         else:
             self.cols = {k: jnp.asarray(v) for k, v in batched.items()}
 
-        full = Pipe(increment_sim_tick_system, as_system(system))
-        meta = self.meta
-
-        def one_tick(state):
-            b = SystemBuilder(meta, dict(state))
-            full.call(b)
-            return b.cols
-
-        self._vstep = jax.vmap(one_tick)
+        self._vstep = jax.vmap(build_step(self.meta, system))
         self._jit_cache: dict[int, Callable] = {}
 
     def _runner(self, ticks: int) -> Callable:
+        # caches the AOT-compiled executable, not just the jit wrapper:
+        # run() calls lower().compile(), which bypasses jit's dispatch
+        # cache and would re-trace + re-compile on every campaign.run()
         fn = self._jit_cache.get(ticks)
         if fn is None:
             vstep = self._vstep
@@ -123,7 +117,7 @@ class BatchedCampaign:
                     0, ticks, lambda _i, c: vstep(c), cols
                 )
 
-            fn = jax.jit(run, donate_argnums=0)
+            fn = jax.jit(run, donate_argnums=0).lower(self.cols).compile()
             self._jit_cache[ticks] = fn
         return fn
 
@@ -142,11 +136,8 @@ class BatchedCampaign:
         seg = int(os.environ.get("ELODIN_MC_SEGMENT_TICKS", "20000"))
         seg = max(1, min(seg, ticks))
         n_full, rem = divmod(ticks, seg)
-        fn = self._runner(seg)
-        compiled = fn.lower(self.cols).compile()
-        compiled_rem = None
-        if rem:
-            compiled_rem = self._runner(rem).lower(self.cols).compile()
+        compiled = self._runner(seg)
+        compiled_rem = self._runner(rem) if rem else None
         t0 = time.perf_counter()
         cols = self.cols
         for _ in range(n_full):

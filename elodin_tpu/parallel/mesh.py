@@ -46,10 +46,14 @@ def entity_sharding(mesh: Mesh, rows: int, ndim: int,
     'ep' when divisible, else replicate.  With a sample axis the column is
     (samples, rows, *shape): samples over 'dp', rows over 'ep'.
     """
-    ep = mesh.shape["ep"]
-    row_spec = "ep" if rows > 1 and rows % ep == 0 else None
+    # meshes without an 'ep' axis (pure sample-parallel, any axis name —
+    # BatchedCampaign accepts them) replicate the entity rows
+    ep = mesh.shape.get("ep", 1)
+    row_spec = "ep" if "ep" in mesh.shape and rows > 1 and rows % ep == 0 \
+        else None
     if sample_axis:
-        spec = P("dp", row_spec, *([None] * (ndim - 2)))
+        sample_spec = "dp" if "dp" in mesh.shape else mesh.axis_names[0]
+        spec = P(sample_spec, row_spec, *([None] * (ndim - 2)))
     else:
         spec = P(row_spec, *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)

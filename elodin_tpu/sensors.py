@@ -43,7 +43,10 @@ def coning_sculling_window(gyro: jnp.ndarray, accel: jnp.ndarray, dt):
         accum_angle, accum_vel, prev_angle, coning, first = carry
         da, dv = xs
         coning_term = jnp.where(
-            first, jnp.zeros(3), (2.0 / 3.0) * jnp.cross(prev_angle, da)
+            # dtype must follow the samples or the f32 scan carry promotes
+            # to f64 and lax.scan rejects the carry type mismatch
+            first, jnp.zeros(3, dtype=da.dtype),
+            (2.0 / 3.0) * jnp.cross(prev_angle, da),
         )
         coning = coning + coning_term
         sculling = 0.5 * jnp.cross(accum_angle, dv)

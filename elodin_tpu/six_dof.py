@@ -134,11 +134,28 @@ class _SixDofSystem(System):
             _scatter(builder, WORLD_POS, u_ids, pos)
             _scatter(builder, WORLD_VEL, u_ids, vel)
 
-        def read_du():
-            return (
-                _gather(builder, WORLD_VEL, du_ids),
-                _gather(builder, WORLD_ACCEL, du_ids),
+        if du_ids != u_ids:
+            # entities with pos+vel but no world_accel (kinematic movers)
+            # integrate with da = 0, matching the semi-implicit path where
+            # they simply keep their velocity; the accel rows scatter onto
+            # u rows by entity id
+            pos_map = {e: i for i, e in enumerate(du_ids)}
+            rows = [pos_map.get(e, -1) for e in u_ids]
+            du_sel = jnp.asarray(
+                np.array([max(r, 0) for r in rows], dtype=np.int32)
             )
+            du_mask = jnp.asarray(np.array([r >= 0 for r in rows]))[:, None]
+        else:
+            du_sel = du_mask = None
+
+        def read_du():
+            # velocity exists for every u entity by construction (u = pos
+            # AND vel); only accel needs masked alignment
+            dv = _gather(builder, WORLD_VEL, u_ids)
+            da = _gather(builder, WORLD_ACCEL, du_ids)
+            if du_mask is not None:
+                da = jnp.where(du_mask, da[du_sel], 0.0)
+            return dv, da
 
         def stage(factor):
             # u := u0 + dt*factor*du(current)
@@ -158,14 +175,6 @@ class _SixDofSystem(System):
                 self._pipe.call(builder)
                 return read_du()
             dv, da = read_du()
-            # align du rows onto u rows (u_ids == du_ids in practice; if not,
-            # map via entity ids)
-            if du_ids != u_ids:
-                pos_map = {e: i for i, e in enumerate(du_ids)}
-                sel = jnp.asarray(
-                    np.array([pos_map[e] for e in u_ids], dtype=np.int32)
-                )
-                dv, da = dv[sel], da[sel]
             f = dt * factor
             set_u(stf_add_motion(pos0, f * dv), vel0 + f * da)
             self._pipe.call(builder)
@@ -178,10 +187,6 @@ class _SixDofSystem(System):
 
         dv = (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]) * (1.0 / 6.0)
         da = (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]) * (1.0 / 6.0)
-        if du_ids != u_ids:
-            pos_map = {e: i for i, e in enumerate(du_ids)}
-            sel = jnp.asarray(np.array([pos_map[e] for e in u_ids], dtype=np.int32))
-            dv, da = dv[sel], da[sel]
         set_u(stf_add_motion(pos0, dt * dv), vel0 + dt * da)
 
 

@@ -318,7 +318,9 @@ class Quaternion(_SpatialBase):
 
     def angular_distance(self, other: "Quaternion") -> Array:
         dot = jnp.sum(self.inner * other.inner, axis=-1)
-        return 2.0 * jnp.arccos(jnp.abs(dot))
+        # |dot| rounds above 1.0 for ~a quarter of normalized quaternion
+        # pairs (rsqrt-normalized), and arccos(1 + 1ulp) is NaN — clamp
+        return 2.0 * jnp.arccos(jnp.clip(jnp.abs(dot), 0.0, 1.0))
 
     def to_mat3(self) -> Array:
         return quat_to_mat3(self.inner)

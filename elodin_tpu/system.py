@@ -220,6 +220,23 @@ def system(func) -> System:
     return FnSystem(func)
 
 
+def build_step(meta, sys_obj):
+    """THE one-tick step function ``state -> state``: increment_sim_tick
+    piped before the user system — the single composition every executor,
+    verifier, rollout, and batched campaign runs.  Kept in one place so the
+    tick semantics can't silently diverge between backends."""
+    from .six_dof import increment_sim_tick_system  # avoid import cycle
+
+    full = Pipe(increment_sim_tick_system, as_system(sys_obj))
+
+    def step(state):
+        b = SystemBuilder(meta, dict(state))
+        full.call(b)
+        return b.cols
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Query
 # ---------------------------------------------------------------------------

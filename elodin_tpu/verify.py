@@ -20,21 +20,9 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from .six_dof import increment_sim_tick_system
-from .system import Pipe, SystemBuilder, as_system
+from .system import build_step as _step_fn  # noqa: F401 (canonical step)
 
 DEBUG_DIR_ENV = "ELODIN_TPU_DEBUG_DIR"
-
-
-def _step_fn(meta, system):
-    full = Pipe(increment_sim_tick_system, as_system(system))
-
-    def step(state):
-        b = SystemBuilder(meta, dict(state))
-        full.call(b)
-        return b.cols
-
-    return step
 
 
 def verify_step(world, system, rtol: float = 1e-6, atol: float = 1e-6,

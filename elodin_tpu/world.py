@@ -191,6 +191,17 @@ class WorldBuilder:
         for arr, component in zip(arrays, data):
             if component.ty is None:
                 value0 = np.asarray(arr)
+                if value0.ndim == 1 and value0.shape == (count,):
+                    # ambiguous: one (count,) vector could be per-entity
+                    # scalars OR one count-long vector broadcast to all —
+                    # silently guessing corrupts columns, so require an
+                    # explicit ComponentType
+                    raise ValueError(
+                        f"spawn_batch: {component.name!r} value of shape "
+                        f"({count},) is ambiguous with count={count} — "
+                        "declare the component's ComponentType (or pass a "
+                        f"({count}, 1) array for per-entity scalars)"
+                    )
                 shape = value0.shape[1:] if value0.shape[:1] == (count,) else value0.shape
                 component = component._with_ty(
                     component_type_of_value(np.zeros(shape, dtype=value0.dtype))

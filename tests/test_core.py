@@ -1122,3 +1122,92 @@ def test_per_component_float_policy():
     assert str(ex.cols["px32"].dtype) == "float32"
     assert str(ex.cols["px64"].dtype) == "float64"
     assert float(ex.cols["px32"][0]) == 3.375
+
+
+def test_angular_distance_identical_quats_not_nan():
+    import jax.numpy as jnp
+    """Regression: |q.q| rounds above 1.0 and arccos(1+ulp) was NaN."""
+    import numpy as np
+    from elodin_tpu.spatial import Quaternion
+
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        q = Quaternion.from_array(
+            jnp.asarray(rng.normal(size=4))
+        ).normalize()
+        d = float(q.angular_distance(q))
+        assert np.isfinite(d) and d < 1e-6, d
+
+
+def test_rk4_kinematic_entity_without_accel():
+    import jax.numpy as jnp
+    """An entity carrying pos+vel but no accel (a moving waypoint) must
+    integrate kinematically (da=0) instead of KeyError at trace time."""
+    import typing as ty
+    from dataclasses import dataclass, field as dc_field
+
+    import elodin as el
+    import numpy as np
+
+    w = el.World()
+    w.spawn(
+        [
+            el.Body(
+                world_pos=el.WorldPos(linear=jnp.zeros(3)),
+                world_vel=el.WorldVel(linear=jnp.array([0.0, 0.0, 1.0])),
+                inertia=el.Inertia(1.0),
+            )
+        ],
+        name="full",
+    )
+
+    @el.dataclass
+    class Waypoint(el.Archetype):
+        world_pos: el.WorldPos = dc_field(
+            default_factory=lambda: el.WorldPos(linear=jnp.zeros(3))
+        )
+        world_vel: el.WorldVel = dc_field(
+            default_factory=lambda: el.WorldVel(linear=jnp.array([2.0, 0.0, 0.0]))
+        )
+
+    w.spawn(Waypoint(), name="wp")
+
+    exec_ = w.build(el.six_dof(), simulation_rate=100.0)
+    exec_.run(100)  # 1 s
+    wp = numpy.asarray(exec_.cols["world_pos"])[1]
+    numpy.testing.assert_allclose(wp[4:], [2.0, 0.0, 0.0], atol=1e-9)
+
+
+def test_coning_sculling_f32_inputs():
+    import jax.numpy as jnp
+    """Regression: dtype-less zeros promoted the f32 scan carry to f64."""
+    import numpy as np
+    from elodin_tpu.sensors import coning_sculling_window
+
+    gyro = np.full((16, 3), 0.01, dtype=np.float32)
+    accel = np.tile(np.array([0, 0, 9.81], dtype=np.float32), (16, 1))
+    dt = np.full(16, 1e-3, dtype=np.float32)
+    dang, dvel = coning_sculling_window(
+        jnp.asarray(gyro), jnp.asarray(accel), jnp.asarray(dt)
+    )
+    assert np.isfinite(np.asarray(dang)).all()
+    assert np.isfinite(np.asarray(dvel)).all()
+
+
+def test_spawn_batch_ambiguous_untyped_vector_rejected():
+    import jax.numpy as jnp
+    import elodin as el
+    import pytest as _pytest
+
+    from elodin_tpu.component import Component
+
+    class A:  # minimal archetype protocol with an UNTYPED component
+        def arrays(self):
+            return [jnp.zeros(3)]  # (count,) — per-entity scalars OR one vector?
+
+        def component_data(self):
+            return [Component("amb_x")]
+
+    w = el.World()
+    with _pytest.raises(ValueError, match="ambiguous"):
+        w.spawn_batch(A(), 3)

@@ -2009,3 +2009,65 @@ def test_stream_close_wakes_blocked_reader(server):
     assert float(client.latest("cw.x").values) == 1.0
     writer.close()
     client.close()
+
+
+def test_cobs_zero_after_full_window():
+    """Regression: a 0x00 immediately after a 254-byte zero-free run was
+    silently dropped (the window-capped 0xFF group consumed it)."""
+    from elodin_tpu.db.framing import cobs_decode, cobs_encode
+
+    import random
+
+    cases = [
+        b"\x01" * 254 + b"\x00" + b"BB",
+        b"\x01" * 254,
+        b"\x01" * 255,
+        b"\x01" * 508 + b"\x00\x00\x01",
+    ]
+    rng = random.Random(0)
+    for _ in range(500):
+        cases.append(bytes(rng.randrange(256) for _ in range(rng.randrange(600))))
+    for c in cases:
+        enc = cobs_encode(c)
+        assert b"\x00" not in enc[:-1]
+        assert cobs_decode(enc) == c
+
+
+def test_vtable_cycle_rejected_and_server_survives(server):
+    """Regression: a client-supplied vtable whose op-DAG cycles hung
+    static_layout forever (remote DoS); now it errors and the connection
+    keeps serving."""
+    from elodin_tpu.db.vtable import Field, Op, OP_SCHEMA, OP_TIMESTAMP, VTable
+
+    vt = VTable(
+        ops=[Op(OP_TIMESTAMP, source=0, arg=0)],  # self-cycle
+        fields=[Field(0, 8, 0)],
+        data=bytearray(),
+    )
+    with pytest.raises((ValueError, IndexError)):
+        vt.static_layout()
+
+    client = edb.Client.connect(server.addr)
+    # send the evil vtable + a table packet for it over the wire
+    client._conn.send_bytes(M.VTableMsg(b"\x66\x66", vt).packet())
+    client._conn.send_bytes(M.frame(M.TY_TABLE, b"\x66\x66", b"\x00" * 16))
+    time.sleep(0.3)
+    # connection (and server) still alive and serving
+    writer = client.table_writer({"alive.x": edb.f64})
+    writer.write(timestamp_us=7, values={"alive.x": 1.0})
+    time.sleep(0.3)
+    assert float(client.latest("alive.x").values) == 1.0
+    writer.close()
+    client.close()
+
+
+def test_kdl_roundtrip_hostile_values():
+    from elodin_tpu.kdl import Node, parse, serialize
+
+    vals = ["dir\\name x", "42", "//x", "1.5", "q\"t", "a b", "nl\nend",
+            "path/to/x.glb", "", True, None, 3, 2.5]
+    n = parse(serialize([Node("n", args=vals, props={"s p": 2, "k": "v/w"})]))
+    assert n[0].args == vals
+    assert n[0].props == {"s p": 2, "k": "v/w"}
+    with pytest.raises(ValueError):
+        parse("a b=")

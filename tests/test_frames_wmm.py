@@ -57,6 +57,20 @@ def test_sun_vec_golden():
     np.testing.assert_allclose(sv, expected, atol=1e-2)
 
 
+def test_sun_vec_equinox_and_solstice():
+    """Independent astronomical goldens AWAY from perihelion, where the
+    sin(2M) equation-of-center term is large (the Jan-4 golden above sits
+    where it vanishes and cannot catch a bad coefficient)."""
+    # March 2020 equinox (2020-03-20 03:49 UTC): sun at RA ~ 0 -> +X in ECI
+    sv = frames.sun_vec(frames.Epoch.from_gregorian_utc(2020, 3, 20, 3, 49, 0))
+    assert np.degrees(np.arccos(np.clip(sv @ np.array([1.0, 0, 0]), -1, 1))) < 0.5
+    # June 2019 solstice (2019-06-21 15:54 UTC): RA = 90 deg, dec = +obliquity
+    eps = np.radians(23.4366)
+    target = np.array([0.0, np.cos(eps), np.sin(eps)])
+    sv = frames.sun_vec(frames.Epoch.from_gregorian_utc(2019, 6, 21, 15, 54, 0))
+    assert np.degrees(np.arccos(np.clip(sv @ target, -1, 1))) < 0.5
+
+
 def test_geodetic_roundtrip():
     lat = np.radians(np.array([-75.0, -10.0, 0.0, 33.0, 80.0]))
     lon = np.radians(np.array([10.0, 250.0, -45.0, 0.0, 179.0]))

@@ -161,3 +161,21 @@ def test_pairwise_gravity_sharded_matches_single(mesh):
         pairwise_gravity_sharded(pos, mass, mesh, eps=1.0)
     )
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_entity_sharding_mesh_without_ep_axis():
+    """Regression: pure sample-parallel meshes (no 'ep' axis) crashed with
+    KeyError('ep') in entity_sharding."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from elodin_tpu.parallel.mesh import entity_sharding, shard_cols
+
+    devices = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devices, ("samples",))
+    s = entity_sharding(mesh, rows=8, ndim=2, sample_axis=False)
+    assert s is not None
+    cols = {"x": jax.numpy.zeros((4, 8, 3))}
+    placed = shard_cols(mesh, cols, sample_axis=True)
+    assert placed["x"].shape == (4, 8, 3)
