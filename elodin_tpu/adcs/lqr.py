@@ -25,7 +25,11 @@ def yang_lqr_control(att_est, ang_vel, goal, d, k):
     att_est = jnp.asarray(att_est)
     goal = jnp.asarray(goal)
     error = quat_mul(quat_inverse(att_est), goal)
-    sign = error[..., 3:4]
+    # signum of the scalar part (yang_lqr.rs uses .signum()): using the
+    # raw w value would scale torque by cos(theta/2), collapsing control
+    # authority ~1000x near a 180-degree slew
+    w = error[..., 3:4]
+    sign = jnp.where(w >= 0, 1.0, -1.0)
     error_vec = error[..., :3]
     return -(jnp.asarray(ang_vel) * d) + sign * (error_vec * k)
 

@@ -44,7 +44,12 @@ def innovate(x_points, z, measure_fn, mean_weights, covar_weights, noise_covar):
 
 
 class MerweConfig:
-    """Merwe scaled sigma-point config (ukf.rs:125-247)."""
+    """Merwe scaled sigma-point config (ukf.rs:125-247).
+
+    Value-equal and hashable: instances land in pytree aux_data (UkfState),
+    where JAX compares treedefs by equality — two structurally identical
+    states built from separate config objects must match or tree_map /
+    lax carries mixing them fail and jit caching is defeated."""
 
     def __init__(self, n: int, alpha: float, beta: float, kappa: float):
         self.n = n
@@ -52,6 +57,15 @@ class MerweConfig:
         self.beta = beta
         self.kappa = kappa
         self.lambda_ = alpha**2 * (n + kappa) - n
+
+    def _key(self):
+        return (self.n, self.alpha, self.beta, self.kappa)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, MerweConfig) and self._key() == other._key()
+
+    def __hash__(self) -> int:
+        return hash(self._key())
 
     def sigma_points(self, x, sigma):
         """2n+1 points: x, x + rows(U), x - rows(U) where

@@ -184,7 +184,7 @@ def _stringify(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float) and v == int(v):
-        return str(v)
+        return str(int(v))  # integral floats stringify as '2', not '2.0'
     return str(v)
 
 

@@ -100,7 +100,9 @@ class DataFrame:
         out._cols = {k: v for k, v in self._cols.items() if k not in flat}
         return out
 
-    def select(self, names: Iterable[str]) -> "DataFrame":
+    def select(self, names) -> "DataFrame":
+        if isinstance(names, str):  # polars accepts a bare column name
+            names = [names]
         out = DataFrame()
         out._cols = {n: self._cols[n] for n in names}
         return out

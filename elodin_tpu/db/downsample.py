@@ -19,8 +19,14 @@ def lttb(t: np.ndarray, v: np.ndarray, max_points: int) -> np.ndarray:
     if max_points >= n or max_points < 3:
         if max_points >= n:
             return np.arange(n)
+        if max_points <= 0:
+            return np.zeros(0, dtype=np.int64)
+        # honor budgets of 1 (latest point) and 2 (endpoints), matching
+        # plotline's samplers rather than silently returning extra points
+        if max_points == 1:
+            return np.array([n - 1], dtype=np.int64)
         return np.unique(
-            np.linspace(0, n - 1, max(max_points, 2)).astype(np.int64)
+            np.linspace(0, n - 1, max_points).astype(np.int64)
         )
     t = np.asarray(t, dtype=np.float64)
     v = np.asarray(v, dtype=np.float64)

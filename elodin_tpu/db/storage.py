@@ -108,8 +108,8 @@ class ComponentStore:
 
     def _load_from_native(self) -> None:
         n = len(self._native)
-        ts = self._native.timestamps().copy()
-        vals = self._native.rows(self.dtype, self.elem_count).copy()
+        ts = self._native.timestamps()
+        vals = self._native.rows(self.dtype, self.elem_count)
         self.timestamps = ts
         self.values = vals
         self.len = n

@@ -115,10 +115,14 @@ class Archetype(typing.Protocol):
         return out
 
     def arrays(self) -> list[np.ndarray]:
+        # iterate the TYPE HINTS (the same order component_data uses), not
+        # __dict__: an extra instance attribute (e.g. a cache set in
+        # __post_init__) would shift the zip pairing in spawn/spawn_batch
+        # and silently write values into the wrong columns
+        hints = typing.get_type_hints(type(self), include_extras=True)
         return [
-            np.asarray(jax.tree_util.tree_flatten(v)[0][0])
-            for (a, v) in self.__dict__.items()
-            if not a.startswith("__") and not callable(getattr(self, a))
+            np.asarray(jax.tree_util.tree_flatten(getattr(self, name))[0][0])
+            for name in hints
         ]
 
 

@@ -88,6 +88,12 @@ class JaxSim:
         self.state[component_name] = col.at[row].set(value)
 
     def get_tick_count(self) -> int:
+        # derive from the tick column when the world has one: the host
+        # counter can't survive pytree round-trips (jit/vmap unflatten
+        # rebuilds the object, and tick count must NOT live in aux_data
+        # or sims at different ticks would have unequal treedefs)
+        if self.tick_name is not None:
+            return int(jnp.max(self.state[self.tick_name]))
         return self._tick_steps
 
     def print_dictionary(self) -> None:
@@ -122,7 +128,7 @@ class JaxSim:
         obj.entity_dict = dict(ents)
         obj.component_entity_dict = {k: list(v) for k, v in comp_ents}
         obj.tick_name = tick_name
-        obj._tick_steps = 0
+        obj._tick_steps = 0  # host counter; get_tick_count uses the column
         return obj
 
 

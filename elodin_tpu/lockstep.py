@@ -102,13 +102,22 @@ class UdpLockstep:
                 elif n in data:
                     self._last_cmd[n] = np.asarray(data[n], dtype=np.float64)
         else:
-            off = 8  # skip echoed tick
+            counts = []
+            need = 8  # echoed tick
             for n in self.recv_names:
                 comp = n.split(".", 1)[1]
                 meta = self.exec.meta.components[comp]
                 count = 1
                 for s in meta.ty.shape:
                     count *= s
+                counts.append(count)
+                need += count * 8
+            if len(raw) < need:
+                # UDP is unauthenticated and unreliable: a runt or stray
+                # datagram must not crash the sim step loop
+                return
+            off = 8
+            for n, count in zip(self.recv_names, counts):
                 vals = np.frombuffer(raw, dtype="<f8", count=count, offset=off)
                 off += count * 8
                 self._last_cmd[n] = vals.copy()

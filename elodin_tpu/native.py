@@ -121,23 +121,30 @@ class NativeStore:
     def __len__(self) -> int:
         return int(self._lib.store_len(self._ptr))
 
-    def timestamps(self) -> np.ndarray:
-        """Zero-copy view of the timestamp column (valid until append)."""
+    def timestamps(self, copy: bool = True) -> np.ndarray:
+        """Timestamp column.  Returns an owned copy by default; pass
+        ``copy=False`` for a zero-copy view into the C mmap — such a view
+        DANGLES after the next append (mremap can move the mapping) or
+        close (munmap): reading it then segfaults or returns garbage with
+        no Python-level error."""
         n = len(self)
         ptr = self._lib.store_timestamps(self._ptr)
         if n == 0 or not ptr:
             return np.zeros(0, dtype="<i8")
         buf = (ctypes.c_int64 * n).from_address(ptr)
-        return np.frombuffer(buf, dtype="<i8")
+        view = np.frombuffer(buf, dtype="<i8")
+        return view.copy() if copy else view
 
-    def rows(self, dtype, elem_count: int) -> np.ndarray:
+    def rows(self, dtype, elem_count: int, copy: bool = True) -> np.ndarray:
+        """Row data; same copy/view semantics as :meth:`timestamps`."""
         n = len(self)
         ptr = self._lib.store_data(self._ptr)
         if n == 0 or not ptr:
             return np.zeros((0, elem_count), dtype=dtype)
         nbytes = n * self.row_nbytes
         buf = (ctypes.c_uint8 * nbytes).from_address(ptr)
-        return np.frombuffer(buf, dtype=dtype).reshape(n, elem_count)
+        view = np.frombuffer(buf, dtype=dtype).reshape(n, elem_count)
+        return view.copy() if copy else view
 
     def lower_bound(self, key: int) -> int:
         return int(self._lib.store_lower_bound(self._ptr, int(key)))

@@ -25,9 +25,15 @@ class StepContext:
         return self._exec.tick()
 
     def truncate(self) -> None:
-        """Rewind history to tick 0 (step_context.rs:342)."""
+        """Clear stored history and reset the tick counter to 0, KEEPING
+        the live device state (step_context.rs:335-349: "clears all stored
+        time-series data ... simulation tick will be reset to 0",
+        continuing from the current physical state at a fresh tick 0).
+
+        Previously only history rows were dropped while ``exec._tick``
+        kept counting, so post-truncate rows landed at discontinuous
+        times and ``state_at(k)`` returned the wrong tick."""
         self._exec.flush_telemetry()
         h = self._exec._history
-        if not h.times:
-            return
-        h.truncate(1)
+        h.truncate(0)
+        self._exec._tick = 0

@@ -242,3 +242,17 @@ def test_magical_synthetic():
     np.testing.assert_allclose(
         np.asarray(t) @ np.asarray(t).T, t_true @ t_true.T, atol=5e-2
     )
+
+
+def test_yang_lqr_large_angle_full_authority():
+    """Regression: using the raw quaternion scalar as 'sign' scaled torque
+    by cos(theta/2) — ~1000x too weak near a 180-degree slew."""
+    import numpy as np
+
+    from elodin_tpu.adcs.lqr import yang_lqr_control
+
+    # attitude error ~180 deg about z: error quat ~ (0,0,1,~0)
+    att = np.array([0.0, 0.0, np.sin(np.pi / 2 - 1e-3), np.cos(np.pi / 2 - 1e-3)])
+    goal = np.array([0.0, 0.0, 0.0, 1.0])
+    u = np.asarray(yang_lqr_control(att, np.zeros(3), goal, 1.0, 2.0))
+    assert abs(u[2]) > 1.9, u  # full gain, not cos(theta/2)-collapsed

@@ -108,3 +108,14 @@ def test_shape_indexer():
     assert idx[1][2].indexes() == [5]
     assert el.Component.name(P) == "p"
     assert el.Component.id(P) == "p"
+
+
+def test_tick_count_survives_jit_roundtrip():
+    """Regression: sim_unflatten reset _tick_steps to 0, so tick counts
+    vanished across jit/vmap pytree boundaries."""
+    import jax
+
+    sim = _world().to_jax(double)
+    sim.step(5)
+    sim2 = jax.jit(lambda s: s)(sim)
+    assert sim2.get_tick_count() == 5
