@@ -32,6 +32,10 @@ def main(argv=None) -> None:
         return
     cmd, rest = argv[0], argv[1:]
 
+    if cmd in ("run", "bench", "components") and not rest:
+        print(f"usage: python -m elodin_tpu {cmd} <sim.py> [args...]",
+              file=sys.stderr)
+        sys.exit(2)
     if cmd == "run":
         _run_sim(rest[0], ["run"] + rest[1:])
     elif cmd == "bench":

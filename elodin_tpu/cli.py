@@ -37,7 +37,12 @@ def _parse_args(argv: list[str]):
     plan_p.add_argument("addr", nargs="?", default="[::]:2240")
 
     if argv and argv[0] not in ("run", "bench", "components", "params", "plan"):
-        # bare `python main.py` serves like `run`
+        if argv[0] in ("-h", "--help"):
+            # show the TOP-LEVEL help (subcommand list), not run's
+            return parser.parse_args(argv)
+        if argv[0].startswith("-") and argv[0] not in ("-",):
+            parser.error(f"unknown option {argv[0]!r}")
+        # bare `python main.py <addr>` serves like `run <addr>`
         argv = ["run"] + argv
     if not argv:
         argv = ["run"]
@@ -193,7 +198,14 @@ def run_cli(world, system, simulation_rate=120.0, generate_real_time=False,
             if cmd == "run"
             else None
         )
-    except Exception:
+    except Exception as e:  # noqa: BLE001
+        # keep simulating headless, but never silently: a bound port or
+        # bad addr would otherwise lose ALL telemetry with no hint
+        print(
+            f"warning: telemetry server failed to start on "
+            f"{getattr(args, 'addr', '?')}: {e}; running headless",
+            file=sys.stderr,
+        )
         server = None
 
     try:

@@ -119,15 +119,26 @@ def cmd_query(args):
     else:
         from .eql import eql
 
+        if not args.eql:
+            raise SystemExit(
+                "query: pass --sql <query> or --eql <expression>"
+            )
         series = eql(db, args.eql)
-        headers = ["time (s)", series.label]
-        vals = series.values
+        vals = np.atleast_2d(np.asarray(series.values).T).T
+        width = vals.shape[1] if vals.ndim > 1 else 1
+        # every element gets a column — printing only [0] silently lies
+        # about vector components
+        if width > 1:
+            headers = ["time (s)"] + [
+                f"{series.label}[{i}]" for i in range(width)
+            ]
+        else:
+            headers = ["time (s)", series.label]
         rows = [
-            [_fmt_query_value(t / 1e6, None, args.precision),
-             _fmt_query_value(
-                 v if not hasattr(v, "__len__") else v[0], None,
-                 args.precision)]
-            for t, v in zip(series.time, vals)
+            [_fmt_query_value(t / 1e6, None, args.precision)]
+            + [_fmt_query_value(v, None, args.precision)
+               for v in np.atleast_1d(row)]
+            for t, row in zip(series.time, vals)
         ]
     import sys as _sys
 
@@ -203,13 +214,17 @@ def cmd_bench(args):
         for i in range(rows):
             writer.write(timestamp_us=10_000_000 + i, values=vals)
         got = 0
+        # clock stops at the LAST delivered row: including the trailing
+        # empty-queue timeout in the denominator understated fast runs ~6x
+        last_t = _time.perf_counter()
         while True:
             try:
                 sub._q.get(timeout=0.5)
                 got += 1
+                last_t = _time.perf_counter()
             except _queue.Empty:
                 break
-        fanout = got / (_time.perf_counter() - t0)
+        fanout = got / max(last_t - t0, 1e-9)
         sub.close()
         writer.close()
         client.close()
@@ -253,6 +268,7 @@ def cmd_export(args):
 def cmd_merge(args):
     dst = Database(args.dst)
     total = 0
+    touched = set()
     for src_path in args.src:
         src = Database(src_path)
         for cid, store in src.components.items():
@@ -262,6 +278,18 @@ def cmd_merge(args):
             if n:
                 out.append_batch(store.timestamps[:n], store.values[:n])
                 total += n
+                touched.add(cid)
+    # restore the sorted-timestamps invariant range()/searchsorted relies
+    # on: overlapping recordings (or out-of-order sources) interleave
+    for cid in touched:
+        out = dst.components[cid]
+        n = out.len
+        ts = out.timestamps[:n]
+        if n > 1 and (np.diff(ts) < 0).any():
+            order = np.argsort(ts, kind="stable")
+            out.timestamps[:n] = ts[order]
+            out.values[:n] = out.values[:n][order]
+            _rewrite(out)
     dst.flush()
     print(f"merged {total} rows from {len(args.src)} databases into {args.dst}")
 

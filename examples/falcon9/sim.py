@@ -18,8 +18,9 @@ is a single vmapped XLA computation instead of 10k processes:
   pointing history, not actuator states);
 * guidance: the real RTLS structure — boostback burns toward the
   instantaneous-impact-point error until the ballistic arc crosses the
-  landing zone, the entry burn kills a fixed ``Δv`` retrograde, the landing
-  burn is a feasibility-limited suicide burn with lateral ZEM correction;
+  landing zone, the entry burn slows retrograde until a cutoff speed, the
+  landing burn is a feasibility-limited suicide burn with lateral ZEM
+  correction;
 * phases: integer ladder advanced by ``lax.switch``-friendly conditions —
   no Python control flow anywhere in the step.
 
@@ -78,7 +79,7 @@ T_MECO_S = 130.0  # early MECO leaves the ~80 t RTLS reserve
 T_SEP_S = T_MECO_S + 4.0
 T_BOOSTBACK_START_S = T_SEP_S + 12.0  # flip complete
 ENTRY_BURN_ALT_M = 45_000.0
-ENTRY_BURN_DV_MPS = 500.0
+ENTRY_BURN_EXIT_SPEED_MPS = 650.0  # entry burn cuts off below this speed
 PITCH_KICK_DEG = 1.0  # initial pitch-over magnitude
 ASCENT_AZIMUTH_DEG = 45.0  # NE launch azimuth
 SLEW_RATE_RADPS = 0.35  # kinematic attitude slew limit
@@ -226,7 +227,6 @@ def guidance(
         phase = phase.astype(jnp.int32)
 
         # -- phase transitions (monotone ladder) --------------------------
-        mass = dry + prop + jnp.where(t < T_SEP_S, STAGE2_AND_PAYLOAD_KG, 0.0)
         iip_err = _iip_error(r_enu, v_enu)
         bb_done = la.norm(iip_err) < 150.0
         # landing-burn ignition: three-engine feasibility with margin
@@ -246,7 +246,8 @@ def guidance(
             (phase == COAST) & (h < ENTRY_BURN_ALT_M) & (vz < 0), ENTRY, phase
         )
         phase = jnp.where(
-            (phase == ENTRY) & (speed < 650.0), DESCENT, phase
+            (phase == ENTRY) & (speed < ENTRY_BURN_EXIT_SPEED_MPS),
+            DESCENT, phase,
         )
         phase = jnp.where((phase == DESCENT) & want_landing, LANDING, phase)
         phase = jnp.where((phase >= ENTRY) & (h <= 0.5), DOWN, phase)
@@ -382,15 +383,21 @@ def effectors(
 
 @el.system
 def mass_flow(
+    tick: el.Query[el.SimulationTick],
     ts: el.Query[el.SimulationTimeStep],
     q: el.Query[Prop, Throttle, EnginesLit, DryMass, Phase, el.Inertia],
 ) -> el.Query[Prop, el.Inertia]:
     dt = ts[0]
+    t = tick[0] * dt
 
     def one(prop, throttle, n_lit, dry, phase, inertia):
         new_prop = jnp.maximum(prop - cluster_mdot(n_lit, throttle) * dt, 0.0)
         t_mass = dry + new_prop
-        stacked = jnp.where(phase <= ASCENT, STAGE2_AND_PAYLOAD_KG, 0.0)
+        # stage 2 + payload stay attached until SEPARATION (T_SEP_S), four
+        # seconds after MECO — phase leaves ASCENT already at MECO, so a
+        # phase-based test would drop 118.6 t during the pre-sep coast and
+        # double the drag deceleration through the flip
+        stacked = jnp.where(t < T_SEP_S, STAGE2_AND_PAYLOAD_KG, 0.0)
         return new_prop, el.SpatialInertia(mass=t_mass + stacked)
 
     return q.map((Prop, el.Inertia), one)
@@ -434,9 +441,11 @@ def touchdown_latch(
         new_miss = jnp.where(
             first, la.norm(r_enu[:2] - jnp.asarray(_LZ1_ENU)[:2]), miss
         )
+        # position freezes via the zeroed velocity below (the integrator
+        # advances pos by vel) plus the zeroed force in effectors — pos
+        # itself passes through unchanged on the touchdown tick
         frozen_pos = el.SpatialTransform(
-            angular=pos.angular(),
-            linear=jnp.where(down & ~first, pos.linear(), pos.linear()),
+            angular=pos.angular(), linear=pos.linear()
         )
         stop_vel = el.SpatialMotion(
             angular=jnp.where(down, jnp.zeros(3), vel.angular()),

@@ -2071,3 +2071,38 @@ def test_kdl_roundtrip_hostile_values():
     assert n[0].props == {"s p": 2, "k": "v/w"}
     with pytest.raises(ValueError):
         parse("a b=")
+
+
+def test_merge_overlapping_sources_sorted(tmp_path):
+    """Regression: merging databases whose recordings overlap in time left
+    unsorted timestamps on disk, silently corrupting every range query."""
+    from elodin_tpu.db.__main__ import main as db_main
+    from elodin_tpu.db.storage import Database
+    from elodin_tpu.db.vtable import component_id_of
+
+    cid = component_id_of("m.x")
+    a = Database(str(tmp_path / "a"))
+    sa = a.get_or_create(cid, "f64", (), "m.x")
+    for t in (0, 200, 400):
+        sa.append(t, np.float64(t))
+    a.flush()
+    b = Database(str(tmp_path / "b"))
+    sb = b.get_or_create(cid, "f64", (), "m.x")
+    for t in (100, 300, 500):
+        sb.append(t, np.float64(t))
+    b.flush()
+
+    dst = str(tmp_path / "dst")
+    db_main(["merge", dst, str(tmp_path / "a"), str(tmp_path / "b")])
+
+    merged = Database(dst)
+    store = merged.components[cid]
+    ts = np.asarray(store.timestamps[: store.len])
+    assert list(ts) == [0, 100, 200, 300, 400, 500]
+    # values rode along with their timestamps
+    np.testing.assert_allclose(
+        store.values[: store.len, 0], [0, 100, 200, 300, 400, 500]
+    )
+    # range query behaves on the merged result
+    rts, rv = store.range(150, 450)
+    assert list(rts) == [200, 300, 400]

@@ -144,3 +144,21 @@ def test_rollout_argument_errors():
     roll = el.rollout(w, sys_, 10)
     with pytest.raises(KeyError):
         roll({"nope": jnp.zeros(3)})
+
+
+def test_neural_hover_trains():
+    """Analytic policy gradients through the sim: a few dozen optimizer
+    steps must already fly the held-out start much closer to the target
+    than its ~2.4 m initial distance."""
+    path = os.path.join(EXAMPLES, "neural-hover", "main.py")
+    sys.path.insert(0, os.path.join(EXAMPLES, "neural-hover"))
+    try:
+        spec = importlib.util.spec_from_file_location("neural_hover_main", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.pop(0)
+    params, _ = mod.train(iters=80, batch=8, verbose=False)
+    miss, speed = mod.evaluate(params)
+    assert miss < 0.6, miss
+    assert speed < 2.0, speed
