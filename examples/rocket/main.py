@@ -205,7 +205,21 @@ def quat_from_vecs(v1, v2) -> el.Quaternion:
     v2 = v2 / la.norm(v2)
     n = jnp.cross(v1, v2)
     w = jnp.dot(v2, v2) * jnp.dot(v1, v1) + jnp.dot(v1, v2)
-    return el.Quaternion.from_array(jnp.array([*n, w])).normalize()
+    # anti-parallel inputs give n = 0, w = 0 — a zero quaternion whose
+    # normalize() is NaN and would poison the accel buffer + PID for the
+    # rest of the run; fall back to a 180-degree flip about an axis
+    # orthogonal to v1
+    degenerate = (w * w + jnp.dot(n, n)) < 1e-12
+    ortho = jnp.cross(v1, jnp.array([1.0, 0.0, 0.0]))
+    ortho = jnp.where(
+        jnp.dot(ortho, ortho) < 1e-12,
+        jnp.cross(v1, jnp.array([0.0, 1.0, 0.0])),
+        ortho,
+    )
+    q = jnp.where(
+        degenerate, jnp.concatenate([ortho, jnp.zeros(1)]), jnp.array([*n, w])
+    )
+    return el.Quaternion.from_array(q).normalize()
 
 
 @el.dataclass
@@ -359,7 +373,11 @@ def v_rel_accel_filtered(s: VRelAccelBuffer) -> VRelAccelFiltered:
 
 @el.map
 def accel_setpoint_smooth(a: AccelSetpoint, a_s: AccelSetpointSmooth) -> AccelSetpointSmooth:
-    return a_s + (a - a_s) * jnp.exp(-0.5 * SIM_TIME_STEP)
+    # first-order lag toward the setpoint, tau = 2 s: the step fraction is
+    # 1 - exp(-dt/tau) (using exp(-dt/tau) itself would jump 99.6% per
+    # tick — a pass-through that defeats the smoother and kicks the PID's
+    # derivative term on every setpoint step)
+    return a_s + (a - a_s) * (1.0 - jnp.exp(-0.5 * SIM_TIME_STEP))
 
 
 @el.map

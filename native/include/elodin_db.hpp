@@ -308,9 +308,13 @@ private:
 // offset 0, fields ordered by descending alignment.
 class TableWriter {
 public:
+    // default vtable id auto-increments per writer: a shared fixed id
+    // would let a second writer's registration silently clobber the
+    // first's layout on the server
     TableWriter(Client& client, std::vector<FieldSpec> fields,
-                uint16_t vtable_id = 0x4242)
+                uint16_t vtable_id = 0)
         : client_(client), fields_(std::move(fields)) {
+        if (vtable_id == 0) vtable_id = next_auto_id();
         id_[0] = static_cast<uint8_t>(vtable_id & 0xff);
         id_[1] = static_cast<uint8_t>(vtable_id >> 8);
 
@@ -324,6 +328,11 @@ public:
             uint16_t comp = vb.push_component(f.name);
             uint16_t schema = vb.push_schema(f.ty, f.shape, comp);
             uint16_t ts = vb.push_timestamp(0, schema);
+            if (offset > 0xffff || f.nbytes() > 0xffff) {
+                throw std::runtime_error(
+                    "TableWriter: field offset/size exceeds the 16-bit "
+                    "builder limit (row > 64 KiB)");
+            }
             vb.push_field(static_cast<uint16_t>(offset),
                           static_cast<uint16_t>(f.nbytes()), ts);
             offset += f.nbytes();
@@ -357,6 +366,15 @@ public:
     }
 
 private:
+    static uint16_t next_auto_id() {
+        // process-wide counter in the user-table range, skipping the
+        // [224,*] reserved low byte
+        static uint16_t counter = 0x4242;
+        uint16_t id = ++counter;
+        if ((id & 0xff) == 224) id = ++counter;
+        return id;
+    }
+
     Client& client_;
     std::vector<FieldSpec> fields_;
     std::vector<size_t> offsets_;

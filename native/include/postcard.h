@@ -62,14 +62,14 @@ static inline pc_reader pc_reader_init(const uint8_t *buf, size_t len) {
 /* -- raw bytes ---------------------------------------------------------- */
 
 static inline pc_status pc_write_raw(pc_writer *w, const void *p, size_t n) {
-    if (w->pos + n > w->cap) return PC_ERR_OVERFLOW;
+    if (n > w->cap - w->pos) return PC_ERR_OVERFLOW;
     memcpy(w->buf + w->pos, p, n);
     w->pos += n;
     return PC_OK;
 }
 
 static inline pc_status pc_read_raw(pc_reader *r, void *p, size_t n) {
-    if (r->pos + n > r->len) return PC_ERR_OVERFLOW;
+    if (n > r->len - r->pos) return PC_ERR_OVERFLOW;
     memcpy(p, r->buf + r->pos, n);
     r->pos += n;
     return PC_OK;
@@ -93,6 +93,10 @@ static inline pc_status pc_read_varint(pc_reader *r, uint64_t *out) {
     for (unsigned shift = 0; shift < 70; shift += 7) {
         if (r->pos >= r->len) return PC_ERR_OVERFLOW;
         uint8_t b = r->buf[r->pos++];
+        /* the 10th byte may only contribute one bit; anything else means
+         * the value exceeds u64 — reject like Rust postcard instead of
+         * silently truncating via the << 63 shift */
+        if (shift == 63 && (b & 0xfe)) return PC_ERR_MALFORMED;
         v |= (uint64_t)(b & 0x7f) << shift;
         if (!(b & 0x80)) {
             *out = v;
@@ -200,7 +204,9 @@ static inline pc_status pc_read_bytes(pc_reader *r, const uint8_t **p,
     uint64_t len;
     pc_status s = pc_read_varint(r, &len);
     if (s != PC_OK) return s;
-    if (r->pos + len > r->len) return PC_ERR_OVERFLOW;
+    /* subtract-form check: `r->pos + len` wraps for wire-controlled huge
+     * lengths, bypassing the bound and handing back a ~2^64-byte view */
+    if (len > (uint64_t)(r->len - r->pos)) return PC_ERR_OVERFLOW;
     *p = r->buf + r->pos;
     *n = (size_t)len;
     r->pos += len;

@@ -35,7 +35,13 @@ uint16_t impeller_msg_id16(const char* name, size_t len) {
         h ^= (unsigned char)name[i];
         h *= 0x01000193u;
     }
-    return (uint16_t)((h >> 16) ^ (h & 0xffff));
+    uint16_t folded = (uint16_t)((h >> 16) ^ (h & 0xffff));
+    /* reserved [224,*] well-known range remaps to 223 — every sibling
+     * implementation (db/postcard.py msg_id, postcard.h pc_msg_id,
+     * elodin_db.hpp msg_id; reference types.rs:590-597) applies this, so
+     * omitting it here made C consumers disagree for ~1/256 of names */
+    if ((folded & 0xff) == 224) folded = (uint16_t)((folded & 0xff00) | 223);
+    return folded;
 }
 
 /* -------------------------------------------------------- mmap appender */
@@ -56,29 +62,49 @@ typedef struct {
     uint64_t row_nbytes;
 } Store;
 
+static void log_close_partial(AppendLog* log);
+
 static int log_open(AppendLog* log, const char* path, uint64_t initial_cap) {
+    log->map = NULL;
     log->fd = open(path, O_RDWR | O_CREAT, 0644);
     if (log->fd < 0) return -1;
     struct stat st;
-    if (fstat(log->fd, &st) != 0) return -1;
+    if (fstat(log->fd, &st) != 0) { log_close_partial(log); return -1; }
     uint64_t cap = (uint64_t)st.st_size;
     int fresh = cap < LOG_HEADER;
     if (cap < initial_cap) {
         cap = initial_cap;
         /* sparse preallocation: ftruncate extends without allocating disk */
-        if (ftruncate(log->fd, (off_t)cap) != 0) return -1;
+        if (ftruncate(log->fd, (off_t)cap) != 0) {
+            log_close_partial(log);
+            return -1;
+        }
     }
     log->map = mmap(NULL, cap, PROT_READ | PROT_WRITE, MAP_SHARED, log->fd, 0);
-    if (log->map == MAP_FAILED) return -1;
+    if (log->map == MAP_FAILED) { log_close_partial(log); return -1; }
     log->capacity = cap;
     if (fresh) {
         ((uint64_t*)log->map)[0] = LOG_MAGIC;
         ((uint64_t*)log->map)[1] = 0;
     } else if (((uint64_t*)log->map)[0] != LOG_MAGIC) {
+        log_close_partial(log);
         return -2;
     }
     log->len = ((uint64_t*)log->map)[1];
+    /* a corrupt/truncated committed-length header must not drive readers
+       past the mapping — clamp to what the file can actually hold */
+    if (log->len > cap - LOG_HEADER) {
+        log->len = cap - LOG_HEADER;
+        ((uint64_t*)log->map)[1] = log->len;
+    }
     return 0;
+}
+
+static void log_close_partial(AppendLog* log) {
+    if (log->map && log->map != MAP_FAILED) munmap(log->map, log->capacity);
+    if (log->fd >= 0) close(log->fd);
+    log->map = NULL;
+    log->fd = -1;
 }
 
 static int log_reserve(AppendLog* log, uint64_t extra) {
@@ -97,7 +123,12 @@ static int log_reserve(AppendLog* log, uint64_t extra) {
 static void log_append(AppendLog* log, const void* src, uint64_t n) {
     memcpy(log->map + LOG_HEADER + log->len, src, n);
     log->len += n;
-    ((uint64_t*)log->map)[1] = log->len; /* commit */
+    /* commit: ordered against the memcpy for PROCESS crashes (same
+       mapping, kernel writes back whole pages); for POWER loss the kernel
+       may flush the header page first — durability of committed rows
+       requires store_flush (msync), which the DB calls on flush/close.
+       The open-time clamps above reconcile whatever survives. */
+    ((uint64_t*)log->map)[1] = log->len;
 }
 
 Store* store_open(const char* ts_path, const char* data_path,
@@ -106,8 +137,12 @@ Store* store_open(const char* ts_path, const char* data_path,
     if (!s) return NULL;
     s->row_nbytes = row_nbytes;
     if (initial_cap < 1 << 16) initial_cap = 1 << 16;
-    if (log_open(&s->ts, ts_path, initial_cap) != 0 ||
-        log_open(&s->data, data_path, initial_cap) != 0) {
+    if (log_open(&s->ts, ts_path, initial_cap) != 0) {
+        free(s);
+        return NULL;
+    }
+    if (log_open(&s->data, data_path, initial_cap) != 0) {
+        log_close_partial(&s->ts);  /* don't leak the first log's fd+map */
         free(s);
         return NULL;
     }
