@@ -52,8 +52,6 @@ def validate_variable(name: str, spec) -> None:
 
 def sample_dist(spec: dict, u):
     """Map a uniform [0,1) draw through a distribution spec; vectorized."""
-    from scipy.special import ndtri  # inverse normal CDF
-
     u = np.asarray(u)
     dist = str(spec.get("dist", "fixed")).lower()
     if dist == "fixed":
@@ -71,6 +69,10 @@ def sample_dist(spec: dict, u):
         hi = math.log(float(_bound(spec, _MAX_ALIASES)))
         return np.exp(lo + (hi - lo) * u)
     if dist == "normal":
+        # branch-local: scipy is only needed for the inverse normal CDF —
+        # uniform/choice/fixed campaigns must not require it
+        from scipy.special import ndtri
+
         mean = float(spec["mean"])
         std = float(spec["std"])
         return mean + std * ndtri(np.clip(u, 1e-12, 1 - 1e-12))

@@ -30,7 +30,11 @@ def interp(x, xp, fp):
     """
     xp = jnp.asarray(xp)
     fp = jnp.asarray(fp)
-    x_e = jnp.expand_dims(jnp.asarray(x), -1)
+    x = jnp.asarray(x)
+    if xp.shape[-1] == 1:
+        # single-point table: jnp.interp returns the constant fp[0]
+        return jnp.broadcast_to(fp[0], x.shape)
+    x_e = jnp.expand_dims(x, -1)
     dx = xp[1:] - xp[:-1]
     jump = fp[1:] - fp[:-1]
     slopes = jump / jnp.where(dx > 0, dx, 1.0)
@@ -38,16 +42,22 @@ def interp(x, xp, fp):
     # duplicate knots (dx == 0) encode a step: jnp.interp lands on the last
     # duplicate's value once x reaches the knot, so add the full jump there
     seg = jnp.where(dx > 0, slopes * rise, jump * (x_e >= xp[:-1]))
-    # accumulate segments as an UNROLLED add chain rather than jnp.sum:
-    # reduction trees are reassociated differently per backend, and that
-    # tiny cross-backend drift gets amplified through control feedback
-    # loops (measured 5.8e-6 TPU-vs-CPU after 100 rocket ticks with
-    # jnp.sum vs 3e-10 with a fixed chain).  Tables are small, so the
-    # chain costs the same n-1 adds the reduction would
-    out = fp[0] + seg[..., 0]
-    for k in range(1, seg.shape[-1]):
-        out = out + seg[..., k]
-    return out
+    # accumulate segments with a FIXED-SHAPE pairwise tree rather than
+    # jnp.sum: reduction trees are reassociated differently per backend,
+    # and that tiny cross-backend drift gets amplified through control
+    # feedback loops (measured 5.8e-6 TPU-vs-CPU after 100 rocket ticks
+    # with jnp.sum vs 3e-10 with a fixed order).  An explicit tree keeps
+    # the same deterministic order on every backend at log depth, so big
+    # tables don't pay an O(n)-deep serial chain
+    parts = [seg[..., k] for k in range(seg.shape[-1])]
+    while len(parts) > 1:
+        nxt = [
+            parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)
+        ]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return fp[0] + parts[0]
 
 
 def _hat_weights(coord, n: int, dtype):

@@ -60,11 +60,14 @@ def _pallas_kernel(n: int, g: float, eps: float):
         ]  # 3 x (TILE_I, TILE_J)
         d2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2] + eps * eps
         # self-pairs and zero-padded bodies need no index masks: remapping
-        # d2≈0 to 1 keeps w finite (w*mass could overflow f32 off a 1e-18
-        # clamp), and their contribution then vanishes exactly because
-        # dx = 0 for a self-pair and mass = 0 for padding — saving the
-        # two iota + compare + select ops per tile the masked form paid
-        d2 = jnp.where(d2 < 1e-18, 1.0, d2)
+        # EXACT d2 == 0 to 1 keeps w finite, and their contribution then
+        # vanishes exactly because dx = 0 for a self-pair and mass = 0 for
+        # padding — saving the two iota + compare + select ops per tile
+        # the masked form paid.  The comparison must be == 0.0, matching
+        # pairwise_gravity_reference: a 1e-18 threshold silently ZEROED
+        # forces between real, distinct, ultra-close bodies where the
+        # reference (the CPU verify side) computes a huge force
+        d2 = jnp.where(d2 == 0.0, 1.0, d2)
         inv = jax.lax.rsqrt(d2)
         w = (inv * inv * inv) * mass_j  # (TILE_I, TILE_J)
         for k in range(3):

@@ -299,8 +299,13 @@ class Query:
 
     def _wrap_outputs(self, out_tps, bufs):
         out_tps = (out_tps,) if not isinstance(out_tps, tuple) else out_tps
-        if len(bufs) < len(out_tps):
-            raise RuntimeError("query returned no components")
+        if len(bufs) != len(out_tps):
+            # extra returned leaves used to be silently truncated — the
+            # discarded component's column kept stale state with no error
+            raise RuntimeError(
+                f"query returned {len(bufs)} component values for "
+                f"{len(out_tps)} declared output types"
+            )
         component_data = [Component.of(t) for t in out_tps]
         return Query(
             self.builder,
@@ -362,7 +367,8 @@ class Query:
         return self._wrap_outputs(out_tps, bufs)
 
     def join(self, other: "Query") -> "Query":
-        ids = [e for e in self.entity_ids if e in set(other.entity_ids)]
+        oset = set(other.entity_ids)  # hoisted: O(n+m), not O(n*m)
+        ids = [e for e in self.entity_ids if e in oset]
         if not ids:
             raise RuntimeError("joined query matched no entities")
 
@@ -478,10 +484,11 @@ class GraphQuery:
             # the reference never sees more than a handful of entities)
             return GraphQuery(builder, None, total=True)
         name = Component.name(edge_ty)
-        reverse = False
         meta = getattr(edge_ty, "__metadata__", ())
-        if len(meta) > 1 and meta[1] is RevEdge:
-            reverse = True
+        # scan ALL metadata: RevEdge may sit before or after the Component
+        # (Component.of scans too), and positional detection silently lost
+        # the reversal — forces folded onto the wrong entities
+        reverse = any(m is RevEdge for m in meta)
         edge_vals = builder.world.edge_values(name)
         edges = [(b, a) for (a, b) in edge_vals] if reverse else list(edge_vals)
         return GraphQuery(builder, edges)
@@ -599,12 +606,18 @@ class GraphQuery:
             return False
         init_flat, init_tree = tree_flatten(init_value)
         rng = np.random.default_rng(0x5EED)
+        probe_scale = 1.0
 
         def draw(shape, dtype):
-            return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
+            return jnp.asarray(
+                probe_scale * rng.standard_normal(shape), dtype=dtype
+            )
 
         try:
-            for _ in range(3):
+            # rounds probe three magnitudes (1, 1e3, 1e-3): folds that are
+            # only LOCALLY additive — e.g. clip(c + f, -LIMIT, LIMIT) with
+            # LIMIT above the unit probe scale — must not be misclassified
+            for probe_scale in (1.0, 1e3, 1e-3):
                 largs = [
                     from_array(c, draw(
                         b.shape[1:] if not left_query.batch1 else b.shape,
@@ -634,6 +647,11 @@ class GraphQuery:
                     oc = np.asarray(oc)
                     oz = np.asarray(oz)
                     c = np.asarray(c)
+                    if not (np.isfinite(oc).all() and np.isfinite(oz).all()):
+                        # NaN/Inf compares False against any tolerance —
+                        # without this check a NaN-producing fold would
+                        # silently pass as "additive"
+                        return False
                     scale = np.maximum(np.abs(oc).max(), 1.0)
                     if np.abs(oc - (c + oz)).max() > 1e-9 * scale:
                         return False

@@ -1211,3 +1211,85 @@ def test_spawn_batch_ambiguous_untyped_vector_rejected():
     w = el.World()
     with _pytest.raises(ValueError, match="ambiguous"):
         w.spawn_batch(A(), 3)
+
+
+def test_rev_edge_any_metadata_position():
+    """Regression: RevEdge detection was positional (metadata[1]), so valid
+    orderings silently lost the reversal and folded forces onto the wrong
+    entities."""
+    import typing as _ty
+    import jax.numpy as jnp
+
+    import elodin as el
+
+    for ann in (
+        _ty.Annotated[el.Edge, el.RevEdge, el.Component("rev_a")],
+        _ty.Annotated[el.Edge, el.Component("rev_b"), el.RevEdge],
+    ):
+        w = el.World()
+
+        X = _ty.Annotated[jax.Array, el.Component(
+            f"revx_{el.Component.name(ann)}", el.ComponentType.F64)]
+
+        @el.dataclass
+        class Node(el.Archetype):
+            revx: X
+
+        a = w.spawn(Node(jnp.float64(1.0)), name="a")
+        b = w.spawn(Node(jnp.float64(10.0)), name="b")
+
+        @el.dataclass
+        class Link(el.Archetype):
+            e: ann  # noqa: F821
+
+            def __init__(self, f, t):
+                self.e = el.Edge(f, t)
+
+        w.spawn(Link(a, b), name="a->b")
+
+        @el.system
+        def fold(g: el.GraphQuery[ann], q: el.Query[X]) -> el.Query[X]:
+            return g.edge_fold(
+                left_query=q, right_query=q, return_type=X,
+                init_value=jnp.float64(0.0),
+                fold_fn=lambda acc, lx, rx: acc + rx,
+            )
+
+        exec_ = w.build(fold, simulation_rate=10.0)
+        exec_.run(1)
+        import numpy
+
+        comp = el.Component.name(X)
+        col = numpy.asarray(exec_.cols[comp])
+        ids = exec_.meta.comp_entities[comp]
+        row_of = {eid: i for i, eid in enumerate(ids)}
+        # reversed edge: b folds a's value (1.0); a has no incoming
+        # edge and keeps its prior value.  Under the positional-detection
+        # bug the fold ran FORWARD: a would fold b's value (10.0).
+        va = float(col[row_of[int(a)]])
+        vb = float(col[row_of[int(b)]])
+        assert vb == 1.0, (ann, va, vb)
+        assert va == 1.0, (ann, va, vb)
+
+
+def test_nan_producing_fold_not_classified_additive():
+    import jax.numpy as jnp
+    import numpy
+
+    from elodin_tpu.system import GraphQuery
+
+    class FakeQuery:
+        batch1 = False
+
+        def __init__(self):
+            self.component_classes = []
+            self.bufs = []
+
+    # fold producing NaN on random probes (log of negative draws)
+    gq = GraphQuery.__new__(GraphQuery)
+    ok = gq._fold_is_additive(
+        FakeQuery(), FakeQuery(),
+        jnp.float64(0.0),
+        lambda c: jnp.log(c - 100.0),  # NaN for the probe carries
+    )
+    assert ok is False
