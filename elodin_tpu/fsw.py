@@ -122,11 +122,13 @@ class HzDriver:
             self._writer.write_nowait(timestamp_us=t_us, values=values)
         if self._csv is not None:
             fields = self.publish or list(self.components)
+            # explicit join: np.array2string wraps lines at 75 chars and
+            # elides >1000-element arrays, corrupting CSV records
             row = [str(t_us)] + [
-                np.array2string(
-                    np.atleast_1d(np.asarray(getattr(self.world, f))),
-                    separator=";",
-                )
+                "[" + ";".join(
+                    repr(x) for x in
+                    np.atleast_1d(np.asarray(getattr(self.world, f))).reshape(-1)
+                ) + "]"
                 for f in fields
             ]
             self._csv.write(",".join(row) + "\n")

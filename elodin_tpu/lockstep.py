@@ -89,6 +89,14 @@ class UdpLockstep:
             except (TimeoutError, socket.timeout):
                 self.missed += 1
                 continue
+            # binary mode echoes our tick: a reply that missed its own
+            # tick's deadline would otherwise be consumed by the NEXT
+            # tick's recv, leaving the loop permanently one tick stale
+            if self.mode != "json" and len(raw) >= 8:
+                echoed = int(np.frombuffer(raw[:8], dtype="<u8")[0])
+                if echoed != tick:
+                    self.stale = getattr(self, "stale", 0) + 1
+                    continue  # drop the stale reply, keep waiting
             self._parse(raw)
             return
 

@@ -63,12 +63,18 @@ class ReadyProbe:
             import socket
 
             host, _, port = _expand_env(self.addr).rpartition(":")
+            # '[::1]:2240' / '[::]:2240' — strip brackets, map any-addr to
+            # loopback for the connect probe; bad/missing ports report
+            # not-ready instead of crashing the supervisor loop
+            host = host.strip("[]")
+            if host in ("::", "0.0.0.0", ""):
+                host = "127.0.0.1"
             try:
                 with socket.create_connection(
-                    (host or "127.0.0.1", int(port)), timeout=0.25
+                    (host, int(port)), timeout=0.25
                 ):
                     return True
-            except OSError:
+            except (OSError, ValueError):
                 return False
         if self.type == "unix":
             import socket
@@ -444,7 +450,10 @@ def _recipe_from_dict(name: str, spec: dict):
     raise ValueError(f"unknown recipe type {ty!r} for {name!r}")
 
 
-def run_recipes(recipes, watch: bool = False, poll: float = 0.2) -> Supervisor:
+def run_recipes(recipes) -> Supervisor:
+    """Start recipes under a Supervisor.  Watch mode is a per-recipe
+    property (``Recipe.watch`` path list, checked in ``Supervisor.tick``);
+    callers drive the tick cadence themselves."""
     sup = Supervisor()
     flat = []
     for r in recipes.values() if isinstance(recipes, dict) else recipes:

@@ -57,7 +57,11 @@ def zem_zev_guidance(
 
     zem = TARGET - (r + v * t_go + 0.5 * g * t_go**2)
     zev = jnp.array([0.0, 0.0, -1.0]) - (v + g * t_go)
-    a_cmd = 6.0 * zem / t_go**2 - 2.0 * zev / t_go - g
+    # optimal thrust acceleration is exactly 6 ZEM/t^2 - 2 ZEV/t: gravity
+    # is already inside the ZEM/ZEV drift prediction AND applied as its
+    # own force below — subtracting g here double-compensated it, flying
+    # a biased-high trajectory that wasted fuel
+    a_cmd = 6.0 * zem / t_go**2 - 2.0 * zev / t_go
 
     # terminal phase: below 300 m track a feasibility-limited velocity
     # funnel vz = -0.09 z (decel demand k^2 z stays under the lunar T/W)

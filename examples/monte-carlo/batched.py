@@ -14,7 +14,8 @@ import numpy as np
 import elodin_tpu as el
 from elodin_tpu.monte_carlo import BatchedCampaign, sample_plan
 
-from sim import DEFAULT_MAX_TICKS, PARAMS, SIMULATION_RATE_HZ, build
+from sim import (DEFAULT_MAX_TICKS, PARAMS, PROPELLANT0_KG,
+                 SIMULATION_RATE_HZ, build)
 
 
 def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
@@ -27,7 +28,7 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
     draws = sample_plan(variables, n_samples, method="lhs", seed=seed)
 
     world, system = build(None)  # template world with default params
-    wet_extra = 6000.0
+    wet_extra = PROPELLANT0_KG  # initial propellant load
     overrides = {
         "booster.world_pos": np.concatenate(
             [

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax.numpy import linalg as la
 
+PROPELLANT0_KG = 6000.0  # initial propellant load (single source of truth)
+
 SIMULATION_RATE_HZ = 120.0
 SIM_TIME_STEP = 1.0 / SIMULATION_RATE_HZ
 DEFAULT_MAX_TICKS = 2400  # 20 s
@@ -47,7 +49,7 @@ CD_A = 10.0  # drag area * coefficient
 @el.dataclass
 class Booster(el.Archetype):
     wind: Wind = field(default_factory=lambda: jnp.zeros(3))
-    propellant: Propellant = field(default_factory=lambda: jnp.float64(6000.0))
+    propellant: Propellant = field(default_factory=lambda: jnp.float64(PROPELLANT0_KG))
     thrust_cmd: ThrustCmd = field(default_factory=lambda: jnp.float64(0.0))
     thrust_eff: ThrustEff = field(default_factory=lambda: jnp.float64(1.0))
     touchdown_vz: Touchdown = field(default_factory=lambda: jnp.float64(0.0))
@@ -127,7 +129,7 @@ def ground_clamp(pos: el.WorldPos, vel: el.WorldVel, td: Touchdown) -> tuple[el.
 def build(params=None) -> tuple[el.World, el.System]:
     p = {k: (params.get(k, v.default) if params else v.default) for k, v in PARAMS.items()}
     w = el.World()
-    wet_mass = p["dry_mass"] + 6000.0
+    wet_mass = p["dry_mass"] + PROPELLANT0_KG
     w.spawn(
         [
             el.Body(

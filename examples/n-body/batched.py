@@ -17,8 +17,7 @@ import numpy as np
 import jax
 
 from elodin_tpu.models.nbody import build_nbody, build_system
-from elodin_tpu.six_dof import increment_sim_tick_system
-from elodin_tpu.system import Pipe, SystemBuilder, as_system
+from elodin_tpu.system import build_step
 
 
 def run(n_bodies: int, ticks: int, use_kernel: bool = True,
@@ -29,15 +28,9 @@ def run(n_bodies: int, ticks: int, use_kernel: bool = True,
     world = build_nbody(n_bodies, seed=2, dtype=dtype)
     world.set_sim_time_step(60.0)
     meta, cols = world.snapshot()
-    full = Pipe(
-        increment_sim_tick_system,
-        as_system(build_system(60.0, use_kernel=use_kernel)),
-    )
-
-    def step(state):
-        b = SystemBuilder(meta, dict(state))
-        full.call(b)
-        return b.cols
+    # THE canonical tick composition (system.py build_step) — hand-rolling
+    # it here could silently diverge from every other runner
+    step = build_step(meta, build_system(60.0, use_kernel=use_kernel))
 
     def prog(state):
         return jax.lax.fori_loop(0, ticks, lambda _i, s: step(s), state)

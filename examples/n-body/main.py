@@ -60,7 +60,11 @@ def gravity(
     def gravity_fn(force, a_pos, a_inertia, b_pos, b_inertia):
         r = a_pos.linear() - b_pos.linear()
         norm = la.norm(r)
-        f = G * a_inertia.mass() * b_inertia.mass() * r / (norm**3)
+        # grouping matters on TPU: f64 there is double-f32 emulation with
+        # float32's EXPONENT range, and G*m_a*m_b for solar-mass bodies
+        # (~8e44) overflows it.  (G*m_a) * ((m_b/|r|^3) * r) keeps every
+        # intermediate in range (same fix as models/nbody.py:95-100)
+        f = (G * a_inertia.mass()) * ((b_inertia.mass() / norm**3) * r)
         return el.Force(linear=force.force() - f)
 
     return graph.edge_fold(query, query, el.Force, el.Force(), gravity_fn)

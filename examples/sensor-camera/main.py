@@ -3,11 +3,12 @@
 carry sensor cameras at different FPS whose frames the headless render
 server pushes to the DB; the sim reads frames back with a latency offset).
 
-GPU frame rendering is editor-side; the TPU rebuild keeps the full sim +
-camera-config + frame-message contract: cameras are registered with
-``world.sensor_camera`` (stored as DB assets), and synthetic frame messages
-flow through the same MsgLog path a render server would use, read back with
-the same latency-offset semantics (``Client.get_msgs`` up to ``t - latency``).
+GPU frame rendering is editor-side; the TPU rebuild keeps the sim +
+camera-config contract: cameras are registered with
+``world.sensor_camera`` and stored as DB assets a render server would
+read.  The frame-message data plane itself (opaque frames through the
+MsgLog path, timestamped readback) is exercised by
+``examples/video-stream``.
 """
 
 import typing as ty

@@ -10,7 +10,7 @@ meets Jupiter near transfer aphelion; the flyby slingshots it onto a
 hyperbolic solar-escape trajectory — the Voyager mission profile.
 
 Run: python main.py            # serve (viewport schematic)
-     MAX_TICKS=30000 python main.py bench --ticks 30000
+     ELODIN_MAX_TICKS=30000 python main.py run   # bounded serve
 """
 
 import typing as ty
