@@ -25,26 +25,26 @@ NAL_AUD = 9
 
 
 def iter_nals(payload: bytes):
-    """Yield NAL-unit byte ranges (without start codes) from Annex-B data."""
-    i = 0
+    """Yield NAL-unit byte ranges (without start codes) from Annex-B data.
+
+    Scans with ``bytes.find`` (C speed) — the byte-by-byte Python loop this
+    replaces allocated two slices per input byte, turning a few hundred MB
+    of footage into minutes of CPU."""
     n = len(payload)
-    # find first start code
     starts = []
-    while i < n:
-        if payload[i : i + 4] == START_CODE_4:
-            starts.append(i + 4)
-            i += 4
-        elif payload[i : i + 3] == START_CODE_3:
-            starts.append(i + 3)
-            i += 3
-        else:
-            i += 1
+    i = payload.find(START_CODE_3)
+    while i != -1:
+        # a 4-byte 00 00 00 01 code contains the 3-byte 00 00 01 at i+1;
+        # either way the NAL payload begins after the 00 00 01
+        starts.append(i + 3)
+        i = payload.find(START_CODE_3, i + 3)
     for k, s in enumerate(starts):
         e = n
         if k + 1 < len(starts):
-            e = starts[k + 1]
-            # strip the next start code (3 or 4 bytes) from this NAL's tail
-            e -= 4 if payload[e - 4 : e] == START_CODE_4 else 3
+            e = starts[k + 1] - 3
+            # strip a leading zero of a 4-byte start code from the tail
+            if e > s and payload[e - 1] == 0:
+                e -= 1
         nal = payload[s:e]
         if nal:
             yield nal
@@ -314,16 +314,24 @@ class Mp4Writer:
             b"stbl",
             self._stsd()
             + self._stts(durs)
-            + _full_box(
-                b"stss",
-                0,
-                0,
-                struct.pack(">I", sum(self.keyframes))
-                + b"".join(
-                    struct.pack(">I", i + 1)
-                    for i, k in enumerate(self.keyframes)
-                    if k
-                ),
+            # stss omitted entirely when no keyframes were detected: an
+            # EMPTY stss means "no sync samples" per ISO BMFF and makes
+            # the file unseekable in strict players; absence means every
+            # sample is a sync point
+            + (
+                _full_box(
+                    b"stss",
+                    0,
+                    0,
+                    struct.pack(">I", sum(self.keyframes))
+                    + b"".join(
+                        struct.pack(">I", i + 1)
+                        for i, k in enumerate(self.keyframes)
+                        if k
+                    ),
+                )
+                if any(self.keyframes)
+                else b""
             )
             + _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
             + _full_box(
@@ -415,6 +423,10 @@ def export_h264_log(entries, name: str, out_path, default_fps: float = 30.0):
         sample, _, _ = annexb_to_avcc(payload)
         if sample:
             writer.write_video(ts - t0, sample, is_keyframe(payload))
+    if not writer.samples:
+        # SPS/PPS only, no slice NALs: an MP4 with zero samples would have
+        # a malformed stsc/stss — report nothing exported instead
+        return None
     stats = writer.finish()
     stats.update(width=info.width, height=info.height,
                  fps=info.fps or default_fps)

@@ -29,6 +29,16 @@ import numpy as np
 from .downsample import lttb
 
 
+def _qint(query, key, default):
+    """Parse a numeric query param robustly: the JS timeline sends
+    fractional microsecond values (scrub/playback interpolation), and
+    int("...5") would 500 every poll while scrubbing."""
+    try:
+        return int(float(query.get(key, default)))
+    except (TypeError, ValueError):
+        return int(default)
+
+
 def _finite(o):
     """NaN/Inf are not valid JSON (browser JSON.parse rejects the bare
     tokens json.dumps emits) — map them to null, which plots render as a
@@ -92,9 +102,9 @@ def register_routes(routes: dict, db) -> None:
         c = _find(name)
         if c is None:
             return 404, "text/plain", f"unknown component {name}".encode()
-        start = int(query.get("start_us", -(2**62)))
-        stop = int(query.get("stop_us", 2**62))
-        max_points = max(16, min(4000, int(query.get("max_points", 600))))
+        start = _qint(query, "start_us", -(2**62))
+        stop = _qint(query, "stop_us", 2**62)
+        max_points = max(16, min(4000, _qint(query, "max_points", 600)))
         with db.lock:
             ts, vals = c.range(start, stop)
             ts = np.asarray(ts).copy()
@@ -157,10 +167,14 @@ def register_routes(routes: dict, db) -> None:
 
     def api_msgs(path, query):
         mid_hex = query.get("id", "")
-        limit = max(1, min(500, int(query.get("limit", 50))))
-        start = int(query.get("start_us", 0))
+        limit = max(1, min(500, _qint(query, "limit", 50)))
+        start = _qint(query, "start_us", 0)
+        try:
+            mid = bytes.fromhex(mid_hex)
+        except ValueError:
+            return 404, "text/plain", b"unknown msg log"
         with db.lock:
-            log = db.msg_logs.get(bytes.fromhex(mid_hex))
+            log = db.msg_logs.get(mid)
             if log is None:
                 return 404, "text/plain", b"unknown msg log"
             entries = [e for e in log.entries if e[0] >= start][-limit:]
@@ -726,6 +740,9 @@ function initTimeline() {
   document.getElementById("livebtn").onclick = () => setLive(true);
   document.getElementById("playbtn").onclick = () => {
     if (live) { live = false; scrubUs = dbSpan[0]; }
+    // restart from the beginning when play is pressed at the end —
+    // otherwise the 100ms tick immediately re-clears `playing`
+    if (scrubUs != null && scrubUs >= dbSpan[1]) scrubUs = dbSpan[0];
     document.getElementById("livebtn").classList.remove("on");
     playing = !playing;
     updatePlayBtn();

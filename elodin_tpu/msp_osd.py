@@ -40,6 +40,11 @@ def crc8_dvb_s2(data: bytes) -> int:
 def encode_msp_v1(cmd: int, payload: bytes) -> bytes:
     """``$M>`` + size + cmd + payload + xor checksum
     (displayport.rs:69-91)."""
+    if len(payload) > 255:
+        raise ValueError(
+            f"MSP v1 payload is {len(payload)} bytes (max 255) — a masked "
+            "size byte would desync the VTX parser"
+        )
     out = bytearray(b"$M>")
     out.append(len(payload) & 0xFF)
     out.append(cmd & 0xFF)
@@ -331,7 +336,23 @@ class MspOsdService:
         try:
             while max_frames is None or frames < max_frames:
                 t0 = time.monotonic()
+                if client is None:
+                    # DB restarted: keep trying to reattach (the reference
+                    # db_client loop reconnects) while the OSD renders the
+                    # stale state with the link-down flag
+                    try:
+                        client = Client.connect(self.db_addr)
+                    except Exception:  # noqa: BLE001
+                        client = None
                 self.step(client)
+                if not self.state.db_connected and client is not None:
+                    # connection went dead mid-flight: drop it so the next
+                    # frame reconnects instead of polling a dead socket
+                    try:
+                        client.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    client = None
                 frames += 1
                 time.sleep(max(0.0, period - (time.monotonic() - t0)))
         except KeyboardInterrupt:

@@ -120,6 +120,11 @@ def print_db_status(addr: str) -> bool:
             more = ", …" if s.values.size > 6 else ""
             _row("purple", s.name, f"[{body}{more}]")
         return True
+    except Exception as e:  # noqa: BLE001
+        # connected but the exchange died (shutdown race, old server):
+        # report, don't crash the status banner with a traceback
+        _row("purple", "DB", f"unreachable mid-query at {addr}: {e}")
+        return False
     finally:
         client.close()
 

@@ -37,6 +37,7 @@ def main(argv=None):
     sock.bind((host, int(port)))
     if args.timeout:
         sock.settimeout(args.timeout)
+    print(f"listening on {args.listen}", flush=True)  # readiness signal
 
     client = Client.connect(args.db_addr)
     writers: dict[str, object] = {}

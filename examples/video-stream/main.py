@@ -90,8 +90,31 @@ def stream_frames(addr: str, n_frames: int = 60, retries: int = 40) -> int:
     period_us = int(1_000_000 / FRAME_HZ)
     for i in range(n_frames):
         client.send_msg(STREAM_NAME, make_frame(i), timestamp_us=t0 + i * period_us)
+        # pace at FRAME_HZ like a real encoder — a burst would defeat the
+        # live-tail path the example demonstrates
+        if not os.environ.get("ELODIN_SKIP_RUN"):
+            time.sleep(1.0 / FRAME_HZ)
     client.close()
     return n_frames
+
+
+def tail_frames(addr: str, n_frames: int = 10) -> int:
+    """Consumer: tail the live frame stream (the editor's video pane role)
+    via a TimestampedMsgStream subscription."""
+    from elodin_tpu.db import Client
+
+    client = Client.connect(addr)
+    got = 0
+    try:
+        with client.timestamped_msg_stream(STREAM_NAME) as stream:
+            for _ts, data in stream:
+                got += 1
+                print(f"frame {got}: {len(data)} bytes", flush=True)
+                if got >= n_frames:
+                    break
+    finally:
+        client.close()
+    return got
 
 
 def world() -> el.World:
@@ -127,4 +150,13 @@ if __name__ == "__main__":
     threading.Thread(
         target=stream_frames, args=("127.0.0.1:2240",), daemon=True
     ).start()
+
+    def _tail():
+        time.sleep(1.0)  # wait for serve + producer attach
+        try:
+            tail_frames("127.0.0.1:2240")
+        except Exception:  # headless runs may exit before frames arrive
+            pass
+
+    threading.Thread(target=_tail, daemon=True).start()
     world().run(system(), simulation_rate=1.0 / SIM_TIME_STEP)

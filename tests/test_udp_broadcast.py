@@ -40,7 +40,12 @@ def test_broadcast_between_two_dbs(tmp_path):
              "--timeout", "10"],
             cwd=EX, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        time.sleep(0.5)  # let the receiver bind
+        # wait for the receiver's readiness line instead of a fixed sleep:
+        # under load (parallel test runs on this 1-core box) python startup
+        # can exceed any fixed delay and the broadcast would finish before
+        # the socket binds
+        line = recv.stdout.readline()
+        assert "listening" in line, line
         bcast = subprocess.run(
             [sys.executable, "broadcast.py",
              "--db-addr", src.addr,
