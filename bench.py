@@ -189,6 +189,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["nbody_error"] = str(e)
 
+    if os.environ.get("BENCH_DIFF", "1") != "0":
+        try:
+            df = bench_diff_rollout()
+            result["diff_grad_rollout_ms"] = round(df["grad_ms"], 3)
+            result["diff_grad_ticks"] = df["ticks"]
+        except Exception as e:  # noqa: BLE001
+            result["diff_error"] = str(e)
+
     if os.environ.get("BENCH_VERIFY", "1") != "0":
         try:
             result.update(bench_verify())
@@ -265,6 +273,52 @@ def bench_verify(ticks: int = 100) -> dict:
     out["f64_vs_cpu_ticks"] = ticks
     assert worst <= 1e-6, f"TPU-vs-CPU trajectory mismatch: {worst}"
     return out
+
+
+def bench_diff_rollout(ticks: int = 504, reps: int = 20) -> dict:
+    """Reverse-mode gradient through a full rollout (beyond-reference:
+    el.rollout + jax.grad through every RK4 tick of the orbit-retarget
+    example) — the cost of ONE optimizer step of trajectory optimization."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from elodin_tpu.diff import entity_row
+
+    mod = _load_example("orbit-retarget", "main")
+    import elodin_tpu as el
+
+    w = mod.build_world()
+    roll = el.rollout(w, el.six_dof(sys=mod.gravity), ticks,
+                      outputs=("world_pos",),
+                      simulation_rate=1.0 / mod.SIM_TIME_STEP)
+    row = entity_row(roll.meta, "world_pos", "craft")
+    v_col0 = roll.initial_state["world_vel"]
+    target = jnp.array([0.0, 1.4, 0.0])
+
+    def loss(v0):
+        final = roll({"world_vel": v_col0.at[row, 3:].set(v0)})
+        return jnp.sum((final["world_pos"][row, 4:] - target) ** 2)
+
+    # time K dependent value_and_grad steps inside one jitted scan (the
+    # axon tunnel makes per-call timing unreliable; host read = true sync)
+    def many(v0):
+        def body(v, _):
+            _, g = jax.value_and_grad(loss)(v)
+            return v - 1e-3 * g, None
+        out, _ = jax.lax.scan(body, v0, None, length=reps)
+        return out
+
+    fn = jax.jit(many)
+    v0 = jnp.array([0.0, 1.0, 0.0])
+    _ = np.asarray(fn(v0))
+    t0 = time.perf_counter()
+    out = np.asarray(fn(v0))
+    dt = (time.perf_counter() - t0) / reps
+    assert np.isfinite(out).all()
+    return {"grad_ms": dt * 1e3, "ticks": ticks}
 
 
 def bench_batched_rocket(n_rockets: int = 1024, ticks: int = 240) -> dict:
