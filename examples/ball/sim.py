@@ -80,8 +80,11 @@ def apply_drag(w: Wind, v: el.WorldVel, f: el.Force) -> el.Force:
     rho = 1.225
     speed = la.norm(rel)
     area = 2 * 3.1415 * BALL_RADIUS**2
-    drag = 0.5 * cd * rho * speed**2 * area
-    return el.SpatialForce(linear=f.force() + drag * rel / speed)
+    # speed * rel == speed^2 * rel_hat with no division: rel = 0 (wind
+    # matching velocity exactly) stays 0 instead of 0/0 = NaN poisoning
+    # the state; torque passes through (gravity may have contributed)
+    drag_force = 0.5 * cd * rho * area * speed * rel
+    return f + el.SpatialForce(linear=drag_force)
 
 
 def system() -> el.System:

@@ -27,6 +27,11 @@ def main():
             if "ball.world_pos" in comps:
                 break
             time.sleep(0.25)
+        else:
+            raise SystemExit(
+                "timed out waiting for ball.world_pos telemetry — did the "
+                "sim fail to start?"
+            )
         print("components:", sorted(comps)[:6], "...")
 
         sample = client.latest("ball.world_pos")
@@ -45,8 +50,10 @@ def main():
         time.sleep(0.3)
         print("wrote ground.station_temp:", client.latest("ground.station_temp").values)
 
-        # editor-grade downsample query: LTTB sparkline
-        ts_s, vals_s = client.sparkline("ball.world_pos", 32)
+        # editor-grade downsample query: LTTB sparkline (a scalar series —
+        # sparkline plots element 0, and world_pos element 0 is the
+        # constant quaternion-x, a degenerate demo)
+        ts_s, vals_s = client.sparkline("ground.station_temp", 32)
         print(f"sparkline: {len(ts_s)} points, last value {vals_s[-1]:.3f}")
 
         # downsampled element window (plot panel initial load)

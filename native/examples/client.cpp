@@ -4,9 +4,9 @@
 // Build:  g++ -std=c++20 -O2 -I../include client.cpp -o client
 // Run:    ./client <port> [rows]
 
-#include <chrono>
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
 
 #include "elodin_db.hpp"
 

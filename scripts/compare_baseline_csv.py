@@ -33,9 +33,17 @@ def main():
 
     tol = {"value": {"abs": 1e-4, "rel": 1e-4}}
     if args.tolerances and os.path.exists(args.tolerances):
-        tol.update(json.load(open(args.tolerances)))
-    abs_tol = tol["value"]["abs"]
-    rel_tol = tol["value"]["rel"]
+        # deep-merge so a partial override ({"value": {"abs": ...}}) keeps
+        # the other default instead of KeyError'ing; per-column entries
+        # ({"ball.wind": {...}}) override the global "value" tolerance
+        for k, v in json.load(open(args.tolerances)).items():
+            merged = dict(tol.get(k) or tol["value"])
+            merged.update(v if isinstance(v, dict) else {})
+            tol[k] = merged
+
+    def tols_for(col):
+        t = tol.get(col, tol["value"])
+        return t.get("abs", tol["value"]["abs"]), t.get("rel", tol["value"]["rel"])
 
     failures = []
     baselines = [f for f in os.listdir(args.baseline_dir) if f.endswith(".csv")]
@@ -50,8 +58,14 @@ def main():
             continue
         act = load_csv(actual_path)
         for col in base:
-            if col == "time" or col not in act:
+            if col == "time":
                 continue
+            if col not in act:
+                # a vanished column is a regression, not a skip — renamed
+                # or dropped telemetry must not pass the gate silently
+                failures.append(f"{fname}:{col}: column missing from export")
+                continue
+            abs_tol, rel_tol = tols_for(col)
             b, a = base[col], act[col]
             n = min(len(b), len(a))
             if len(b) != len(a):
@@ -59,6 +73,13 @@ def main():
             for i in range(n):
                 if math.isnan(b[i]) and math.isnan(a[i]):
                     continue
+                if math.isnan(b[i]) != math.isnan(a[i]):
+                    # nan-vs-number: abs(nan - x) > tol is False, so this
+                    # (the worst divergence) used to pass silently
+                    failures.append(
+                        f"{fname}:{col}[{i}]: {a[i]} vs baseline {b[i]} (NaN)"
+                    )
+                    break
                 d = abs(b[i] - a[i])
                 scale = max(abs(b[i]), abs(a[i]))
                 if d > abs_tol and (scale == 0 or d / scale > rel_tol):

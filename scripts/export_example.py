@@ -39,10 +39,18 @@ def main():
         system = mod.build_system()
     elif hasattr(mod, "world"):
         w = mod.world()
+        if isinstance(w, tuple):  # (world, entity_id) pattern (ellipsoid)
+            w = w[0]
         system = mod.system()
     else:  # module-level world + system (e.g. three-body)
         w = mod.w
-        system = getattr(mod, "sys", None) or mod.system
+        system = getattr(mod, "sys", None)
+        import types
+
+        if system is None or isinstance(system, types.ModuleType):
+            # a plain `import sys` in the example must not be mistaken
+            # for the simulation system
+            system = mod.system
 
     exec_ = w.build(system, simulation_rate=rate)
     exec_.run(ticks)
