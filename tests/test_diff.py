@@ -162,3 +162,45 @@ def test_neural_hover_trains():
     miss, speed = mod.evaluate(params)
     assert miss < 0.6, miss
     assert speed < 2.0, speed
+
+
+def test_system_identification_gravity_parameter():
+    """Parameter gradients through physics: recover the central body's
+    gravitational parameter (an INERTIA column override) from an observed
+    trajectory by gradient descent — the system-identification use case."""
+    import elodin as el
+    import optax
+
+    from elodin_tpu.diff import entity_row
+
+    mod = load_orbit()
+    w = mod.build_world()
+    roll = el.rollout(
+        w, el.six_dof(sys=mod.gravity), 120,
+        outputs=("world_pos",), record=True,
+        simulation_rate=1.0 / mod.SIM_TIME_STEP,
+    )
+    crow = entity_row(roll.meta, "inertia", "center")
+    prow = entity_row(roll.meta, "world_pos", "craft")
+    inertia0 = roll.initial_state["inertia"]
+
+    def traj(mu):
+        # spatial-inertia column layout [ixx,iyy,izz, px,py,pz, m]:
+        # mass is element 6
+        col = inertia0.at[crow, 6].set(mu)
+        return roll({"inertia": col})["world_pos"][:, prow, 4:]
+
+    observed = traj(jnp.float64(1.0))  # ground truth mu = 1
+
+    def loss(mu):
+        return jnp.mean((traj(mu) - observed) ** 2)
+
+    mu = jnp.float64(0.7)  # 30% wrong initial guess
+    opt = optax.adam(2e-2)
+    state = opt.init(mu)
+    vg = jax.jit(jax.value_and_grad(loss))
+    for _ in range(120):
+        _, g = vg(mu)
+        updates, state = opt.update(g, state)
+        mu = optax.apply_updates(mu, updates)
+    assert abs(float(mu) - 1.0) < 1e-3, float(mu)
