@@ -91,6 +91,14 @@ class _Parser:
         if kind != "op" or val != op:
             raise ValueError(f"EQL: expected {op!r}, got {val!r}")
 
+    def expect_eof(self):
+        kind, val = self.peek()
+        if kind is not None:
+            # trailing garbage after a complete expression must not be
+            # silently ignored ('rocket.mach 2' is a malformed query,
+            # not a query for rocket.mach)
+            raise ValueError(f"EQL: unexpected trailing input at {val!r}")
+
     # expr := term (('+'|'-') term)*
     def expr(self):
         node = self.term()
@@ -519,7 +527,9 @@ class Context:
         return v
 
     def query(self, text: str) -> Series:
-        node = _Parser(text).expr()
+        p = _Parser(text)
+        node = p.expr()
+        p.expect_eof()
         out = self.eval(node)
         return self._resolve(out) if not isinstance(out, Series) else out
 
@@ -565,10 +575,17 @@ class _SqlCompiler:
         return None
 
     def _resolve(self, node):
-        """-> (store, element_index|None) for a path node, else None."""
+        """-> (store, element_index|None) for a path node.
+
+        Raises ValueError (the documented not-SQL-expressible signal, so
+        callers' eql() fallbacks engage) for computed expressions and for
+        unknown components alike."""
         path = self._path_of(node)
         if path is None:
-            return None
+            raise ValueError(
+                "EQL->SQL: norm()/indexing of a computed expression is "
+                "not SQL-expressible"
+            )
         store = self.db.by_name(path)
         if store is not None:
             return store, None
@@ -579,7 +596,7 @@ class _SqlCompiler:
                 labels = (store.metadata.get("element_names") or "").split(",")
                 if label in labels:
                     return store, labels.index(label)
-        raise KeyError(f"component {path!r} not found")
+        raise ValueError(f"component {path!r} not found")
 
     def compile(self, node) -> str:
         kind = node[0]
@@ -610,6 +627,11 @@ class _SqlCompiler:
                 store, idx = self._resolve(target)
                 cols = self._elem_cols(store)
                 t = self._table(store)
+                if idx is not None:
+                    # norm() of a single selected element is |x| — summing
+                    # over ALL element columns would silently disagree
+                    # with the numpy evaluator
+                    return f'abs("{t}"."{cols[idx]}")'
                 terms = " + ".join(
                     f'"{t}"."{c}" * "{t}"."{c}"' for c in cols
                 )
@@ -635,7 +657,9 @@ class _SqlCompiler:
 def to_sql(db: Database, text: str, label: str = "value") -> str:
     """Compile an EQL expression to a SQL query over the component tables
     (joined on time when it spans several components)."""
-    node = _Parser(text).expr()
+    p = _Parser(text)
+    node = p.expr()
+    p.expect_eof()
     c = _SqlCompiler(db)
     expr = c.compile(node)
     if not c.tables:
@@ -656,4 +680,24 @@ def eql_sql(db: Database, text: str):
     expression uses non-SQL formulas)."""
     from .sql import run_sql
 
-    return run_sql(db, to_sql(db, text))
+    try:
+        sql = to_sql(db, text)
+    except ValueError:
+        # non-SQL-expressible formula (fft, time_slice, rotate_*, computed
+        # norms): evaluate with the numpy path and present the same shape
+        import pyarrow as pa
+
+        s = eql(db, text)
+        import numpy as _np
+
+        vals = _np.asarray(s.values)
+        cols = {"time": pa.array(_np.asarray(s.time, dtype="<i8"),
+                                 type=pa.timestamp("us"))}
+        if vals.ndim == 1:
+            cols[s.label] = pa.array(vals)
+        else:
+            for i in range(vals.shape[1]):
+                cols[f"{s.label}[{i}]"] = pa.array(vals[:, i])
+        return pa.table(cols)
+
+    return run_sql(db, sql)

@@ -145,6 +145,14 @@ class Reader:
         return v
 
     def raw(self, n: int) -> bytes:
+        if n > len(self.data) - self.pos:
+            # a truncated/corrupt frame must fail the decode, not hand
+            # back a silently-shortened payload (u8/f32 paths already
+            # raise on overrun — raw/bytes_/string were the exception)
+            raise ValueError(
+                f"postcard: {n} bytes declared, "
+                f"{len(self.data) - self.pos} remain"
+            )
         v = self.data[self.pos : self.pos + n]
         self.pos += n
         return bytes(v)

@@ -141,16 +141,23 @@ class _SqlEngine:
 
 
 _ASOF_RE = re.compile(
+    # an explicit DataFusion-style `ON a.time >= b.time` clause is accepted
+    # and consumed: the engine always applies nearest-predecessor-on-time
+    # semantics, and leaving the user clause in place would emit TWO ON
+    # clauses (a sqlite syntax error)
     r"\bASOF\s+JOIN\s+(?P<table>[A-Za-z0-9_]+)(?:\s+(?:AS\s+)?"
     r"(?P<alias>(?!ON\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|USING\b)"
-    r"[A-Za-z0-9_]+))?",
-    re.IGNORECASE,
+    r"[A-Za-z0-9_]+))?"
+    r"(?:\s+ON\s+(?P<on>.*?))?"
+    r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|LEFT|JOIN|ASOF)\b|\s*;|\s*$)",
+    re.IGNORECASE | re.DOTALL,
 )
 
 _FFT_RE = re.compile(
-    r"\bfft\s*\(\s*(?P<col>[A-Za-z0-9_\.]+)\s*\)|"
+    r"(?:\bfft\s*\(\s*(?P<col>[A-Za-z0-9_\.]+)\s*\)|"
     r"\bfftfreq\s*\(\s*(?P<fcol>[A-Za-z0-9_\.]+)\s*"
-    r"(?:,\s*(?P<rate>[0-9eE\.\+\-]+))?\s*\)",
+    r"(?:,\s*(?P<rate>[0-9eE\.\+\-]+))?\s*\))"
+    r"(?:\s+AS\s+(?P<alias>[A-Za-z0-9_]+))?",
     re.IGNORECASE,
 )
 
@@ -186,6 +193,17 @@ def _base_table(query: str) -> str | None:
 
 
 def run_sql(db, query: str) -> pa.Table:
+    # explicit allow-list: PRAGMA query_only stops writes to the mirror,
+    # but e.g. ATTACH DATABASE can still create files on disk — only
+    # read-only query forms may run at all
+    head = re.match(r"\s*([A-Za-z]+)", query or "")
+    if not head or head.group(1).upper() not in (
+        "SELECT", "WITH", "EXPLAIN", "VALUES",
+    ):
+        raise ValueError(
+            "SQL error: only read-only queries (SELECT/WITH/EXPLAIN) are "
+            "allowed"
+        )
     engine: _SqlEngine | None = getattr(db, "_sql_engine", None)
     if engine is None:
         engine = _SqlEngine()
@@ -197,16 +215,19 @@ def run_sql(db, query: str) -> pa.Table:
     fft_specs: list[tuple[str, str, str, float | None]] = []
 
     def note_fft(m: re.Match) -> str:
+        # the raw signal is selected AS the spec's label (honoring a
+        # user-provided `AS alias`), so the post-pass can find its column
+        # by result name even through aliased projections
         if m.group("col"):
             col = m.group("col")
-            fft_specs.append(("fft", col, f"fft_{col.split('.')[-1]}", None))
+            label = m.group("alias") or f"fft_{col.split('.')[-1]}"
+            fft_specs.append(("fft", col, label, None))
         else:
             col = m.group("fcol")
             rate = float(m.group("rate")) if m.group("rate") else None
-            fft_specs.append(
-                ("fftfreq", col, f"fftfreq_{col.split('.')[-1]}", rate)
-            )
-        return col
+            label = m.group("alias") or f"fftfreq_{col.split('.')[-1]}"
+            fft_specs.append(("fftfreq", col, label, rate))
+        return f"{col} AS {label}"
 
     rewritten = _FFT_RE.sub(note_fft, query)
     rewritten = _rewrite_asof(rewritten, _base_table(rewritten))
@@ -215,6 +236,8 @@ def run_sql(db, query: str) -> pa.Table:
         engine.conn.execute("PRAGMA query_only=ON")
         try:
             cur = engine.conn.execute(rewritten)
+            if cur.description is None:  # BEGIN/PRAGMA: no result set
+                return pa.table({"empty": pa.array([])})
             names = [d[0] for d in cur.description]
             rows = cur.fetchall()
         except sqlite3.Error as e:
@@ -222,23 +245,41 @@ def run_sql(db, query: str) -> pa.Table:
         finally:
             engine.conn.execute("PRAGMA query_only=OFF")
 
+    # joins can project same-named columns from two tables; keying a dict
+    # by raw name would silently drop all but the last — suffix duplicates
+    seen: dict[str, int] = {}
+    uniq_names = []
+    for name in names:
+        k = seen.get(name, 0)
+        seen[name] = k + 1
+        uniq_names.append(name if k == 0 else f"{name}_{k + 1}")
+
     columns: dict[str, pa.Array] = {}
     data = list(zip(*rows)) if rows else [[] for _ in names]
-    for name, values in zip(names, data):
-        if name == "time" or name.endswith(".time"):
+    for orig, name, values in zip(names, uniq_names, data):
+        if orig == "time" or orig.endswith(".time"):
+            # ASOF LEFT JOIN yields NULL times for rows preceding every
+            # right-side row — keep them as nulls, don't TypeError
             columns[name] = pa.array(
-                np.asarray(values, dtype=np.int64), type=pa.timestamp("us")
+                [None if v is None else int(v) for v in values],
+                type=pa.timestamp("us"),
             )
         else:
             columns[name] = pa.array(list(values))
 
     if fft_specs:
         out: dict[str, pa.Array] = {}
+        consumed = set()
         for kind, col, label, rate in fft_specs:
-            key = col.split(".")[-1]
-            src = columns.get(col) or columns.get(key)
+            # the raw signal was projected AS the label (see note_fft) —
+            # look it up by result name; `is None` because an empty
+            # pyarrow array is falsy and a zero-row result is still valid
+            src = columns.get(label)
+            if src is None:
+                src = columns.get(col.split(".")[-1])
             if src is None:
                 raise ValueError(f"fft source column {col!r} not in result")
+            consumed.add(label)
             sig = np.asarray(src.to_pylist(), dtype=np.float64)
             if kind == "fft":
                 out[label] = pa.array(np.abs(np.fft.rfft(sig)))
@@ -253,8 +294,7 @@ def run_sql(db, query: str) -> pa.Table:
                 out[label] = pa.array(np.fft.rfftfreq(len(sig), d=1.0 / rate))
         # keep any non-fft projections alongside
         for name, arr in columns.items():
-            if all(name != spec[1] and name != spec[1].split(".")[-1]
-                   for spec in fft_specs):
+            if name not in consumed and name not in out:
                 out[name] = arr
         n_max = max(len(a) for a in out.values())
         out = {

@@ -2106,3 +2106,67 @@ def test_merge_overlapping_sources_sorted(tmp_path):
     # range query behaves on the merged result
     rts, rv = store.range(150, 450)
     assert list(rts) == [200, 300, 400]
+
+
+def test_sql_asof_explicit_on_duplicates_and_nulls():
+    """Regression bundle for the SQL layer: DataFusion-style ASOF ON
+    clauses, duplicate join column names, NULL times from the LEFT JOIN,
+    aliased fft projections, no-result statements, and the read-only
+    allow-list."""
+    from elodin_tpu.db.sql import run_sql
+    from elodin_tpu.db.storage import Database
+    from elodin_tpu.db.vtable import component_id_of
+
+    db = Database()
+    a = db.get_or_create(component_id_of("a.x"), "f64", (), "a_x")
+    b = db.get_or_create(component_id_of("b.x"), "f64", (), "b_x")
+    for t in (0, 100, 200):
+        a.append(t, np.float64(t))
+    for t in (150, 250):
+        b.append(t, np.float64(t * 10))
+
+    # explicit ON clause (the docstring form) used to emit two ON clauses
+    t1 = run_sql(db, "SELECT a_x.time, a_x.a_x, b_x.b_x FROM a_x "
+                     "ASOF JOIN b_x ON a_x.time >= b_x.time")
+    assert t1.num_rows == 3
+    # rows before any b row carry NULL (used to TypeError on None->int64)
+    t2 = run_sql(db, "SELECT a_x.time, b_x.time, b_x.b_x FROM a_x ASOF JOIN b_x")
+    assert t2.column_names == ["time", "time_2", "b_x"]  # no silent collapse
+    assert t2["time_2"].to_pylist()[0] is None
+    # aliased fft projection
+    t3 = run_sql(db, "SELECT fft(a_x) AS spectrum FROM a_x")
+    assert t3.column_names == ["spectrum"]
+    # statements without result sets / writes are rejected up front
+    for evil in ("BEGIN", "ATTACH DATABASE '/tmp/x.db' AS pwn", "PRAGMA foo"):
+        with pytest.raises(ValueError):
+            run_sql(db, evil)
+
+
+def test_eql_sql_parity_and_fallback():
+    from elodin_tpu.db.eql import eql, eql_sql
+    from elodin_tpu.db.storage import Database
+    from elodin_tpu.db.vtable import component_id_of
+
+    db = Database()
+    v = db.get_or_create(component_id_of("veh.pos"), "f64", (3,), "veh.pos")
+    v.metadata["element_names"] = "x,y,z"
+    for t in range(10):
+        v.append(t * 1000, np.array([t, -2.0 * t, 0.5]))
+
+    # norm() of a selected element is |x|, matching the numpy path
+    tb = eql_sql(db, "veh.pos.y.norm()")
+    col = [c for c in tb.column_names if c != "time"][0]
+    np.testing.assert_allclose(tb[col].to_pylist(),
+                               np.asarray(eql(db, "veh.pos.y.norm()").values))
+    # non-SQL formulas fall back to the numpy evaluator (docstring contract)
+    assert eql_sql(db, "veh.pos.x.fft()").num_rows > 0
+    assert eql_sql(db, "(veh.pos.x + veh.pos.y).norm()").num_rows == 10
+    # trailing garbage is a parse error, not a silent partial parse
+    with pytest.raises(ValueError):
+        eql(db, "veh.pos.x 2")
+
+
+def test_postcard_reader_truncated_bytes_raises():
+    r = Reader(b"\x05ab")  # declares 5 bytes, 2 remain
+    with pytest.raises(ValueError):
+        r.bytes_()
