@@ -30,6 +30,10 @@ class Connection:
         self.vtables: dict[bytes, VTable] = {}
         self.stream_tasks: list[asyncio.Task] = []
         self.sub_queues: list[asyncio.Queue] = []
+        # per-CONNECTION replay-stream states: ids are client-chosen (each
+        # client counts 1..255), so a server-global dict would let one
+        # connection's SetStreamState seek another's replay
+        self.stream_states: dict[int, dict] = {}
         self.msg_subs: set[bytes] = set()
         self.send_lock = asyncio.Lock()
         self.silent = False  # ConnectionSettings{silent}: suppress replies
@@ -58,9 +62,13 @@ class Connection:
                     n = int.from_bytes(buf[pos : pos + 4], "little")
                     if len(buf) - pos - 4 < n:
                         break
-                    pkt = M.parse_packet(bytes(buf[pos + 4 : pos + 4 + n]))
+                    raw_pkt = bytes(buf[pos + 4 : pos + 4 + n])
                     pos += 4 + n
+                    pkt = None
                     try:
+                        # parse INSIDE the guard: a runt frame (n < header
+                        # size) must not tear down the whole connection
+                        pkt = M.parse_packet(raw_pkt)
                         if pkt.ty == M.TY_TABLE:
                             if pending_tables and pending_tables[0].id != pkt.id:
                                 self.handle_table_batch(pending_tables)
@@ -79,7 +87,9 @@ class Connection:
                         # report and keep serving
                         try:
                             await self.send(
-                                M.ErrorResponse(str(e)).packet(pkt.req_id)
+                                M.ErrorResponse(str(e)).packet(
+                                    pkt.req_id if pkt is not None else 0
+                                )
                             )
                         except Exception:  # noqa: BLE001
                             pass
@@ -100,7 +110,14 @@ class Connection:
             for q in self.sub_queues:
                 self.server.remove_subscriber(q)
             for subs in self.server.vtable_stream_subs.values():
-                subs[:] = [s for s in subs if s[0] is not self]
+                for s in subs:
+                    if getattr(s[0], "owner", None) is self:
+                        getattr(s[0], "close", lambda: None)()
+                subs[:] = [
+                    s for s in subs
+                    if s[0] is not self
+                    and getattr(s[0], "owner", None) is not self
+                ]
             self.server.follow_all_msgs[:] = [
                 s for s in self.server.follow_all_msgs if s[0] is not self
             ]
@@ -250,7 +267,7 @@ class Connection:
                 "frequency": msg.behavior.frequency,
                 "initial": msg.behavior.initial_timestamp,
             }
-            self.server.stream_states[msg.id] = state
+            self.stream_states[msg.id] = state
             task = asyncio.ensure_future(
                 self._replay_loop(msg, state, req_id)
             )
@@ -269,10 +286,12 @@ class Connection:
         (libs/db/src/vtable_stream.rs fixed-rate path + SetStreamState
         dispatch)."""
         if state["initial"] == "latest":
-            ts = max(
-                (int(s.timestamps[s.len - 1]) for s in self.db.components.values() if s.len),
-                default=0,
-            )
+            with self.db.lock:
+                ts = max(
+                    (int(s.timestamps[s.len - 1])
+                     for s in self.db.components.values() if s.len),
+                    default=0,
+                )
         elif isinstance(state["initial"], int):
             ts = state["initial"]
         else:
@@ -330,7 +349,7 @@ class Connection:
             await asyncio.sleep(period)
 
     async def on_SetStreamState(self, msg: M.SetStreamState, req_id: int) -> None:
-        state = self.server.stream_states.get(msg.id)
+        state = self.stream_states.get(msg.id)
         if state is None:
             return
         if msg.playing is not None:
@@ -344,10 +363,12 @@ class Connection:
 
     async def on_SubscribeLastUpdated(self, msg, req_id: int) -> None:
         self.server.last_updated_subs.append((self, req_id))
-        ts = max(
-            (int(s.timestamps[s.len - 1]) for s in self.db.components.values() if s.len),
-            default=0,
-        )
+        with self.db.lock:
+            ts = max(
+                (int(s.timestamps[s.len - 1])
+                 for s in self.db.components.values() if s.len),
+                default=0,
+            )
         await self.send(M.LastUpdated(ts).packet(req_id))
 
     async def on_SetDbConfig(self, msg: M.SetDbConfig, req_id: int) -> None:
@@ -392,7 +413,8 @@ class Connection:
 
     async def _stream_loop(self, msg: M.Stream, req_id: int,
                            queue: asyncio.Queue,
-                           initial_sent: dict | None = None) -> None:
+                           initial_sent: dict | None = None,
+                           follow_all: bool = False) -> None:
         """Real-time: push EVERY row committed after the subscribe point,
         per component, each packet preceded (once) by that component's
         vtable (libs/db/src/vtable_stream.rs — the reference streams the
@@ -402,11 +424,16 @@ class Connection:
         FollowStream passes the exact row counts its history replay
         covered so no commit in between is lost or duplicated."""
         sent_vts: dict[int, bytes] = {}  # cid -> vtable id
+        vt_owner: dict[int, int] = {}  # vt low byte -> cid (reuse eviction)
         sent_len: dict[int, int] = dict(initial_sent or {})
-        # start from "now": only rows committed after subscribing stream
-        with self.db.lock:
-            for cid, c in self.db.components.items():
-                sent_len.setdefault(cid, c.len)
+        if not follow_all:
+            # start from "now": only rows committed after subscribing
+            # (FollowStream instead replicates EVERY component from row 0
+            # unless its watermark says otherwise — a component created
+            # during the history replay must not lose its first rows)
+            with self.db.lock:
+                for cid, c in self.db.components.items():
+                    sent_len.setdefault(cid, c.len)
         while True:
             component_ids, ts = await queue.get()
             for cid in component_ids:
@@ -424,7 +451,16 @@ class Connection:
                 vt_id = sent_vts.get(cid)
                 if vt_id is None:
                     self._vt_counter = getattr(self, "_vt_counter", 0) + 1
-                    vt_id = bytes([2, self._vt_counter & 0xFF])
+                    low = self._vt_counter & 0xFF
+                    # the wire id space is one byte: when the counter wraps
+                    # past 256 live components, evict the previous owner of
+                    # this id so its next row re-registers a fresh vtable
+                    # instead of the receiver misdecoding it
+                    prev = vt_owner.get(low)
+                    if prev is not None and prev != cid:
+                        sent_vts.pop(prev, None)
+                    vt_owner[low] = cid
+                    vt_id = bytes([2, low])
                     pad = (-8) % c.dtype.itemsize
                     vt = build_table_vtable(
                         [(c.name or f"{cid:016x}", c.prim, c.shape,
@@ -490,22 +526,24 @@ class Connection:
             )
 
     async def on_DumpMetadata(self, msg, req_id: int) -> None:
-        comps = [
-            M.ComponentMetadata(s.component_id, s.name or "", s.metadata)
-            for s in self.db.components.values()
-        ]
-        msg_meta = [
-            log.metadata
-            for log in self.db.msg_logs.values()
-            if isinstance(log.metadata, M.MsgMetadata)
-        ]
+        with self.db.lock:  # get_or_create inserts from other threads
+            comps = [
+                M.ComponentMetadata(s.component_id, s.name or "", s.metadata)
+                for s in self.db.components.values()
+            ]
+            msg_meta = [
+                log.metadata
+                for log in self.db.msg_logs.values()
+                if isinstance(log.metadata, M.MsgMetadata)
+            ]
         await self.send(M.DumpMetadataResp(comps, msg_meta, {}).packet(req_id))
 
     async def on_DumpSchema(self, msg, req_id: int) -> None:
-        schemas = {
-            s.component_id: M.SchemaMsg(s.prim, s.shape)
-            for s in self.db.components.values()
-        }
+        with self.db.lock:
+            schemas = {
+                s.component_id: M.SchemaMsg(s.prim, s.shape)
+                for s in self.db.components.values()
+            }
         await self.send(M.DumpSchemaResp(schemas).packet(req_id))
 
     async def on_GetEarliestTimestamp(self, msg, req_id: int) -> None:
@@ -529,7 +567,9 @@ class Connection:
 
     async def on_SQLQuery(self, msg: M.SQLQuery, req_id: int) -> None:
         try:
-            table = self.server.sql(msg.query)
+            # off the event loop: a full-table query would otherwise stall
+            # ingest and every live stream for all connections
+            table = await asyncio.to_thread(self.server.sql, msg.query)
             import pyarrow as pa
             import pyarrow.ipc as ipc
             import io
@@ -567,10 +607,19 @@ class Connection:
         host, _, port = msg.addr.rpartition(":")
         sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
         dest = (host or "127.0.0.1", int(port))
+        conn = self
 
         class _UdpSink:
+            # owner marks the connection so the disconnect cleanup (which
+            # filters on the Connection identity) removes this sink and
+            # closes its socket instead of leaking both forever
+            owner = conn
+
             async def send(self, data: bytes) -> None:
                 sock.sendto(data, dest)
+
+            def close(self) -> None:
+                sock.close()
 
         self.server.vtable_stream_subs.setdefault(msg.id, []).append(
             (_UdpSink(), req_id, {})
@@ -595,10 +644,11 @@ class Connection:
         from .sql import sanitize_sql_table_name
 
         store = None
-        for s in self.db.components.values():
-            if sanitize_sql_table_name(s.name or "") == msg.table_name:
-                store = s
-                break
+        with self.db.lock:
+            for s in self.db.components.values():
+                if sanitize_sql_table_name(s.name or "") == msg.table_name:
+                    store = s
+                    break
         if store is None:
             await self.send(
                 M.ErrorResponse(f"table {msg.table_name!r} not found").packet(req_id)
@@ -674,7 +724,7 @@ class Connection:
             "frequency": b.frequency,
             "initial": b.initial_timestamp,
         }
-        self.server.stream_states[msg.fixed_rate.stream_id] = state
+        self.stream_states[msg.fixed_rate.stream_id] = state
         task = asyncio.ensure_future(
             self._msg_replay_loop(msg.msg_id, state, req_id)
         )
@@ -723,6 +773,12 @@ class Connection:
     async def on_FollowStream(self, msg: M.FollowStream, req_id: int) -> None:
         """Unified replication (msgs.rs:760-775): metadata + schemas +
         component history + message history, then live subscription."""
+        # subscribe FIRST: rows committed while the (multi-await) history
+        # send runs must land in our queue, or they are only delivered if
+        # that component happens to be written again later
+        queue: asyncio.Queue = asyncio.Queue(maxsize=4096)
+        self.server.add_subscriber(queue)
+        self.sub_queues.append(queue)
         # metadata + schemas up front
         for s in list(self.db.components.values()):
             await self.send(
@@ -730,10 +786,11 @@ class Connection:
                     s.component_id, s.name or "", s.metadata
                 ).packet(req_id)
             )
-        schemas = {
-            s.component_id: M.SchemaMsg(s.prim, s.shape)
-            for s in self.db.components.values()
-        }
+        with self.db.lock:
+            schemas = {
+                s.component_id: M.SchemaMsg(s.prim, s.shape)
+                for s in self.db.components.values()
+            }
         await self.send(M.DumpSchemaResp(schemas).packet(req_id))
         # historical component rows as one vtable + table per component;
         # record the exact watermark so the live stream resumes where the
@@ -765,14 +822,13 @@ class Connection:
                             int(t).to_bytes(8, "little", signed=True) + data,
                             req_id)
                 )
-        # live from here on (own queue — see on_Stream)
-        queue: asyncio.Queue = asyncio.Queue(maxsize=1024)
-        self.server.add_subscriber(queue)
-        self.sub_queues.append(queue)
+        # live from here on, resuming at the per-component watermark;
+        # follow_all=True so components created during the history send
+        # replicate from row 0 instead of "now"
         task = asyncio.ensure_future(
             self._stream_loop(
                 M.Stream("real-time", id=req_id), req_id, queue,
-                initial_sent=watermark,
+                initial_sent=watermark, follow_all=True,
             )
         )
         self.stream_tasks.append(task)
@@ -780,7 +836,8 @@ class Connection:
 
     async def on_SaveArchive(self, msg: M.SaveArchive, req_id: int) -> None:
         try:
-            self.server.save_archive(msg.path, msg.format)
+            # disk-heavy: run off the event-loop thread
+            await asyncio.to_thread(self.server.save_archive, msg.path, msg.format)
             await self.send(M.ArchiveSaved(msg.path).packet(req_id))
         except Exception as e:  # noqa: BLE001
             await self.send(M.ErrorResponse(str(e)).packet(req_id))
@@ -805,15 +862,22 @@ class _UdpIngest(asyncio.DatagramProtocol):
             pos += 4 + n
             if len(frame_body) < M.PACKET_HEADER_LEN:
                 continue
-            pkt = M.parse_packet(frame_body)
             try:
+                pkt = M.parse_packet(frame_body)
                 if pkt.ty == M.TY_TABLE:
                     # batch runs of same-vtable tables like the TCP path
                     if tables and tables[0].id != pkt.id:
                         self.conn.handle_table_batch(tables)
                         tables = []
                     tables.append(pkt)
-                elif pkt.ty == M.TY_MSG_WITH_TIMESTAMP:
+                    continue
+                # non-table packet: flush pending tables FIRST so wire
+                # order holds — a VTableMsg re-registering a layout must
+                # not apply to tables that preceded it in the datagram
+                if tables:
+                    self.conn.handle_table_batch(tables)
+                    tables = []
+                if pkt.ty == M.TY_MSG_WITH_TIMESTAMP:
                     ts = int.from_bytes(pkt.body[:8], "little", signed=True)
                     self.server.db.msg_log(pkt.id).append(ts, pkt.body[8:])
                     self.server.notify_msg(pkt.id, ts, pkt.body[8:])
@@ -853,7 +917,6 @@ class Server:
         self.addr = addr
         self.subscribers: list[asyncio.Queue] = []
         self.msg_subscribers: dict[bytes, list] = {}
-        self.stream_states: dict[int, dict] = {}
         self.last_updated_subs: list = []
         self.pending_metadata: dict[int, tuple] = {}
         # VTableStream subscribers: vtable id -> [(conn, req_id, mean_state)]

@@ -54,7 +54,16 @@ class SerialBridge:
                 break
             if not chunk:
                 break
-            for frame in self.stream.feed(chunk):
+            try:
+                frames = list(self.stream.feed(chunk))
+            except ValueError:
+                # corrupt/partial COBS frame (mid-stream attach, line
+                # noise): drop buffered bytes and resync at the next
+                # delimiter instead of killing the pump thread forever
+                self.stream = CobsStream()
+                self.dropped_frames = getattr(self, "dropped_frames", 0) + 1
+                continue
+            for frame in frames:
                 if len(frame) < M.PACKET_HEADER_LEN:
                     continue
                 # re-frame with the TCP length prefix and forward verbatim
@@ -89,6 +98,8 @@ class BlackboxDecoder:
         self.vtables: dict[bytes, VTable] = {}
         self.rows = 0
         self.msgs = 0
+        # metadata that arrived before its component's first row
+        self._pending_meta: dict[int, tuple] = {}
 
     def feed_file(self, path: str) -> "BlackboxDecoder":
         stream = CobsStream()
@@ -97,7 +108,14 @@ class BlackboxDecoder:
                 chunk = f.read(1 << 16)
                 if not chunk:
                     break
-                for frame in stream.feed(chunk):
+                try:
+                    frames = list(stream.feed(chunk))
+                except ValueError:
+                    # torn tail / corrupt frame in an SD log that lost
+                    # power mid-write: resync at the next delimiter
+                    stream = CobsStream()
+                    continue
+                for frame in frames:
                     self._handle(frame)
         return self
 
@@ -119,6 +137,9 @@ class BlackboxDecoder:
                 if cid is None or f["ty"] is None:
                     continue
                 store = self.db.get_or_create(cid, f["ty"], f["shape"])
+                pend = self._pending_meta.pop(cid, None)
+                if pend is not None:
+                    store.set_metadata(name=pend[0], metadata=pend[1])
                 ts = f["timestamp"] if f["timestamp"] is not None else default_ts
                 store.append(ts, f["data"])
                 self.rows += 1
@@ -126,6 +147,19 @@ class BlackboxDecoder:
             ts = int.from_bytes(pkt.body[:8], "little", signed=True)
             self.db.msg_log(pkt.id).append(ts, pkt.body[8:])
             self.msgs += 1
+        elif pkt.ty == M.TY_MSG and pkt.id == M.SetComponentMetadata.ID:
+            # control-plane metadata must be APPLIED (the serial stream
+            # carries the same SetComponentMetadata frames the TCP path
+            # does) or decoded databases lose every component name,
+            # breaking SQL table naming and display
+            m = M.SetComponentMetadata.decode(pkt.body)
+            store = self.db.components.get(m.component_id)
+            if store is not None:
+                store.set_metadata(name=m.name, metadata=m.metadata)
+            else:
+                self._pending_meta[m.component_id] = (m.name, dict(m.metadata))
+        elif pkt.ty == M.TY_MSG and pkt.id in M.MSG_TYPES:
+            pass  # other control-plane msgs need a live reply path; skip
         elif pkt.ty == M.TY_MSG:
             self.db.msg_log(pkt.id).append(now_timestamp_us(), pkt.body)
             self.msgs += 1
