@@ -2170,3 +2170,69 @@ def test_postcard_reader_truncated_bytes_raises():
     r = Reader(b"\x05ab")  # declares 5 bytes, 2 remain
     with pytest.raises(ValueError):
         r.bytes_()
+
+
+def test_runt_frame_does_not_kill_connection(server):
+    """Regression: a frame whose length prefix is smaller than the packet
+    header crashed parse_packet OUTSIDE the per-packet guard, tearing down
+    the connection and all its streams."""
+    client = edb.Client.connect(server.addr)
+    writer = client.table_writer({"rn.x": edb.f64})
+    writer.write(timestamp_us=1, values={"rn.x": 1.0})
+    time.sleep(0.2)
+    # runt frames: length 0 and length 2 (< header size)
+    client._conn.send_bytes((0).to_bytes(4, "little"))
+    client._conn.send_bytes((2).to_bytes(4, "little") + b"\x00\x01")
+    time.sleep(0.2)
+    # connection still serves requests
+    writer.write(timestamp_us=2, values={"rn.x": 2.0})
+    time.sleep(0.2)
+    assert float(client.latest("rn.x").values) == 2.0
+    writer.close()
+    client.close()
+
+
+def test_stream_states_isolated_per_connection(server):
+    """Regression: replay stream states were keyed server-globally by the
+    client-chosen id, so one connection's SetStreamState seeked another
+    connection's replay."""
+    ca = edb.Client.connect(server.addr)
+    wa = ca.table_writer({"iso.x": edb.f64})
+    for i in range(50):
+        wa.write(timestamp_us=i * 1000, values={"iso.x": float(i)})
+    time.sleep(0.3)
+
+    def open_replay(client):
+        rid = client._conn.next_req_id()
+        behavior = M.FixedRateBehavior("earliest", int(1e9 // 100), 100)
+        q = client._conn.request_stream(
+            M.Stream(behavior, id=rid).packet(rid), rid
+        )
+        return rid, q
+
+    cb = edb.Client.connect(server.addr)
+    rid_a, qa = open_replay(ca)
+    rid_b, qb = open_replay(cb)
+    assert rid_a == rid_b  # same client-chosen id on both connections
+
+    def next_ts(q, timeout=5.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                pkt = q.get(timeout=1)
+            except Exception:
+                continue
+            if pkt.ty == M.TY_MSG and pkt.id == M.StreamTimestamp.ID:
+                return M.StreamTimestamp.decode(pkt.body).timestamp
+        raise AssertionError("no stream timestamp")
+
+    next_ts(qa), next_ts(qb)
+    # pause ONLY connection A's stream; B must keep advancing
+    ca._conn.send_bytes(M.SetStreamState(id=rid_a, playing=False).packet())
+    time.sleep(0.3)
+    t1 = next_ts(qb)
+    t2 = next_ts(qb)
+    assert t2 > t1, "connection B's replay was paused by A's SetStreamState"
+    wa.close()
+    ca.close()
+    cb.close()
