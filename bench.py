@@ -29,20 +29,16 @@ BASELINE_ENTITY_STEPS = 1.1e6  # three-body derived, BASELINE.md
 
 
 def bench_entity_steps(n_bodies: int, ticks: int, dtype: str) -> dict:
-    import jax
-    import jax.numpy as jnp
-
     import elodin_tpu as el
-    from elodin_tpu.models import build_batched_sixdof
-    from elodin_tpu.six_dof import increment_sim_tick_system
-    from elodin_tpu.system import Pipe, SystemBuilder, as_system
+    from elodin_tpu import _config
 
+    prev = _config._FLOAT_POLICY  # restore the USER's policy, not "f64"
     if dtype == "f32":
         el.set_float_policy("f32")
     try:
         return _bench_entity_steps_inner(n_bodies, ticks, dtype)
     finally:
-        el.set_float_policy("f64")
+        el.set_float_policy(prev)
 
 
 def _bench_entity_steps_inner(n_bodies: int, ticks: int, dtype: str) -> dict:
@@ -168,8 +164,8 @@ def main() -> None:
 
     if os.environ.get("BENCH_F9_10K", "0") != "0":
         # the BASELINE.json 10k-falcon9 configuration, full mission — slow
-        # (minutes); opt-in so routine bench runs stay fast.  The 256-sample
-        # falcon9 metric above is the always-on proxy.
+        # (minutes); opt-in so routine bench runs stay fast.  The
+        # 1250-sample falcon9 metric above is the always-on proxy.
         try:
             f9k = bench_falcon9(10000)
             result["falcon9_10k_wall_s"] = round(f9k["wall_s"], 1)
@@ -438,45 +434,17 @@ def bench_egm08(degree: int = 64, n: int = 65536) -> dict:
     return {"evals_per_s": n / dt, "degree": degree, "n": n}
 
 
-def bench_falcon9(n: int = 256) -> dict:
+def bench_falcon9(n: int = 1250) -> dict:
     """Dispersed full-mission falcon9 RTLS campaign (580 s of flight per
     sample, 58k ticks) as one vmapped program — the reference's headline
     Monte Carlo workload (examples/falcon9 + libs/monte-carlo)."""
-    import sys as _sys
-
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "examples", "falcon9")
-    _sys.path.insert(0, path)
-    saved = _sys.modules.pop("sim", None)
-    try:
-        import importlib.util as _ilu
-
-        spec = _ilu.spec_from_file_location(
-            "falcon9_batched", os.path.join(path, "batched.py")
-        )
-        mod = _ilu.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        return mod.run_campaign(n)
-    finally:
-        _sys.path.pop(0)
-        _sys.modules.pop("sim", None)
-        if saved is not None:
-            _sys.modules["sim"] = saved
+    return _load_example("falcon9", "batched").run_campaign(n)
 
 
 def bench_monte_carlo(n: int = 10000, ticks: int = 2400) -> dict:
     """10k-sample dispersed landing campaign (BASELINE.json: falcon9 MC
     target < 60 s on v5e-8; measured per chip here)."""
-    import sys as _sys
-
-    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                     "examples", "monte-carlo"))
-    try:
-        from batched import run_campaign as _mc
-
-        return _mc(n, ticks)
-    finally:
-        _sys.path.pop(0)
+    return _load_example("monte-carlo", "batched").run_campaign(n, ticks)
 
 
 if __name__ == "__main__":

@@ -61,9 +61,13 @@ def _gravity_thrust_drag(builder):
     )
 
 
-def build_batched_sixdof(n_bodies: int, seed: int = 0,
-                         dtype=np.float64) -> tuple:
-    """Returns (world, system) with n_bodies dispersed LEO-ish bodies."""
+def build_batched_sixdof(n_bodies: int, seed: int = 0) -> tuple:
+    """Returns (world, system) with n_bodies dispersed LEO-ish bodies.
+
+    Column dtypes follow the DECLARED component types (f64 here, or f32
+    under ``set_float_policy("f32")``) — a dtype parameter could not be
+    honored, so none is offered; cast the snapshot columns for ad-hoc
+    f32 runs (bench.py does exactly this)."""
     rng = np.random.default_rng(seed)
     w = el.World()
 

@@ -3,7 +3,7 @@
 Parity target: the reference's falcon9 Monte Carlo calibration flow
 (examples/falcon9/campaign.toml + libs/monte-carlo) — N dispersed missions
 scored on touchdown state.  The reference runs one OS process per sample;
-here the full 520 s RTLS mission (~52k ticks) vmaps over the sample axis into
+here the full 580 s RTLS mission (~58k ticks) vmaps over the sample axis into
 ONE XLA program, optionally sharded over a device mesh.
 
 Usage:  python batched.py [n_samples] [ticks]

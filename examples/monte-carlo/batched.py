@@ -7,11 +7,9 @@ Usage:  python batched.py [n_samples] [ticks]
 
 import json
 import sys
-import time
 
 import numpy as np
 
-import elodin_tpu as el
 from elodin_tpu.monte_carlo import BatchedCampaign, sample_plan
 
 from sim import (DEFAULT_MAX_TICKS, PARAMS, PROPELLANT0_KG,
