@@ -23,11 +23,16 @@ class AssetStore:
 
     def put(self, key: str, data: bytes) -> None:
         key = self._safe(key)
-        self.mem[key] = bytes(data)
         if self.path:
+            # disk-backed: don't ALSO pin every upload in RAM forever
+            # (get() falls through to disk); evict a stale mem entry so a
+            # re-upload is visible
+            self.mem.pop(key, None)
             dest = self.path / key
             dest.parent.mkdir(parents=True, exist_ok=True)
             dest.write_bytes(data)
+        else:
+            self.mem[key] = bytes(data)
 
     def get(self, key: str) -> bytes | None:
         key = self._safe(key)
@@ -71,8 +76,13 @@ class AssetHttpServer:
                 from .webui import register_routes
 
                 register_routes(self.routes, db)
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001
+                import sys as _sys
+
+                # never silently: every /api/* request would 404 with no
+                # hint that the viewer failed to register
+                print(f"warning: web viewer unavailable: {e}",
+                      file=_sys.stderr)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -157,7 +167,10 @@ class AssetHttpServer:
                 # dispatch above — '/assets/foo.glb?v=2' and keys with
                 # spaces must resolve
                 key = unquote(urlparse(self.path).path[len("/assets/"):])
-                data = outer.store.get(key)
+                try:
+                    data = outer.store.get(key)
+                except (ValueError, OSError):  # NUL bytes, bad paths
+                    data = None
                 if data is None:
                     self.send_error(404)
                     return
@@ -172,14 +185,26 @@ class AssetHttpServer:
                 if not self.path.startswith("/assets/"):
                     self.send_error(404)
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                from urllib.parse import unquote, urlparse
+
+                # mirror do_GET's key derivation (percent-decode, strip
+                # query) or PUT-then-GET of the same URL 404s
+                key = unquote(urlparse(self.path).path[len("/assets/"):])
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self.send_error(400)
+                    return
+                if n < 0 or not key or "\x00" in key:
+                    self.send_error(400)
+                    return
                 if n > MAX_UPLOAD:
                     self.send_error(413)
                     return
                 data = self.rfile.read(n)
                 try:
-                    outer.store.put(self.path[len("/assets/"):], data)
-                except ValueError:
+                    outer.store.put(key, data)
+                except (ValueError, OSError):
                     self.send_error(400)
                     return
                 self.send_response(204)

@@ -69,17 +69,23 @@ class CobsStream:
     def __init__(self):
         self._buf = bytearray()
 
-    def feed(self, chunk: bytes):
+    def feed(self, chunk: bytes) -> list[bytes]:
+        """Buffer ``chunk`` EAGERLY and return the complete frames.
+
+        Returns a list rather than a generator: a generator body would
+        only run on iteration, so ``stream.feed(header)`` without
+        iterating silently discarded the chunk."""
         self._buf += chunk
+        out = []
         while True:
             try:
                 end = self._buf.index(0)
             except ValueError:
-                return
+                return out
             frame = bytes(self._buf[: end + 1])
             del self._buf[: end + 1]
             if end > 0:
-                yield cobs_decode(frame)
+                out.append(cobs_decode(frame))
 
 
 # -- shared-memory SPSC ring -------------------------------------------------
@@ -95,16 +101,29 @@ class ShmRing:
     SKIP = 0xFFFFFFFF
 
     def __init__(self, path: str, capacity: int = 1 << 20, create: bool = True):
-        self.capacity = capacity
-        size = _RING_HEADER + capacity
         flags = os.O_RDWR | (os.O_CREAT if create else 0)
         self.fd = os.open(path, flags, 0o644)
-        if os.fstat(self.fd).st_size < size:
-            os.ftruncate(self.fd, size)
-        self.map = mmap.mmap(self.fd, size)
-        if create and self._load(16) == 0:
-            self._store(16, capacity)
+        if create:
+            size = _RING_HEADER + capacity
+            if os.fstat(self.fd).st_size < size:
+                os.ftruncate(self.fd, size)
+            self.map = mmap.mmap(self.fd, size)
+            if self._load(16) == 0:
+                self._store(16, capacity)
+        else:
+            # ATTACH side: the creator's stored capacity governs, and the
+            # map must cover the whole file — mapping with the (default)
+            # constructor capacity would read/write out of bounds when it
+            # is smaller than the creator's
+            fsize = os.fstat(self.fd).st_size
+            if fsize < _RING_HEADER:
+                os.close(self.fd)
+                raise ValueError(f"{path}: not an initialized ring")
+            self.map = mmap.mmap(self.fd, fsize)
         self.capacity = self._load(16)
+        if self.capacity <= 0 or _RING_HEADER + self.capacity > len(self.map):
+            os.close(self.fd)
+            raise ValueError(f"{path}: corrupt ring header")
 
     def _load(self, off: int) -> int:
         return struct.unpack_from("<Q", self.map, off)[0]

@@ -84,8 +84,10 @@ class SerialBridge:
 
 def frame_packet_cobs(pkt_with_len: bytes) -> bytes:
     """Encode one length-prefixed packet as a COBS frame (strip the TCP
-    length prefix; the frame boundary carries it)."""
-    return cobs_encode(pkt_with_len[4:]) + b"\x00"
+    length prefix; the frame boundary carries it).  cobs_encode already
+    appends the 0x00 delimiter — adding another would emit a spurious
+    empty frame per packet (strict embedded decoders reject those)."""
+    return cobs_encode(pkt_with_len[4:])
 
 
 class BlackboxDecoder:

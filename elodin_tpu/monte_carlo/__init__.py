@@ -104,6 +104,20 @@ def params_spec(**kwargs) -> ParamsSpec:
     return spec
 
 
+_CTX_CACHE: dict[str, dict] = {}
+
+
+def _load_context(path: str) -> dict:
+    """The campaign context file is immutable for the process lifetime —
+    parse it once instead of re-reading it on every params()/port()/
+    result() call across thousands of campaign processes."""
+    ctx = _CTX_CACHE.get(path)
+    if ctx is None:
+        ctx = json.loads(Path(path).read_text())
+        _CTX_CACHE[path] = ctx
+    return ctx
+
+
 def params(spec: ParamsSpec | None = None) -> Params:
     spec = spec or _PARAM_SPEC
     values = {}
@@ -111,7 +125,7 @@ def params(spec: ParamsSpec | None = None) -> Params:
         values.update({k: p.default for k, p in spec.params.items()})
     ctx_path = os.environ.get(CONTEXT_ENV)
     if ctx_path:
-        ctx = json.loads(Path(ctx_path).read_text())
+        ctx = _load_context(ctx_path)
         values.update(ctx.get("params", {}))
         return Params(
             values,

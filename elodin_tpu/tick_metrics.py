@@ -151,3 +151,9 @@ class Liveness:
 
     def stop(self) -> None:
         self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2 * self.interval)
+            self._thread = None
+        if self._sock is not None:  # don't leak the fd across many runs
+            self._sock.close()
+            self._sock = None

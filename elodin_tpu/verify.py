@@ -14,6 +14,7 @@ ELODIN_TPU_DEBUG_DIR for offline diffing.
 from __future__ import annotations
 
 import json
+import math
 import os
 from pathlib import Path
 
@@ -106,8 +107,15 @@ def _assert_tol(report: dict, rtol: float, atol: float) -> None:
     """allclose semantics: a component fails when any element has
     ``|x - y| > atol + rtol * max(|x|, |y|)`` — a huge relative error on a
     tiny value is only excused while it stays under atol
-    (scripts/ci/baseline/tolerances.json per-metric rigor)."""
-    bad = {k: v for k, v in report.items() if v["max_excess"] > atol}
+    (scripts/ci/baseline/tolerances.json per-metric rigor).
+
+    NaN excess (one backend NaN/Inf where the other is finite — the worst
+    divergence class) FAILS: ``NaN > atol`` is False, so the naive
+    comparison would wave exactly that through."""
+    bad = {
+        k: v for k, v in report.items()
+        if v["max_excess"] > atol or math.isnan(v["max_excess"])
+    }
     if bad:
         raise AssertionError(f"backend mismatch beyond tolerance: {bad}")
 
