@@ -425,6 +425,15 @@ def bench_egm08(degree: int = 64, n: int = 65536) -> dict:
     r = jnp.asarray(r / np.linalg.norm(r, axis=1, keepdims=True) * 6.778e6)
     fn = jax.jit(jax.vmap(eg.acceleration))
     fn(r).block_until_ready()
+    # TPU-only NaN regressions the CPU-pinned test suite cannot see:
+    # 0**0 -> NaN at the pole (pow via exp-log) and f32-exponent overflow
+    # in J2's norm powers — both must stay finite ON THIS BACKEND
+    from elodin_tpu.gravity.j2 import J2
+
+    pole = np.asarray(fn(jnp.asarray([[0.0, 0.0, 6.778e6]])))
+    j2f = np.asarray(J2().force(jnp.asarray([4e6, 3e6, 4e6]), 1.0))
+    assert np.isfinite(pole).all(), f"EGM08 NaN at pole on TPU: {pole}"
+    assert np.isfinite(j2f).all(), f"J2 NaN on TPU: {j2f}"
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):

@@ -130,13 +130,24 @@ class Mekf:
             )
             ht = jnp.swapaxes(h, -1, -2)
             s_mat = h @ p @ ht + var_r
-            k = p @ ht @ jnp.linalg.inv(s_mat)
+            # solve, not explicit inverse: cheaper and better conditioned
+            # when the innovation covariance is near-singular (tiny sigma)
+            k = jnp.swapaxes(
+                jnp.linalg.solve(
+                    jnp.swapaxes(s_mat, -1, -2),
+                    jnp.swapaxes(p @ ht, -1, -2),
+                ),
+                -1, -2,
+            )
             p = (eye6 - k @ h) @ p
             d = (h @ delta_x[..., None])[..., 0]
             delta_x = delta_x + (k @ (e - d)[..., None])[..., 0]
         q_hat = quat_integrate_body(q_hat, delta_x[..., :3])
         b_hat = self.b_hat + delta_x[..., 3:]
-        return Mekf(q_hat, b_hat, p, omega, self.yqy, self.dt)
+        # keep the RAW gyro reading in omega (its documented contract):
+        # storing the bias-corrected rate made a second update without a
+        # fresh gyro sample subtract the bias twice
+        return Mekf(q_hat, b_hat, p, self.omega, self.yqy, self.dt)
 
     def reset_if_invalid(self) -> "Mekf":
         """Branch-free non-finite reset (mekf.rs:165-189)."""

@@ -16,11 +16,11 @@ def triad(body_1, body_2, ref_1, ref_2) -> jnp.ndarray:
     body_1, body_2 = jnp.asarray(body_1), jnp.asarray(body_2)
     ref_1, ref_2 = jnp.asarray(ref_1), jnp.asarray(ref_2)
     r_r = _normalize(jnp.cross(ref_1, ref_2))
-    q_r = ref_1
-    s_r = jnp.cross(q_r, r_r)
+    q_r = _normalize(ref_1)  # raw sensor vectors (nT-scale mags) must not
+    s_r = jnp.cross(q_r, r_r)  # scale the DCM rows
     m_r = jnp.stack([q_r, r_r, s_r], axis=-2)  # rows
     r_b = _normalize(jnp.cross(body_1, body_2))
-    q_b = body_1
+    q_b = _normalize(body_1)
     s_b = jnp.cross(q_b, r_b)
     m_b = jnp.stack([q_b, r_b, s_b], axis=-1)  # columns (transpose of rows)
     return m_b @ m_r

@@ -110,7 +110,13 @@ class UkfState:
             points_x, z, measure_fn, mw, cw, self.noise_covar
         )
         pxz = cross_covar(x_hat, z_hat, points_x, points_z, cw)
-        k = pxz @ jnp.linalg.inv(z_covar)
+        # solve instead of explicit inverse (conditioning + cost)
+        k = jnp.swapaxes(
+            jnp.linalg.solve(
+                jnp.swapaxes(z_covar, -1, -2), jnp.swapaxes(pxz, -1, -2)
+            ),
+            -1, -2,
+        )
         y = z - z_hat
         x_new = x_hat + (k @ y[..., None])[..., 0]
         covar_new = covar - k @ z_covar @ jnp.swapaxes(k, -1, -2)

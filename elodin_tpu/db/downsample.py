@@ -21,8 +21,9 @@ def lttb(t: np.ndarray, v: np.ndarray, max_points: int) -> np.ndarray:
             return np.arange(n)
         if max_points <= 0:
             return np.zeros(0, dtype=np.int64)
-        # honor budgets of 1 (latest point) and 2 (endpoints), matching
-        # plotline's samplers rather than silently returning extra points
+        # honor budgets of 1 (the LATEST point — the most informative
+        # single sample for a live sparkline; plotline's samplers keep the
+        # FIRST instead) and 2 (endpoints), rather than returning extras
         if max_points == 1:
             return np.array([n - 1], dtype=np.int64)
         return np.unique(

@@ -162,7 +162,12 @@ class EGM08:
         m_idx = jnp.arange(L + 1, dtype=r.dtype)
         rho_xy = jnp.sqrt(s * s + t * t)
         phi = jnp.arctan2(t, s)
-        amp = rho_xy[..., None] ** m_idx
+        # TPU lowers pow via exp(m*log(x)), so 0**0 is NaN there (fine on
+        # CPU): the m=0 sectorial amplitude is identically 1 — pin it, or
+        # any position on the z-axis (polar crossings) NaNs the whole field
+        amp = jnp.where(
+            m_idx == 0, 1.0, rho_xy[..., None] ** m_idx
+        )
         R = amp * jnp.cos(phi[..., None] * m_idx)
         I = amp * jnp.sin(phi[..., None] * m_idx)
         # R_{m-1}, I_{m-1} shifted; R_{-1} treated as 0

@@ -21,18 +21,18 @@ class J2:
         r = jnp.asarray(r)
         norm = jnp.linalg.norm(r, axis=-1, keepdims=True)
         e_r = r / norm
-        z = r[..., 2:3]
+        # sin(lat) = z/r: factor EVERYTHING through dimensionless ratios —
+        # bare norm**6 (~1e41 at LEO radii) overflows the f32 exponent
+        # range of TPU-emulated f64 and returned NaN forces on the TPU
+        # backend (finite on CPU, so the CPU-pinned test suite never saw
+        # it).  No intermediate here exceeds ~mu/r^2 * (r_ref/r)^2.
+        u = r[..., 2:3] / norm  # sin(geocentric latitude)
         m = jnp.asarray(mass)[..., None] if jnp.ndim(mass) == jnp.ndim(r) - 1 else mass
-        f = -self.mu_earth * m * r / norm**3
+        g0 = self.mu_earth / norm**2  # point-mass accel magnitude
+        f = -m * g0 * e_r
         e_z = jnp.zeros_like(r).at[..., 2].set(1.0)
-        j2 = (
-            -self.mu_earth
-            * m
-            * self.J2
-            * self.r_ref**2
-            * (
-                3 * z / norm**5 * e_z
-                + (3.0 / (2.0 * norm**4) - 15.0 * z**2 / (2.0 * norm**6)) * e_r
-            )
+        j2_scale = g0 * self.J2 * (self.r_ref / norm) ** 2
+        j2 = -m * j2_scale * (
+            3.0 * u * e_z + (1.5 - 7.5 * u * u) * e_r
         )
         return f + j2

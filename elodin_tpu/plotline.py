@@ -140,8 +140,13 @@ def select_time_value_indices(times, values, m: int) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
 
     def _norm(a):
-        span = np.ptp(a)
-        return (a - a.min()) / span if span > _EPS else np.zeros_like(a)
+        # nan-aware: one NaN sample made span NaN, flattening the whole
+        # axis to zeros and silently discarding every curve feature
+        lo, hi = np.nanmin(a), np.nanmax(a)
+        span = hi - lo
+        if not np.isfinite(span) or span <= _EPS:
+            return np.zeros_like(a)
+        return np.nan_to_num((a - lo) / span, nan=0.0)
 
     return select_polyline2_indices(np.stack([_norm(t), _norm(y)], axis=1), m)
 
