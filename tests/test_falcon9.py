@@ -1,0 +1,306 @@
+"""Falcon 9 model-level gates: US76 anchors, propulsion anchors and budget,
+RCS/fin control effectiveness, canonical aero directions, plume dominance,
+the flip-time budget, and the ZEM/ZEV landing-guidance replay.
+
+Repo-side equivalents of the reference example suites
+(examples/falcon9/test_aero.py, test_propulsion.py, test_zem_zev.py,
+test_ladder.py — US76/actuator/mass-prop/authority anchors)."""
+
+import importlib.util
+import math
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+import elodin  # noqa: F401  (enables the f64 float policy)
+
+F9_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "falcon9"
+)
+
+
+def _load(name: str):
+    """Load a falcon9-local module under a prefixed sys.modules key, with the
+    example dir on sys.path so its own plain imports resolve."""
+    key = f"f9_{name}"
+    if key in sys.modules:
+        return sys.modules[key]
+    sys.path.insert(0, F9_DIR)
+    try:
+        spec = importlib.util.spec_from_file_location(key, os.path.join(F9_DIR, f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[key] = mod
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        sys.path.pop(0)
+
+
+atmosphere = _load("atmosphere")
+constants = _load("constants")
+propulsion = _load("propulsion")
+aero = _load("aero")
+rcs = _load("rcs")
+zemzev = _load("zemzev")
+
+
+# --- atmosphere --------------------------------------------------------------
+
+
+def test_us76_anchors():
+    assert abs(float(atmosphere.density(0.0)) - 1.2250) < 1e-3
+    p11, t11 = atmosphere.pressure_temperature_at_geopotential(11_000.0)
+    assert abs(float(p11) - 22_632.0) < 5.0
+    assert abs(float(t11) - 216.65) < 1e-9
+    assert abs(float(p11) / (atmosphere.R_AIR * float(t11)) - 0.3639) < 1e-3
+    assert abs(float(atmosphere.speed_of_sound(0.0)) - 340.29) < 0.1
+    assert float(atmosphere.density(100_000.0)) < 1e-5
+    # Monotone decreasing pressure across every layer boundary.
+    hs = np.linspace(0.0, 120_000.0, 400)
+    p = np.asarray(atmosphere.pressure(jnp.asarray(hs)))
+    assert (np.diff(p) < 0).all()
+
+
+# --- propulsion --------------------------------------------------------------
+
+
+def test_thrust_altitude_anchors():
+    t_sl = float(propulsion.engine_thrust_per_engine(1.0, constants.P_SL_PA))
+    t_vac = float(propulsion.engine_thrust_per_engine(1.0, 0.0))
+    assert abs(t_sl - constants.ENGINE_T_SL_N) < 1.0
+    assert abs(t_vac - constants.ENGINE_T_VAC_N) < 1.0
+    assert abs((t_vac - t_sl) / constants.P_SL_PA - 0.681) < 1e-3
+
+
+def test_propellant_budget_audit():
+    """~275 kg/s per engine; the CRS-12 four-burn budget closes on the load."""
+    mdot = float(propulsion.cluster_mdot(1.0, 1.0))
+    assert abs(mdot - constants.ENGINE_T_SL_N / (constants.ENGINE_ISP_SL_S * constants.G0)) < 0.5
+    assert abs(mdot - 275.0) < 3.0
+    ascent = 9 * mdot * 147.0 - 9 * mdot * 39.0 * 0.3  # throttle-bucket credit
+    burns = ascent + 3 * mdot * 46.0 + 3 * mdot * 14.0 + 1 * mdot * 0.7 * 33.0
+    assert 0.93 * constants.STAGE1_PROP_KG < burns < 1.01 * constants.STAGE1_PROP_KG
+
+
+def test_liftoff_thrust_to_weight():
+    t = constants.N_ENGINES * float(
+        propulsion.engine_thrust_per_engine(1.0, constants.P_SL_PA)
+    )
+    assert 1.2 < t / (constants.LIFTOFF_MASS_KG * constants.G0) < 1.4
+
+
+def test_actuator_exact_discretization():
+    tau = 0.007
+    x = jnp.asarray(0.0)
+    for _ in range(7):
+        x = propulsion.actuator_step(x, 1.0, 0.001, tau)
+    assert abs(float(x) - (1.0 - math.exp(-1.0))) < 1e-9
+    # A giant step lands on the command without overshoot.
+    x_big = propulsion.actuator_step(jnp.asarray(0.0), 1.0, 0.7, tau)
+    assert 0.0 < float(x_big) <= 1.0 and abs(float(x_big) - 1.0) < 1e-9
+    # Rate limit engages.
+    x_rl = propulsion.actuator_step(jnp.asarray(0.0), 1.0, 0.001, 1e-6, rate_limit=10.0)
+    assert abs(float(x_rl) - 0.01) < 1e-12
+
+
+def test_stack_mass_props():
+    mass, cg, inertia = propulsion.stack_mass_props(
+        constants.LOX_LOAD_KG, constants.RP1_LOAD_KG
+    )
+    assert abs(float(mass) - (constants.STAGE1_DRY_MASS_KG + constants.STAGE1_PROP_KG)) < 1.0
+    assert 0.0 < float(cg) < constants.STAGE1_LENGTH_M
+    assert np.all(np.asarray(inertia) > 0.0)
+    assert float(inertia[1]) > 10.0 * float(inertia[0])  # slender stack
+    # CG walks down while the columns drain, then pops back to the dry station.
+    cgs = [
+        float(propulsion.stack_mass_props(constants.LOX_LOAD_KG * f, constants.RP1_LOAD_KG * f)[1])
+        for f in (1.0, 0.6, 0.3)
+    ]
+    assert cgs[0] > cgs[1] > cgs[2]
+    cg_dry = float(propulsion.stack_mass_props(0.0, 0.0)[1])
+    assert abs(cg_dry - propulsion.DRY_CG_STATION_M) < 1e-6
+    assert cgs[2] < cg_dry < cgs[0]
+    # Attached stage 2 pulls the CG well above the interstage-less stack.
+    cg_full = float(
+        propulsion.stack_mass_props(
+            constants.LOX_LOAD_KG, constants.RP1_LOAD_KG, constants.STAGE2_AND_PAYLOAD_KG
+        )[1]
+    )
+    assert cg_full > cgs[0] + 5.0
+
+
+def test_tank_pressure_dynamics():
+    """Draining alone drops pressure; the infill valve recovers it toward the
+    regulator setpoint; venting bleeds it down."""
+    p = jnp.asarray(constants.TANK_P_NOM_PA)
+    m = jnp.asarray(constants.LOX_LOAD_KG * 0.5)
+    drained = propulsion.tank_pressure_step(
+        p, m, 2000.0, propulsion.V_TANK_LOX_M3, propulsion.RHO_LOX, 0.0, 0.0, 1.0
+    )
+    assert float(drained) < float(p)
+    refilled = propulsion.tank_pressure_step(
+        drained, m, 0.0, propulsion.V_TANK_LOX_M3, propulsion.RHO_LOX, 1.0, 0.0, 1.0
+    )
+    assert float(drained) < float(refilled) <= propulsion.P_REGULATOR_PA + 1.0
+    vented = propulsion.tank_pressure_step(
+        p, m, 0.0, propulsion.V_TANK_LOX_M3, propulsion.RHO_LOX, 0.0, 1.0, 1.0
+    )
+    assert float(vented) < float(p)
+    # Inlet pressure gains the acceleration head.
+    p_in = propulsion.inlet_pressure(
+        p, m, propulsion.RHO_LOX, propulsion.LOX_TANK_BOTTOM_M, 30.0, 1000.0
+    )
+    assert float(p_in) > float(p)
+
+
+# --- RCS ---------------------------------------------------------------------
+
+
+def test_rcs_axis_purity_and_authority():
+    cg = 22.0
+    b = np.asarray(rcs.effectiveness_matrix(jnp.asarray(cg)))
+    assert b.shape == (6, rcs.N_RCS)
+    authority = [abs(b[3 + axis, :]).sum() / 2.0 for axis in range(3)]
+    for axis in range(3):
+        for sign in (+1.0, -1.0):
+            cmd = np.zeros(3)
+            cmd[axis] = sign * 0.5 * authority[axis]
+            levels = rcs.allocate_torque(jnp.asarray(cmd), jnp.asarray(cg))
+            _, torque = rcs.rcs_wrench(levels, jnp.asarray(cg))
+            torque = np.asarray(torque)
+            assert abs(torque[axis] - cmd[axis]) < 1e-6 * abs(cmd[axis]) + 1e-9
+            off = np.delete(torque, axis)
+            assert np.all(np.abs(off) < 1e-9), f"off-axis torque {torque}"
+    # Saturation pegs exactly the two thrusters of the chosen pair.
+    levels = np.asarray(rcs.allocate_torque(jnp.asarray([0.0, 0.0, 1e9]), jnp.asarray(cg)))
+    assert levels.max() <= 1.0 + 1e-12
+    assert np.count_nonzero(levels > 0.99) == 2
+    # Minimum-impulse floor: a 1% demand stays closed.
+    tiny = np.asarray(
+        rcs.allocate_torque(jnp.asarray([0.0, 0.01 * authority[1], 0.0]), jnp.asarray(cg))
+    )
+    assert np.all(tiny == 0.0)
+
+
+def test_rcs_roll_force_free():
+    cg = 22.0
+    for tx in (+4.0e5, -4.0e5):
+        levels = rcs.allocate_torque(jnp.asarray([tx, 0.0, 0.0]), jnp.asarray(cg))
+        force, _ = rcs.rcs_wrench(levels, jnp.asarray(cg))
+        assert np.all(np.abs(np.asarray(force)) < 1e-9)
+
+
+def test_flip_time_budget():
+    """Bang-bang 180-deg flip with the RCS pitch authority fits the recorded
+    MECO-to-boostback window (~15-20 s)."""
+    frac = 63_000.0 / constants.STAGE1_PROP_KG  # post-MECO reserve
+    _, cg, inertia = propulsion.stack_mass_props(
+        constants.LOX_LOAD_KG * frac, constants.RP1_LOAD_KG * frac
+    )
+    b = np.asarray(rcs.effectiveness_matrix(cg))
+    pitch_auth = abs(b[4, :]).sum() / 2.0
+    alpha = pitch_auth / float(inertia[1])
+    t_flip = 2.0 * math.sqrt(math.pi / alpha)
+    assert 8.0 < t_flip < 22.0, f"flip {t_flip:.1f} s"
+
+
+# --- aero --------------------------------------------------------------------
+
+
+def test_fin_mixing_axis_purity():
+    cg = 20.0
+    mach, qbar = 2.0, 30_000.0
+    for axis, cmd in ((1, [0.1, 0.0, 0.0]), (2, [0.0, 0.1, 0.0]), (0, [0.0, 0.0, 0.1])):
+        deltas = aero.fin_mix(jnp.asarray(cmd))
+        _, torque = aero.fin_wrench(deltas, mach, qbar, cg)
+        torque = np.asarray(torque)
+        assert np.argmax(np.abs(torque)) == axis, f"cmd {cmd}: {torque}"
+        off = np.delete(torque, axis)
+        assert np.all(np.abs(off) < 1e-9 * max(1.0, abs(torque[axis])))
+    # A pure roll command is force-free (tangential forces cancel).
+    force, _ = aero.fin_wrench(aero.fin_mix(jnp.asarray([0.0, 0.0, 0.2])), mach, qbar, cg)
+    assert np.all(np.abs(np.asarray(force)) < 1e-9)
+
+
+def test_aero_canonical_directions():
+    cg, qbar = 22.5, 20_000.0
+    s = constants.S_REF_M2
+    # Nose-first axial flow: pure axial drag, no torque, ascent table.
+    f, t = aero.body_aero_wrench(jnp.asarray([500.0, 0.0, 0.0]), 1.5, qbar, cg)
+    f, t = np.asarray(f), np.asarray(t)
+    assert f[0] < 0.0 and abs(f[1]) < 1e-9 and abs(f[2]) < 1e-9
+    assert np.all(np.abs(t) < 1e-9)
+    ca_a = float(aero.mach_lookup(aero.CA_ASCENT, 1.5))
+    assert abs(f[0] + qbar * s * ca_a) < 1e-2  # tanh blend residual
+    # Engines-first flow: descent table, much draggier.
+    f, _ = aero.body_aero_wrench(jnp.asarray([-500.0, 0.0, 0.0]), 1.5, qbar, cg)
+    f = np.asarray(f)
+    ca_d = float(aero.mach_lookup(aero.CA_DESCENT, 1.5))
+    assert f[0] > 0.0 and abs(f[0] - qbar * s * ca_d) < 1e-2
+    assert ca_d > 2.0 * ca_a
+    # Pure cross-flow: force opposes flow, static moment about +Y only.
+    f, t = aero.body_aero_wrench(jnp.asarray([0.0, 0.0, 300.0]), 0.8, qbar, cg)
+    f, t = np.asarray(f), np.asarray(t)
+    assert f[2] < 0.0 and abs(f[0]) < 1e-6
+    assert abs(t[1]) > 0.0 and abs(t[0]) < 1e-9 and abs(t[2]) < 1e-9
+
+
+def test_pitch_damping_opposes_rate():
+    cg, qbar = 22.5, 40_000.0
+    v = jnp.asarray([-400.0, 0.0, 0.0])
+    _, t0 = aero.body_aero_wrench(v, 1.5, qbar, cg, omega_body=jnp.zeros(3))
+    _, t1 = aero.body_aero_wrench(v, 1.5, qbar, cg, omega_body=jnp.asarray([0.0, 0.5, 0.0]))
+    assert float(t1[1]) < float(t0[1]) - 1e3
+
+
+def test_plume_dominance():
+    assert float(aero.plume_dominance(jnp.asarray(0.0), jnp.asarray(30_000.0))) == 0.0
+    kappa_entry = float(aero.plume_dominance(jnp.asarray(2.3e6), jnp.asarray(30_000.0)))
+    assert 0.85 < kappa_entry < 0.95
+    assert float(aero.plume_dominance(jnp.asarray(5.0e5), jnp.asarray(40_000.0))) > 0.5
+
+
+def test_fin_torque_authority_positive_at_speed():
+    auth = np.asarray(aero.fin_torque_authority(1.2, 30_000.0, 20.0))
+    assert np.all(auth > 0.0)
+    # Pitch/yaw authority (long station lever) dwarfs roll (radius lever).
+    assert auth[1] > 5.0 * auth[0] and auth[2] > 5.0 * auth[0]
+
+
+# --- ZEM/ZEV -----------------------------------------------------------------
+
+
+def test_zem_zev_closes_recorded_ignition_miss():
+    r, v = zemzev.replay(*zemzev.ignition_state())
+    r, v = np.asarray(r), np.asarray(v)
+    miss = float(np.hypot(r[0], r[1]))
+    verr = float(np.linalg.norm(v - np.array([0.0, 0.0, -zemzev.V_TD_MPS])))
+    assert miss < 2.0, f"terminal miss {miss:.2f} m"
+    assert verr < 0.5, f"terminal velocity err {verr:.2f} m/s"
+
+
+def test_zem_zev_robust_to_larger_ignition_miss():
+    r0, v0 = zemzev.ignition_state(miss_m=600.0, vlat_mps=40.0, vdown_mps=250.0, alt_m=3500.0)
+    r, v = zemzev.replay(r0, v0)
+    r, v = np.asarray(r), np.asarray(v)
+    assert float(np.hypot(r[0], r[1])) < 10.0
+    assert float(np.linalg.norm(v - np.array([0.0, 0.0, -zemzev.V_TD_MPS]))) < 2.0
+
+
+def test_zem_zev_tilt_cap_respected():
+    """Along the nominal replay, the commanded lateral accel never exceeds
+    tan(TILT_CAP) of the vertical (pre-commit)."""
+    up = jnp.asarray([0.0, 0.0, 1.0])
+    r, v = zemzev.ignition_state()
+    for _ in range(200):
+        alt = float(r[2])
+        if alt < zemzev.COMMIT_ALT_M + 5.0:
+            break
+        t_go, t_raw = zemzev.t_go_hoverslam(alt, -float(v[2]))
+        a = np.asarray(zemzev.accel_cmd(r, v, up, t_go, jnp.asarray(False)))
+        a_up, a_lat = a[2], float(np.hypot(a[0], a[1]))
+        if a_up > 1.0:
+            assert a_lat <= abs(a_up) * math.tan(zemzev.TILT_CAP_RAD) + 1e-6
+        r, v = zemzev.step(r, v, up, 0.25)
