@@ -69,6 +69,7 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
         "soft_landing_frac": float(soft.mean()),
         "precision_landing_frac": float(precise.mean()),
         "mean_touchdown_vz": float(vz[landed].mean()) if landed.any() else None,
+        "median_miss_m": float(np.percentile(miss[landed], 50)) if landed.any() else None,
         "p95_miss_m": float(np.percentile(miss[landed], 95)) if landed.any() else None,
     }
 
