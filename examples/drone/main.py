@@ -1,157 +1,153 @@
-"""Quad-X drone: motor mixing + cascaded angle/rate PID + altitude hold.
+"""EDU-450 quad-X drone with the full sensor -> MEKF -> control loop.
 
-Parity target: reference examples/drone (multi-file EDU-450 sim with rate
-PID cascade, motor thrust curves, and mixing).  This single-file build keeps
-the same control architecture — angle P loop -> body-rate PID -> quad-X
-mixer -> per-motor thrust with first-order lag — plus altitude PID, running
-at 300 Hz under RK4."""
+Parity target: reference examples/drone (main.py/sim.py/config.py) — a
+300 Hz control loop over a 900 Hz plant fast loop (3 six-dof substeps per
+control tick, exactly the reference's INNER_RUN_COUNT = 3), flying an
+attitude test-point plan.  The FSW sees only its sensors: the rate PID
+consumes the biquad-filtered, bias-drifting gyro and the angle loop closes
+on the MEKF attitude estimate.
 
+Modules are loaded under prefixed sys.modules keys so the reference-parity
+filenames (sensors.py, mekf.py, control.py, ...) cannot collide with other
+examples' modules in one test process.
+"""
+
+import importlib.util as _ilu
+import os as _os
+import sys as _sys
 import typing as ty
 from dataclasses import field
 
 import elodin as el
 import jax
 import jax.numpy as jnp
-from jax.numpy import linalg as la
 
-SIMULATION_RATE = 300.0
-SIM_TIME_STEP = 1.0 / SIMULATION_RATE
+_DIR = _os.path.dirname(_os.path.abspath(__file__))
 
-MASS = 1.0
-INERTIA_DIAG = jnp.array([0.1, 0.1, 0.2])
-ARM = 0.24
-K_YAW = 0.02  # yaw torque per thrust
-MAX_MOTOR_THRUST = 6.0  # N each
-MOTOR_TC = 0.05  # first-order motor lag, s
 
-# quad-X geometry: (front-right CCW, rear-left CCW, front-left CW, rear-right CW)
-_ang = jnp.pi * jnp.array([0.25, -0.75, 0.75, -0.25])
-MOTOR_POS = jnp.stack(
-    [ARM * jnp.cos(_ang), ARM * jnp.sin(_ang), jnp.zeros(4)], axis=-1
+def _local(name: str):
+    key = f"drone_{name}"
+    if key not in _sys.modules:
+        spec = _ilu.spec_from_file_location(key, _os.path.join(_DIR, f"{name}.py"))
+        mod = _ilu.module_from_spec(spec)
+        _sys.modules[key] = mod
+        spec.loader.exec_module(mod)
+    return _sys.modules[key]
+
+
+filt = _local("filter")
+sn = _local("sensors")
+mekf = _local("mekf")
+motors = _local("motors")
+ctl = _local("control")
+
+SIMULATION_RATE = 300.0  # control rate; the plant substeps at 900 Hz
+FAST_DT = 1.0 / 900.0
+INNER_RUN_COUNT = 3
+SIM_SECONDS = 30.0
+
+MASS_KG = 1.0
+INERTIA_DIAG = jnp.asarray([0.1, 0.1, 0.2])
+DRAG_COEF = 0.2 * 0.5
+
+# Attitude test points (t_s, roll, pitch, yaw_rate) — the reference's
+# attitude_flight_plan shape: hover, pitch step, roll step, mixed, hover.
+PLAN = (
+    (0.0, 0.0, 0.0, 0.0),
+    (6.0, 0.0, 0.3, 0.0),
+    (12.0, 0.3, 0.0, 0.0),
+    (18.0, -0.2, -0.2, 0.3),
+    (24.0, 0.0, 0.0, 0.0),
 )
-MOTOR_SPIN = jnp.array([1.0, 1.0, -1.0, -1.0])  # CCW +, CW -
-
-RATE_P = jnp.array([0.40, 0.40, 2.50])
-RATE_I = jnp.array([0.02, 0.02, 0.02])
-RATE_D = jnp.array([0.05, 0.05, 0.01])
-ANGLE_P = jnp.array([4.0, 4.0, 1.0])
-ALT_P, ALT_D = 6.0, 4.0
-
-MotorCmd = ty.Annotated[
-    jax.Array, el.Component("motor_cmd", el.ComponentType(el.PrimitiveType.F64, (4,)))
-]
-MotorThrust = ty.Annotated[
-    jax.Array, el.Component("motor_thrust", el.ComponentType(el.PrimitiveType.F64, (4,)))
-]
-RateSetpoint = ty.Annotated[
-    jax.Array, el.Component("rate_setpoint", el.ComponentType(el.PrimitiveType.F64, (3,)))
-]
-RatePidState = ty.Annotated[
-    jax.Array, el.Component("rate_pid_state", el.ComponentType(el.PrimitiveType.F64, (6,)))
-]
-AttSetpoint = ty.Annotated[el.Quaternion, el.Component("att_setpoint")]
-AltSetpoint = ty.Annotated[jax.Array, el.Component("alt_setpoint", el.ComponentType.F64)]
-
-
-@el.dataclass
-class Drone(el.Archetype):
-    motor_cmd: MotorCmd = field(default_factory=lambda: jnp.zeros(4))
-    motor_thrust: MotorThrust = field(default_factory=lambda: jnp.zeros(4))
-    rate_setpoint: RateSetpoint = field(default_factory=lambda: jnp.zeros(3))
-    rate_pid_state: RatePidState = field(default_factory=lambda: jnp.zeros(6))
-    att_setpoint: AttSetpoint = field(default_factory=el.Quaternion.identity)
-    alt_setpoint: AltSetpoint = field(default_factory=lambda: jnp.float64(2.0))
 
 
 @el.map
-def angle_loop(pos: el.WorldPos, goal: AttSetpoint) -> RateSetpoint:
-    """P on the quaternion attitude error -> body rate setpoint."""
-    q_err = pos.angular().inverse() * goal
-    v = q_err.vector()
-    sign = jnp.sign(v[3])
-    return ANGLE_P * v[:3] * sign * 2.0
+def gravity(inertia: el.Inertia, f: el.Force) -> el.Force:
+    return f + el.SpatialForce(linear=jnp.asarray([0.0, 0.0, -9.81]) * inertia.mass())
 
 
 @el.map
-def rate_loop(
-    pos: el.WorldPos, vel: el.WorldVel, sp: RateSetpoint, s: RatePidState
-) -> tuple[RatePidState, MotorCmd]:
-    omega_body = pos.angular().inverse() @ vel.angular()
-    e = sp - omega_body
-    i = jnp.clip(s[:3] + e * SIM_TIME_STEP, -0.4, 0.4)
-    d = (e - s[3:]) / SIM_TIME_STEP
-    torque_demand = RATE_P * e + RATE_I * i + RATE_D * jnp.clip(d, -50.0, 50.0)
-
-    # altitude hold baseline collective (computed in altitude_loop via cmd add)
-    # quad-X mixing: roll (y moment), pitch (x moment), yaw (z moment)
-    mix = (
-        torque_demand[0] * MOTOR_POS[:, 1] / ARM
-        - torque_demand[1] * MOTOR_POS[:, 0] / ARM
-        + torque_demand[2] * MOTOR_SPIN * K_YAW / 0.02
-    )
-    return jnp.concatenate([i, e]), mix
+def drag(v: el.WorldVel, f: el.Force) -> el.Force:
+    rel = -v.linear()
+    return f + el.SpatialForce(linear=DRAG_COEF * rel * jnp.linalg.norm(rel))
 
 
-@el.map
-def altitude_loop(
-    pos: el.WorldPos, vel: el.WorldVel, alt_sp: AltSetpoint, cmd: MotorCmd
-) -> MotorCmd:
-    e = alt_sp - pos.linear()[2]
-    collective = MASS * 9.81 / 4.0 + (ALT_P * e - ALT_D * vel.linear()[2]) / 4.0
-    return jnp.clip(cmd + collective, 0.0, MAX_MOTOR_THRUST)
+def make_flight_plan():
+    ts = jnp.asarray([p[0] for p in PLAN])
+    vals = jnp.asarray([[p[1], p[2], p[3]] for p in PLAN])
+
+    @el.system
+    def flight_plan(
+        tick: el.Query[el.SimulationTick],
+        dt: el.Query[el.SimulationTimeStep],
+        q: el.Query[ctl.AngleDesired],
+    ) -> el.Query[ctl.AngleDesired]:
+        t = tick[0] * dt[0]
+        idx = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1, 0, len(PLAN) - 1)
+        return q.map(ctl.AngleDesired, lambda _a: vals[idx])
+
+    return flight_plan
 
 
-@el.map
-def motor_dynamics(cmd: MotorCmd, thrust: MotorThrust) -> MotorThrust:
-    alpha = SIM_TIME_STEP / (MOTOR_TC + SIM_TIME_STEP)
-    return thrust + alpha * (cmd - thrust)
-
-
-@el.map
-def motor_forces(pos: el.WorldPos, thrust: MotorThrust, f: el.Force) -> el.Force:
-    total = jnp.sum(thrust)
-    thrust_body = jnp.array([0.0, 0.0, total])
-    # moments: r x F per motor + spin yaw torque
-    torque_body = jnp.sum(
-        jnp.cross(MOTOR_POS, jnp.stack([jnp.zeros(4), jnp.zeros(4), thrust], axis=-1)),
-        axis=0,
-    ) + jnp.array([0.0, 0.0, jnp.sum(MOTOR_SPIN * thrust) * K_YAW])
-    q = pos.angular()
-    return f + el.SpatialForce(linear=q @ thrust_body, torque=q @ torque_body)
-
-
-@el.map
-def gravity_drag(vel: el.WorldVel, f: el.Force) -> el.Force:
-    drag = -0.1 * la.norm(vel.linear()) * vel.linear()
-    return f + el.SpatialForce(linear=jnp.array([0.0, 0.0, -9.81 * MASS]) + drag)
-
-
-def build_world(tilt_deg: float = 20.0) -> el.World:
+def build_world(tilt_deg: float = 0.0, alt_m: float = 2.0) -> el.World:
     w = el.World()
     w.spawn(
         [
             el.Body(
                 world_pos=el.SpatialTransform(
                     angular=el.Quaternion.from_axis_angle(
-                        jnp.array([1.0, 0.0, 0.0]), jnp.radians(tilt_deg)
+                        jnp.asarray([1.0, 0.0, 0.0]), jnp.radians(tilt_deg)
                     ),
-                    linear=jnp.array([0.0, 0.0, 2.0]),
+                    linear=jnp.asarray([0.0, 0.0, alt_m]),
                 ),
-                inertia=el.SpatialInertia(MASS, INERTIA_DIAG),
+                inertia=el.SpatialInertia(MASS_KG, INERTIA_DIAG),
             ),
-            Drone(),
+            motors.Motors(),
+            sn.IMU(),
+            mekf.MEKF(),
+            ctl.AttitudeController(),
         ],
         name="drone",
+    )
+    w.schematic(
+        """
+        hsplit {
+            viewport name=Viewport look_at="drone.world_pos" show_grid=#true
+            vsplit {
+                graph name="Attitude estimate" eql="drone.attitude_estimate"
+                graph name="Estimate error" eql="drone.attitude_estimate_error"
+                graph name="Gyro" eql="drone.gyro"
+                graph name="Motors" eql="drone.motor_pwm"
+            }
+        }
+        """
     )
     return w
 
 
-def build_system() -> el.System:
-    control = angle_loop | rate_loop | altitude_loop | motor_dynamics
-    effectors = motor_forces | gravity_drag
-    return control | el.six_dof(sys=effectors, integrator=el.Integrator.Rk4)
+def build_system(noise: bool = True, flight_plan: bool = False) -> el.System:
+    """FSW at the control rate, then 3 fast-loop substeps of plant+sensors,
+    then the MEKF measurement update (reference sim.py:179-208)."""
+    sensor_sys = sn.make_systems(filt, noise=noise)
+    fsw = ctl.make_systems(sn, mekf, motors)
+    effectors = gravity | drag | motors.wrench
+    inner = (
+        el.six_dof(FAST_DT, motors.response | effectors, integrator=el.Integrator.SemiImplicit)
+        | sensor_sys
+    )
+    stack = fsw
+    for _ in range(INNER_RUN_COUNT):
+        stack = stack | inner
+    stack = stack | mekf.make_update(sn)
+    if flight_plan:
+        stack = make_flight_plan() | stack
+    return stack
 
 
 if __name__ == "__main__":
     w = build_world()
-    w.run(build_system(), simulation_rate=SIMULATION_RATE, max_ticks=int(30 * SIMULATION_RATE))
+    w.run(
+        build_system(flight_plan=True),
+        simulation_rate=SIMULATION_RATE,
+        max_ticks=int(SIM_SECONDS * SIMULATION_RATE),
+    )
