@@ -16,9 +16,11 @@ m*(a1+s*a4, a2+t*a4, a3+u*a4)).  Differences, all TPU-motivated:
 
 Coefficients: loads ``C_normal.npy``/``S_normal.npy`` from ``cache_directory``
 (the reference downloads them from assets.elodin.systems; this environment
-has no egress).  Without files it falls back to zonal-only J2..J6
-coefficients (standard published values), enough for LEO-grade accuracy and
-for the cube-sat example to run hermetically.
+has no egress).  Without files it uses the VENDORED real EGM2008 low-degree
+set (complete through degree/order 4 plus zonals to 8; see egm08_coeffs.py
+for provenance and golden anchors); pass ``synthetic_extension=True`` to
+fill higher degrees with Kaula-rule synthetic values for recursion
+numerics/benchmarks.  ``field_provenance`` records the active source.
 """
 
 from __future__ import annotations
@@ -29,25 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# normalized zonal fallback: C_bar[l,0] = -J_l / sqrt(2l+1)
-_J_ZONALS = {
-    2: 1.08262668355e-3,
-    3: -2.53265648533e-6,
-    4: -1.61962159137e-6,
-    5: -2.27296082869e-7,
-    6: 5.40681239107e-7,
-}
-
-
-def _fallback_coeffs(max_degree: int) -> tuple[np.ndarray, np.ndarray]:
-    n = max_degree + 1
-    c = np.zeros((n, n))
-    s = np.zeros((n, n))
-    c[0, 0] = 1.0
-    for l, j in _J_ZONALS.items():
-        if l <= max_degree:
-            c[l, 0] = -j / np.sqrt(2 * l + 1)
-    return c, s
+from . import egm08_coeffs
 
 
 def _k(m: np.ndarray) -> np.ndarray:
@@ -56,7 +40,12 @@ def _k(m: np.ndarray) -> np.ndarray:
 
 
 class EGM08:
-    def __init__(self, max_degree: int, cache_directory: str = ""):
+    def __init__(
+        self,
+        max_degree: int,
+        cache_directory: str = "",
+        synthetic_extension: bool = False,
+    ):
         self.r_ref = 6.378e6
         self.mu_earth = 3.986004418e14
         self.max_degree = int(max_degree)
@@ -67,8 +56,13 @@ class EGM08:
         if os.path.isfile(c_path) and os.path.isfile(s_path):
             c = np.load(c_path)[: L + 1, : L + 1].astype(np.float64)
             s = np.load(s_path)[: L + 1, : L + 1].astype(np.float64)
+            self.field_provenance = "file"
         else:
-            c, s = _fallback_coeffs(L)
+            c, s = egm08_coeffs.vendored(L)
+            self.field_provenance = "vendored-low-degree"
+            if synthetic_extension and L > egm08_coeffs.VENDORED_MAX_DEGREE:
+                c, s = egm08_coeffs.kaula_extend(c, s)
+                self.field_provenance = "vendored+kaula-synthetic"
         self.c_bar = jnp.asarray(c)
         self.s_bar = jnp.asarray(s)
 

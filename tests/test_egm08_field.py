@@ -1,0 +1,101 @@
+"""EGM2008 vendored-coefficient golden anchors + Kaula extension behavior.
+
+The vendored values (elodin_tpu/gravity/egm08_coeffs.py) are checked
+against independently-published derived quantities — the dynamic form
+factors J2/J3/J4 and the longitude of Earth's equatorial principal axis —
+so a transcription slip in any headline coefficient fails loudly.
+Reference: libs/nox-py/python/elodin/egm08.py:16-50 (real-file loader)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import elodin  # noqa: F401
+from elodin_tpu.gravity import egm08_coeffs
+from elodin_tpu.gravity.egm08 import EGM08
+
+
+def test_zonal_form_factors_match_published():
+    c, s = egm08_coeffs.vendored(8)
+    # J_l = -sqrt(2l+1) * C_bar[l,0]
+    j2 = -np.sqrt(5.0) * c[2, 0]
+    j3 = -np.sqrt(7.0) * c[3, 0]
+    j4 = -np.sqrt(9.0) * c[4, 0]
+    # Independent anchors: the published EGM96 dynamic form factors (the
+    # EGM2008 update moves each by only a few parts in 1e-10).
+    assert abs(j2 - 1.08262668e-3) < 1e-9, j2
+    assert abs(j3 - (-2.53265649e-6)) < 1e-9, j3
+    assert abs(j4 - (-1.61962159e-6)) < 1e-9, j4
+
+
+def test_equatorial_principal_axis_longitude():
+    """The C22/S22 pair defines Earth's equatorial ellipticity; its major
+    axis sits at 14.93 deg W (published geophysical constant)."""
+    c, s = egm08_coeffs.vendored(2)
+    lam = 0.5 * np.degrees(np.arctan2(s[2, 2], c[2, 2]))
+    assert abs(lam - (-14.93)) < 0.03, lam
+
+
+def test_default_field_has_real_tesserals():
+    eg = EGM08(8)
+    assert eg.field_provenance == "vendored-low-degree"
+    c = np.asarray(eg.c_bar)
+    s = np.asarray(eg.s_bar)
+    assert c[2, 2] != 0.0 and s[2, 2] != 0.0 and c[4, 4] != 0.0
+    # degrees above the vendored set stay zero without the real file
+    assert np.all(c[5:, 1:] == 0.0)
+
+
+def test_sectorial_gravity_signature():
+    """With real C22/S22, equatorial gravity magnitude varies with
+    longitude, peaking near the principal axis (~15 deg W / 165 deg E):
+    a pure-zonal field cannot produce this."""
+    eg = EGM08(2)  # degree-2 truncation: C22/S22 alone set the signature
+    r_eq = 6.378e6
+    lons = np.radians(np.arange(0.0, 360.0, 1.0))
+    pts = np.stack([r_eq * np.cos(lons), r_eq * np.sin(lons), np.zeros_like(lons)], axis=1)
+    g = np.linalg.norm(np.asarray(eg.acceleration(jnp.asarray(pts))), axis=1)
+    spread = g.max() - g.min()
+    assert spread > 5e-5  # m/s^2 — tesseral signature present
+    lam_peak = np.degrees(lons[np.argmax(g)]) % 180.0
+    assert abs(lam_peak - (180.0 - 14.93)) < 3.0, lam_peak
+
+
+def test_kaula_extension_spectrum_and_determinism():
+    eg1 = EGM08(32, synthetic_extension=True)
+    eg2 = EGM08(32, synthetic_extension=True)
+    assert eg1.field_provenance == "vendored+kaula-synthetic"
+    np.testing.assert_array_equal(np.asarray(eg1.c_bar), np.asarray(eg2.c_bar))
+    c = np.asarray(eg1.c_bar)
+    # per-degree rms follows Kaula's rule within a factor of ~3
+    for l in (12, 20, 30):
+        rms = np.sqrt(np.mean(c[l, : l + 1] ** 2))
+        assert 0.3e-5 / l**2 < rms < 3e-5 / l**2, (l, rms)
+    # the real low-degree terms are untouched by the extension
+    assert c[2, 2] == egm08_coeffs.vendored(2)[0][2, 2]
+
+
+def test_vendored_vs_j2_model_acceleration():
+    """Degree-2 zonal-only truncation of the vendored field must agree with
+    the independent closed-form J2 acceleration to ~1e-9 relative."""
+    from elodin_tpu.gravity import j2 as j2_mod
+
+    c, s = egm08_coeffs.vendored(2)
+    c[2, 1:] = 0.0
+    s[:, :] = 0.0
+    eg = EGM08(2)
+    eg.c_bar = jnp.asarray(c)
+    eg.s_bar = jnp.asarray(s)
+    j2_val = -np.sqrt(5.0) * c[2, 0]
+    r = jnp.asarray([[5e6, 2e6, 3.5e6], [6.8e6, 0.0, 1.0e6]])
+    a_eg = np.asarray(eg.acceleration(r))
+
+    mu, R = eg.mu_earth, eg.r_ref
+    x, y, z = np.asarray(r).T
+    rn = np.sqrt(x * x + y * y + z * z)
+    zr2 = (z / rn) ** 2
+    k = 1.5 * j2_val * (R / rn) ** 2
+    ax = -mu * x / rn**3 * (1.0 - k * (5.0 * zr2 - 1.0))
+    ay = -mu * y / rn**3 * (1.0 - k * (5.0 * zr2 - 1.0))
+    az = -mu * z / rn**3 * (1.0 - k * (5.0 * zr2 - 3.0))
+    a_ref = np.stack([ax, ay, az], axis=1)
+    np.testing.assert_allclose(a_eg, a_ref, rtol=2e-9)
