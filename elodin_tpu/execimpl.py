@@ -310,7 +310,11 @@ class Exec:
                     return new, jax.tree_util.tree_map(lambda x: x[None], new)
                 return jax.lax.scan(body, cols, None, length=n)
 
-            fn = jax.jit(run_n)
+            # Donate the input state like the fast path: without it the
+            # emit program holds input + output + the n-stack alive at once
+            # and history-recording runs pay ~2x state HBM
+            # (reference donate pattern, libs/nox-py/src/system.rs:944).
+            fn = jax.jit(run_n, donate_argnums=0)
         else:
 
             def run_fast(cols):

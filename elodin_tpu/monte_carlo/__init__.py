@@ -173,7 +173,7 @@ def result(**kwargs) -> None:
     path.write_text(json.dumps(kwargs, indent=2))
 
 
-from .batched import BatchedCampaign, run_batched  # noqa: E402,F401
+from .batched import BatchedCampaign, run_batched, write_artifacts  # noqa: E402,F401
 from .campaign import run_campaign  # noqa: E402,F401
 
 __all__ = [
@@ -191,5 +191,6 @@ __all__ = [
     "materialize_plan",
     "BatchedCampaign",
     "run_batched",
+    "write_artifacts",
     "run_campaign",
 ]

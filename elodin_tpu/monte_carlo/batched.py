@@ -26,13 +26,17 @@ from ..system import build_step
 
 class BatchedResult:
     def __init__(self, meta, final_cols: dict, n_samples: int,
-                 wall_seconds: float, ticks: int, history=None):
+                 wall_seconds: float, ticks: int, history=None,
+                 history_times=None):
         self.meta = meta
         self.final = final_cols
         self.n_samples = n_samples
         self.wall_seconds = wall_seconds
         self.ticks = ticks
-        self.history = history  # optional dict name -> (n_emits, n, ...) stacks
+        # Decimated in-graph trajectory emits: dict component ->
+        # (n_emits, n_samples, n_entities, *shape); None when not recorded.
+        self.history = history
+        self.history_times = history_times  # (n_emits,) sim-time seconds
         self._resolver = History(meta)
 
     def component(self, qualified: str) -> np.ndarray:
@@ -42,6 +46,21 @@ class BatchedResult:
 
     def column(self, component: str) -> np.ndarray:
         return np.asarray(self.final[component])
+
+    def trajectory(self, qualified: str) -> np.ndarray:
+        """Decimated per-sample time series of 'entity.component':
+        (n_emits, n_samples, *shape).  Requires history recording
+        (BatchedCampaign.run(..., history_every=K))."""
+        if self.history is None:
+            raise ValueError(
+                "no trajectories recorded; pass history_every to run()"
+            )
+        comp, row = self._resolver.resolve(qualified)
+        if comp not in self.history:
+            raise KeyError(
+                f"{comp} not in recorded history {sorted(self.history)}"
+            )
+        return np.asarray(self.history[comp][:, :, row])
 
     @property
     def rollouts_per_second(self) -> float:
@@ -121,7 +140,25 @@ class BatchedCampaign:
             self._jit_cache[ticks] = fn
         return fn
 
-    def run(self, ticks: int) -> BatchedResult:
+    def _emit_runner(self, every: int, n_emits: int, selected: tuple):
+        key = ("emit", every, n_emits, selected)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            vstep = self._vstep
+
+            def run(cols):
+                def seg(c, _):
+                    c = jax.lax.fori_loop(0, every, lambda _i, cc: vstep(cc), c)
+                    return c, {k: c[k] for k in selected}
+
+                return jax.lax.scan(seg, cols, None, length=n_emits)
+
+            fn = jax.jit(run, donate_argnums=0).lower(self.cols).compile()
+            self._jit_cache[key] = fn
+        return fn
+
+    def run(self, ticks: int, history_every: int = 0,
+            history_components: list[str] | None = None) -> BatchedResult:
         """Run the campaign, segmented into bounded-duration device
         launches.
 
@@ -135,6 +172,43 @@ class BatchedCampaign:
 
         seg = int(os.environ.get("ELODIN_MC_SEGMENT_TICKS", "20000"))
         seg = max(1, min(seg, ticks))
+
+        history = None
+        history_times = None
+        if history_every:
+            # In-graph decimated trajectory emit: scan segments of
+            # `history_every` ticks, each appending the selected columns —
+            # the stacked (n_emits, n, ...) history stays on device until
+            # the single d2h at the end.
+            if history_components:
+                resolver = History(self.meta)
+                selected = tuple(
+                    sorted({resolver.resolve(q)[0] if "." in q else q
+                            for q in history_components})
+                )
+            else:
+                selected = tuple(sorted(self.cols))
+            n_emits, tail = divmod(ticks, history_every)
+            compiled = self._emit_runner(history_every, n_emits, selected)
+            compiled_tail = self._runner(tail) if tail else None
+            t0 = time.perf_counter()
+            cols, hist = compiled(self.cols)
+            cols = dict(cols)
+            if compiled_tail is not None:
+                cols = dict(compiled_tail(cols))
+            jax.block_until_ready((cols, hist))
+            wall = time.perf_counter() - t0
+            history = {k: np.asarray(v) for k, v in hist.items()}
+            dt = float(np.asarray(cols["simulation_time_step"]).ravel()[0])
+            history_times = (
+                np.arange(1, n_emits + 1, dtype=np.float64) * history_every * dt
+            )
+            self.cols = cols
+            return BatchedResult(
+                self.meta, self.cols, self.n, wall, ticks,
+                history=history, history_times=history_times,
+            )
+
         n_full, rem = divmod(ticks, seg)
         compiled = self._runner(seg)
         compiled_rem = self._runner(rem) if rem else None
@@ -148,6 +222,101 @@ class BatchedCampaign:
         wall = time.perf_counter() - t0
         self.cols = cols
         return BatchedResult(self.meta, self.cols, self.n, wall, ticks)
+
+
+def write_artifacts(result: BatchedResult, out_dir, draws=None, scores=None,
+                    quality: dict | None = None) -> dict:
+    """Write the process-campaign artifact set from a batched run.
+
+    Drop-in for the reference workflow's outputs
+    (libs/monte-carlo/src/lib.rs:103-117): plan.csv (the dispersion draws),
+    results.csv (per-sample params + scores + validity), perf.csv
+    (campaign pacing), summary.json (totals + quality gates), and — when
+    the run recorded in-graph history — trajectories.npz with the decimated
+    per-sample stacks, from which a dispersion plot is a two-liner.
+
+    `scores` is a dict name -> (n,) array (floats or bools); a boolean or
+    0/1 'valid' entry drives the validity counts.  `quality` supports
+    {'min_rollouts_per_sec': X, 'fail_on_degraded': bool} — pacing gates
+    adapted to the one-program campaign (degraded = the whole launch ran
+    under the floor, mirroring the reference's pacing-integrity gates).
+    """
+    import csv
+    import json
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = result.n_samples
+    draws = {k: np.asarray(v) for k, v in (draws or {}).items()}
+    scores = {k: np.asarray(v) for k, v in (scores or {}).items()}
+    run_ids = [f"mc-{i:06d}" for i in range(n)]
+
+    with open(out / "plan.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["run_id"] + [f"param.{k}" for k in draws])
+        for i in range(n):
+            w.writerow([run_ids[i]] + [draws[k][i] for k in draws])
+
+    valid = scores.get("valid")
+    if valid is None:
+        valid = np.ones(n, dtype=bool)
+    valid = np.asarray(valid).astype(bool)
+
+    with open(out / "results.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        header = (
+            ["run_id"]
+            + [f"param.{k}" for k in draws]
+            + [k for k in scores if k != "valid"]
+            + ["valid"]
+        )
+        w.writerow(header)
+        for i in range(n):
+            w.writerow(
+                [run_ids[i]]
+                + [draws[k][i] for k in draws]
+                + [scores[k][i] for k in scores if k != "valid"]
+                + [int(valid[i])]
+            )
+
+    rps = result.rollouts_per_second
+    quality = dict(quality or {})
+    floor = float(quality.get("min_rollouts_per_sec", 0.0))
+    degraded = bool(floor and rps < floor)
+    with open(out / "perf.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["wall_s", "ticks", "n_samples", "rollouts_per_sec",
+                    "entity_steps_per_sec", "degraded"])
+        w.writerow([result.wall_seconds, result.ticks, n, rps,
+                    result.entity_steps_per_second, int(degraded)])
+
+    if result.history is not None:
+        np.savez_compressed(
+            out / "trajectories.npz",
+            times=result.history_times,
+            **{k: v for k, v in result.history.items()},
+        )
+
+    summary = {
+        "total": n,
+        "valid": int(valid.sum()),
+        "invalid": int(n - valid.sum()),
+        "degraded": int(degraded),
+        "passed": int(valid.sum()) if not degraded else 0,
+        "wall_s": result.wall_seconds,
+        "ticks": result.ticks,
+        "rollouts_per_sec": rps,
+        "mode": "batched",
+        "history_components": sorted(result.history) if result.history else [],
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    if quality.get("fail_on_degraded") and degraded:
+        raise RuntimeError(
+            f"campaign degraded: {rps:.1f} rollouts/s under the "
+            f"{floor:.1f} floor"
+        )
+    return summary
 
 
 def run_batched(world, system, n_samples: int, ticks: int,

@@ -494,10 +494,24 @@ class GraphQuery:
         return GraphQuery(builder, edges)
 
     def edge_fold(self, left_query: Query, right_query: Query, return_type,
-                  init_value, fold_fn) -> Query:
+                  init_value, fold_fn, additive: bool | None = None) -> Query:
+        """Fold ``fold_fn(carry, *left, *right)`` over each left entity's
+        edges (python/elodin/__init__.py:417-557).
+
+        ``additive`` is the reassociation contract for the TotalEdge fast
+        path: ``None`` (default) probes the fold numerically at three
+        magnitudes and reassociates into a dense masked sum only when the
+        carry enters additively; ``True`` forces the dense path without
+        probing (author asserts additivity); ``False`` forces the exact
+        sequential scan — use it for folds that are additive only locally
+        (e.g. a carry-dependent branch crossing a threshold between probe
+        scales), which the probe cannot distinguish.  Explicit-edge queries
+        always run the exact per-edge scan.  Global kill switch:
+        ELODIN_EDGE_FOLD_DENSE=0."""
         if self.total:
             return self._edge_fold_total(
-                left_query, right_query, return_type, init_value, fold_fn
+                left_query, right_query, return_type, init_value, fold_fn,
+                additive=additive,
             )
         builder = left_query.builder
         left_set = set(left_query.entity_ids)
@@ -662,7 +676,8 @@ class GraphQuery:
             return False
 
     def _edge_fold_total(self, left_query: Query, right_query: Query,
-                         return_type, init_value, fold_fn) -> Query:
+                         return_type, init_value, fold_fn,
+                         additive: bool | None = None) -> Query:
         """TotalEdge edge_fold without the O(n^2) Python edge list.
 
         Additive folds run as a dense tiled masked sum (lax.scan over
@@ -696,9 +711,15 @@ class GraphQuery:
         rid_arr = jnp.asarray(np.array(rids, dtype=np.int32))
 
         init_flat, init_tree = tree_flatten(init_value)
-        additive = self._fold_is_additive(
-            left_query, right_query, init_value, fold_fn
-        )
+        if additive is None:
+            additive = self._fold_is_additive(
+                left_query, right_query, init_value, fold_fn
+            )
+        elif additive:
+            import os
+
+            # the global kill switch still wins over a per-call force-dense
+            additive = os.environ.get("ELODIN_EDGE_FOLD_DENSE", "1") != "0"
 
         # Safe substitute right-values for masked (self/padding) pairs: a
         # self-pair fed through fold_fn typically divides by zero distance,

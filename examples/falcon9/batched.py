@@ -14,7 +14,7 @@ import sys
 
 import numpy as np
 
-from elodin_tpu.monte_carlo import BatchedCampaign, sample_plan
+from elodin_tpu.monte_carlo import BatchedCampaign, sample_plan, write_artifacts
 
 from sim import (
     DEFAULT_MAX_TICKS,
@@ -27,7 +27,7 @@ from sim import (
 
 
 def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
-                 mesh=None):
+                 mesh=None, out_dir=None, history_every: int = 0):
     variables = {
         name: {"dist": "uniform", "min": p.min, "max": p.max}
         for name, p in PARAMS.items()
@@ -53,13 +53,35 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
         world, system, n_samples, overrides,
         simulation_rate=SIM_RATE_HZ, mesh=mesh,
     )
-    result = campaign.run(ticks)
+    result = campaign.run(
+        ticks,
+        history_every=history_every,
+        history_components=(
+            ["booster.world_pos", "booster.world_vel", "booster.phase",
+             "booster.prop_kg"]
+            if history_every
+            else None
+        ),
+    )
 
     vz = result.component("booster.touchdown_vz")
     miss = result.component("booster.miss_distance")
     landed = miss >= 0.0
     soft = landed & (vz > -6.0)
     precise = soft & (miss < 50.0)
+    if out_dir is not None:
+        write_artifacts(
+            result,
+            out_dir,
+            draws=draws,
+            scores={
+                "touchdown_vz": vz,
+                "touchdown_vlat": result.component("booster.touchdown_vlat"),
+                "miss_distance": miss,
+                "soft": soft,
+                "valid": landed,
+            },
+        )
     return {
         "n_samples": n_samples,
         "ticks": ticks,
@@ -75,6 +97,18 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    ticks = int(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_MAX_TICKS
-    print(json.dumps(run_campaign(n, ticks), indent=2))
+    # usage: python batched.py [n_samples] [ticks] [--out DIR] [--traj-every K]
+    args = [a for a in sys.argv[1:]]
+    out = None
+    every = 0
+    if "--out" in args:
+        i = args.index("--out")
+        out = args[i + 1]
+        del args[i : i + 2]
+    if "--traj-every" in args:
+        i = args.index("--traj-every")
+        every = int(args[i + 1])
+        del args[i : i + 2]
+    n = int(args[0]) if args else 256
+    ticks = int(args[1]) if len(args) > 1 else DEFAULT_MAX_TICKS
+    print(json.dumps(run_campaign(n, ticks, out_dir=out, history_every=every), indent=2))

@@ -1293,3 +1293,73 @@ def test_nan_producing_fold_not_classified_additive():
         lambda c: jnp.log(c - 100.0),  # NaN for the probe carries
     )
     assert ok is False
+
+
+def test_edge_fold_additive_override_contract():
+    """Per-call reassociation contract (semantics of
+    libs/nox-py/src/graph.rs:178-235): a trap fold that is additive at the
+    probe's three magnitudes but not elsewhere MUST stay exact when the
+    author passes additive=False, and the tri-state override forces each
+    path deterministically."""
+    import typing as ty
+
+    import elodin as el
+    import jax.numpy as jnp
+    import numpy as np
+
+    Val = ty.Annotated[jax.Array, el.Component("trap_val", el.ComponentType.F64)]
+    Acc = ty.Annotated[jax.Array, el.Component("trap_acc", el.ComponentType.F64)]
+
+    from dataclasses import field
+
+    @el.dataclass
+    class T(el.Archetype):
+        trap_val: Val = field(default_factory=lambda: jnp.float64(0.0))
+        trap_acc: Acc = field(default_factory=lambda: jnp.float64(0.0))
+
+    vals = [3.0e4, 4.0e4, 5.0e4]  # pair partial-sums cross the 3.5e4 trap
+
+    def build(additive):
+        w = el.World()
+        for i, v in enumerate(vals):
+            w.spawn(T(trap_val=jnp.float64(v)), name=f"e{i}")
+
+        @el.system
+        def fold(g: el.GraphQuery[el.TotalEdge], q: el.Query[Val]) -> el.Query[Acc]:
+            def trap(carry, _lv, rv):
+                # additive while carry < 3.5e4 (all probe scales are), then
+                # saturates — NOT globally additive
+                return jnp.where(carry > 3.5e4, carry, carry + rv)
+
+            return g.edge_fold(q, q, Acc, jnp.float64(0.0), trap,
+                               additive=additive)
+
+        ex = w.build(fold, simulation_rate=100.0)
+        ex.run(1)
+        return np.asarray(
+            [float(np.asarray(ex.read_component(f"e{i}.trap_acc")).ravel()[0])
+             for i in range(3)]
+        )
+
+    # exact sequential semantics: each entity folds the other two in id
+    # order, saturating once the carry passes 6e4
+    def oracle(i):
+        c = 0.0
+        for j, v in enumerate(vals):
+            if j != i:
+                c = c if c > 3.5e4 else c + v
+        return c
+
+    exact = np.asarray([oracle(i) for i in range(3)])
+    forced_exact = build(additive=False)
+    np.testing.assert_allclose(forced_exact, exact, rtol=1e-12)
+
+    # the probe (additive=None) cannot distinguish this trap — its decision
+    # is whatever the three scales say; the CONTRACT is that False wins.
+    forced_dense = build(additive=True)
+    dense = np.asarray(
+        [sum(v for j, v in enumerate(vals) if j != i) for i in range(3)]
+    )
+    np.testing.assert_allclose(forced_dense, dense, rtol=1e-12)
+    # and dense genuinely differs from exact here (the trap is real)
+    assert np.abs(forced_dense - exact).max() > 1.0
