@@ -33,8 +33,8 @@ def bench_entity_steps(n_bodies: int, ticks: int, dtype: str) -> dict:
     from elodin_tpu import _config
 
     prev = _config._FLOAT_POLICY  # restore the USER's policy, not "f64"
-    if dtype == "f32":
-        el.set_float_policy("f32")
+    if dtype in ("f32", "mixed"):
+        el.set_float_policy(dtype)
     try:
         return _bench_entity_steps_inner(n_bodies, ticks, dtype)
     finally:
@@ -54,6 +54,17 @@ def _bench_entity_steps_inner(n_bodies: int, ticks: int, dtype: str) -> dict:
     if dtype == "f32":
         cols = {
             k: v.astype("float32") if v.dtype.kind == "f" else v
+            for k, v in cols.items()
+        }
+    elif dtype == "mixed":
+        # per-component policy: integrator state stays f64, everything the
+        # effector pipeline owns drops to f32 (SURVEY 7e)
+        cols = {
+            k: (
+                v
+                if k in ("world_pos", "world_vel") or v.dtype.kind != "f"
+                else v.astype("float32")
+            )
             for k, v in cols.items()
         }
     full = Pipe(increment_sim_tick_system, as_system(system))
@@ -123,6 +134,20 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["f32_error"] = str(e)
 
+    if os.environ.get("BENCH_MIXED", "1") != "0":
+        try:
+            mx = bench_mixed(
+                int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks
+            )
+            result["mixed_entity_steps_per_sec"] = round(
+                mx["entity_steps_per_sec"], 1
+            )
+            result["mixed_vs_cpu_max_rel"] = float(
+                f"{mx['mixed_vs_cpu_max_rel']:.3g}"
+            )
+        except Exception as e:  # noqa: BLE001
+            result["mixed_error"] = str(e)
+
     if os.environ.get("BENCH_MC", "1") != "0":
         try:
             mc = bench_monte_carlo()
@@ -132,18 +157,40 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["mc_error"] = str(e)
 
+    f9_share_wall = None
     if os.environ.get("BENCH_F9", "1") != "0":
         try:
             # 1250 samples = the per-chip share of the BASELINE.json
             # "10k falcon9 < 60 s on v5e-8" config; full missions (58k
-            # ticks each).  Measured 18.8 s on one v5e chip.
+            # ticks each).
             f9 = bench_falcon9(int(os.environ.get("BENCH_F9_SAMPLES", "1250")))
+            f9_share_wall = f9["wall_s"]
             result["falcon9_rollouts_per_sec"] = round(f9["rollouts_per_s"], 1)
             result["falcon9_10k_share_wall_s"] = round(f9["wall_s"], 4)
             result["falcon9_samples"] = f9["n_samples"]
             result["falcon9_precision_frac"] = f9["precision_landing_frac"]
+            result["falcon9_median_miss_m"] = f9["median_miss_m"]
         except Exception as e:  # noqa: BLE001
             result["falcon9_error"] = str(e)
+
+    if os.environ.get("BENCH_F9_10K", "1") != "0":
+        # the real single-chip 10k run (BASELINE.json target is <60 s on a
+        # v5e-8 POD; one chip carries 8x the share).  Guarded by a budget:
+        # the projection from the 1250-sample share decides whether the
+        # full run fits the bench window.
+        budget_s = float(os.environ.get("BENCH_F9_10K_BUDGET_S", "1800"))
+        projected = (f9_share_wall or 0.0) * 8.0
+        if f9_share_wall is not None and projected > budget_s:
+            result["falcon9_10k_skipped"] = (
+                f"projected {projected:.0f}s exceeds {budget_s:.0f}s budget"
+            )
+        else:
+            try:
+                f9k = bench_falcon9(10000)
+                result["falcon9_10k_wall_s"] = round(f9k["wall_s"], 1)
+                result["falcon9_10k_soft_frac"] = f9k["soft_landing_frac"]
+            except Exception as e:  # noqa: BLE001
+                result["falcon9_10k_error"] = str(e)
 
     if os.environ.get("BENCH_EGM", "1") != "0":
         try:
@@ -162,16 +209,6 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001
             result["rocket_error"] = str(e)
-
-    if os.environ.get("BENCH_F9_10K", "0") != "0":
-        # the BASELINE.json 10k-falcon9 configuration, full mission — slow
-        # (minutes); opt-in so routine bench runs stay fast.  The
-        # 1250-sample falcon9 metric above is the always-on proxy.
-        try:
-            f9k = bench_falcon9(10000)
-            result["falcon9_10k_wall_s"] = round(f9k["wall_s"], 1)
-        except Exception as e:  # noqa: BLE001
-            result["falcon9_10k_error"] = str(e)
 
     if os.environ.get("BENCH_NBODY", "1") != "0":
         try:
@@ -193,6 +230,9 @@ def main() -> None:
             result["diff_grad_ticks"] = df["ticks"]
         except Exception as e:  # noqa: BLE001
             result["diff_error"] = str(e)
+
+    if os.environ.get("BENCH_RTF", "1") != "0":
+        result.update(bench_rtf())
 
     if os.environ.get("BENCH_VERIFY", "1") != "0":
         try:
@@ -236,6 +276,183 @@ def _load_example(example: str, module: str):
             os.environ.pop("ELODIN_SKIP_RUN", None)
         else:
             os.environ["ELODIN_SKIP_RUN"] = prev
+
+
+def bench_mixed(n_bodies: int, ticks: int) -> dict:
+    """Mixed-precision batched 6DOF: throughput plus its own TPU-vs-CPU
+    trajectory gate (the SAME mixed program on both backends; the diff is
+    platform reassociation only, so the 1e-6 bar applies unchanged)."""
+    import jax
+    import numpy as np
+
+    out = bench_entity_steps(n_bodies, ticks, "mixed")
+
+    # verify on a small config: one mixed program, two backends
+    import elodin_tpu as el
+    from elodin_tpu import _config
+
+    prev = _config._FLOAT_POLICY
+    el.set_float_policy("mixed")
+    try:
+        from elodin_tpu.models import build_batched_sixdof
+        from elodin_tpu.six_dof import increment_sim_tick_system
+        from elodin_tpu.system import Pipe, SystemBuilder, as_system
+
+        world, system = build_batched_sixdof(256)
+        meta, cols = world.snapshot()
+        cols = {
+            k: (
+                v
+                if k in ("world_pos", "world_vel") or v.dtype.kind != "f"
+                else v.astype("float32")
+            )
+            for k, v in cols.items()
+        }
+        full = Pipe(increment_sim_tick_system, as_system(system))
+
+        def step(state):
+            b = SystemBuilder(meta, dict(state))
+            full.call(b)
+            return b.cols
+
+        def run(state):
+            return jax.lax.fori_loop(0, 100, lambda _i, st: step(st), state)
+
+        def final_pos(device):
+            import jax.numpy as jnp
+
+            with jax.default_device(device):
+                state = {k: jnp.asarray(v) for k, v in cols.items()}
+                res = jax.jit(run)(state)
+                return np.asarray(res["world_pos"], dtype=np.float64)
+
+        tpu_pos = final_pos(jax.devices()[0])
+        cpu_pos = final_pos(jax.devices("cpu")[0])
+        scale = np.maximum(np.abs(cpu_pos), 1.0)
+        rel = float(np.abs(tpu_pos - cpu_pos).max() / scale.max())
+        rel = float((np.abs(tpu_pos - cpu_pos) / scale).max())
+        out["mixed_vs_cpu_max_rel"] = rel
+        assert rel <= 1e-6, f"mixed TPU-vs-CPU mismatch: {rel}"
+    finally:
+        el.set_float_policy(prev)
+    return out
+
+
+# Reference per-example RTF baselines (scripts/ci/baseline/*/profile-metrics
+# .json, cranelift backend on the reference CI machine) — BASELINE.md table.
+REF_RTF = {
+    "ball": 6791.6,
+    "three-body": 3079.6,
+    "stablehlo": 3708.6,
+    "drone": 268.4,
+    "linalg": 328.9,
+    "rocket": 37.6,
+    "cube-sat": 0.5,
+}
+RTF_TICKS = {
+    "ball": 2400,
+    "three-body": 2400,
+    "stablehlo": 1200,
+    "drone": 1200,
+    "linalg": 600,
+    "rocket": 1200,
+    "cube-sat": 240,
+}
+
+
+def _build_example_exec(example: str):
+    """Uniform example loader (the regression gate's recipe,
+    scripts/export_example.py)."""
+    import importlib.util
+    import types
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    exdir = os.path.join(root, "examples", example)
+    sys.path.insert(0, exdir)
+    saved = sys.modules.pop("sim", None)
+    prev_skip = os.environ.get("ELODIN_SKIP_RUN")
+    os.environ["ELODIN_SKIP_RUN"] = "1"
+    try:
+        mod = None
+        for mod_name in ("sim", "main"):
+            path = os.path.join(exdir, f"{mod_name}.py")
+            if not os.path.exists(path):
+                continue
+            spec = importlib.util.spec_from_file_location(
+                f"{example}_{mod_name}_rtf", path
+            )
+            m = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(m)
+            if any(hasattr(m, a) for a in ("build_world", "world", "w")):
+                mod = m
+                break
+        if mod is None:
+            raise RuntimeError(f"no loadable module for {example}")
+        rate = getattr(mod, "SIMULATION_RATE", None) or 1.0 / getattr(
+            mod, "SIM_TIME_STEP", 1 / 120
+        )
+        if hasattr(mod, "build_world"):
+            w, system = mod.build_world(), mod.build_system()
+        elif hasattr(mod, "world"):
+            w = mod.world()
+            if isinstance(w, tuple):
+                w = w[0]
+            system = mod.system()
+        else:
+            w = mod.w
+            system = getattr(mod, "sys", None)
+            if system is None or isinstance(system, types.ModuleType):
+                system = mod.system
+        ex = w.build(system, simulation_rate=rate)
+        ex.record_history = False
+        return ex, rate
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("sim", None)
+        if saved is not None:
+            sys.modules["sim"] = saved
+        if prev_skip is None:
+            os.environ.pop("ELODIN_SKIP_RUN", None)
+        else:
+            os.environ["ELODIN_SKIP_RUN"] = prev_skip
+
+
+def bench_rtf() -> dict:
+    """Per-example real-time factor on the device — the reference's headline
+    interactive metric (BASELINE.md CI table), measured with a warmed
+    compile and a host read as the true sync (the axon tunnel makes
+    block_until_ready-based timing unreliable)."""
+    import numpy as np
+
+    out = {}
+    for example, ref in REF_RTF.items():
+        ticks = RTF_TICKS[example]
+        try:
+            ex, rate = _build_example_exec(example)
+            first = next(iter(ex.cols))
+
+            def timed(reps):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    ex.run(ticks, show_progress=False)
+                _ = np.asarray(ex.cols[first])  # host read = true sync
+                return time.perf_counter() - t0
+
+            ex.run(ticks, show_progress=False)  # warm: compile + cache
+            _ = np.asarray(ex.cols[first])
+            # Differential timing with ONE compiled program: the tunnel's
+            # d2h read costs a large fixed latency that would swamp fast
+            # examples — time one N-tick run and two back-to-back N-tick
+            # runs; the difference cancels the read and dispatch overheads.
+            t1 = timed(1)
+            t2 = timed(2)
+            wall = max(t2 - t1, 1e-9)
+            rtf = ticks / rate / wall
+            out[f"rtf_{example.replace('-', '_')}"] = round(rtf, 1)
+            out[f"rtf_{example.replace('-', '_')}_vs_ref"] = round(rtf / ref, 2)
+        except Exception as e:  # noqa: BLE001
+            out[f"rtf_{example.replace('-', '_')}_error"] = str(e)[:200]
+    return out
 
 
 def bench_verify(ticks: int = 100) -> dict:

@@ -32,13 +32,26 @@ _FLOAT_POLICY = os.environ.get("ELODIN_FLOAT_POLICY", "f64")
 def default_float():
     import jax.numpy as jnp
 
-    return jnp.float64 if _FLOAT_POLICY == "f64" else jnp.float32
+    return jnp.float32 if _FLOAT_POLICY == "f32" else jnp.float64
+
+
+def effector_compute_dtype():
+    """Under the 'mixed' policy the six-dof effector pipeline computes in
+    f32 while the integrator state (world_pos/world_vel) and the
+    u' = u + dt*du update stay f64 — the SURVEY §7(e) per-component policy:
+    forces tolerate f32 (~1e-7 relative), trajectory accumulation does not.
+    Returns None when effectors run at full precision."""
+    if _FLOAT_POLICY != "mixed":
+        return None
+    import jax.numpy as jnp
+
+    return jnp.float32
 
 
 def set_float_policy(policy: str) -> None:
     global _FLOAT_POLICY
-    if policy not in ("f64", "f32"):
-        raise ValueError("float policy must be 'f64' or 'f32'")
+    if policy not in ("f64", "f32", "mixed"):
+        raise ValueError("float policy must be 'f64', 'f32' or 'mixed'")
     _FLOAT_POLICY = policy
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.smallalg import inv_3x3, psd_inv
+
 
 def _calibration_step(y, m):
     """One least-squares refinement (magical.rs:9-23).
@@ -20,7 +22,7 @@ def _calibration_step(y, m):
     n = y.shape[1]
     ones = jnp.ones((1, n), dtype=y.dtype)
     g = jnp.concatenate([m, ones], axis=0)  # (4, N)
-    ggt_inv = jnp.linalg.inv(g @ g.T)
+    ggt_inv = psd_inv(g @ g.T)
     l = (y @ g.T) @ ggt_inv  # (3, 4)
     t = l[:, :3]
     h = l[:, 3]
@@ -39,7 +41,7 @@ def magical_calibrate(y, iterations: int = 32, tol: float = 1e-5):
     def body(carry, _):
         m, best_t, best_h, done = carry
         t, h = _calibration_step(y_mat, m)
-        t_inv = jnp.linalg.inv(t)
+        t_inv = inv_3x3(t)
         m_tilde = (t_inv @ (y_mat - h[:, None])).T  # (N, 3)
         j = jnp.sum((jnp.sum(m_tilde * m_tilde, axis=-1) - 1.0) ** 2)
         m_new = (m_tilde / jnp.linalg.norm(m_tilde, axis=-1, keepdims=True)).T

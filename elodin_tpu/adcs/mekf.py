@@ -14,6 +14,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from ..ops.smallalg import psd_solve
+
 from ..spatial import quat_identity, quat_integrate_body, quat_inverse, quat_rotate, skew
 
 _EPS_OMEGA = 1e-5
@@ -133,10 +135,7 @@ class Mekf:
             # solve, not explicit inverse: cheaper and better conditioned
             # when the innovation covariance is near-singular (tiny sigma)
             k = jnp.swapaxes(
-                jnp.linalg.solve(
-                    jnp.swapaxes(s_mat, -1, -2),
-                    jnp.swapaxes(p @ ht, -1, -2),
-                ),
+                psd_solve(s_mat, jnp.swapaxes(p @ ht, -1, -2)),
                 -1, -2,
             )
             p = (eye6 - k @ h) @ p

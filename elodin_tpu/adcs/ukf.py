@@ -13,6 +13,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from ..ops.smallalg import cholesky_upper, psd_solve
+
 
 def unscented_transform(points, mean_weights, covar_weights):
     """(ukf.rs:8-28): weighted mean + weighted outer-product covariance."""
@@ -71,7 +73,7 @@ class MerweConfig:
         """2n+1 points: x, x + rows(U), x - rows(U) where
         U = chol((n+lambda) Sigma)^T (ukf.rs:151-177)."""
         n, lam = self.n, self.lambda_
-        u = jnp.linalg.cholesky((n + lam) * sigma, upper=True)
+        u = cholesky_upper((n + lam) * sigma)
         plus = x[..., None, :] + u
         minus = x[..., None, :] - u
         return jnp.concatenate([x[..., None, :], plus, minus], axis=-2)
@@ -112,9 +114,7 @@ class UkfState:
         pxz = cross_covar(x_hat, z_hat, points_x, points_z, cw)
         # solve instead of explicit inverse (conditioning + cost)
         k = jnp.swapaxes(
-            jnp.linalg.solve(
-                jnp.swapaxes(z_covar, -1, -2), jnp.swapaxes(pxz, -1, -2)
-            ),
+            psd_solve(z_covar, jnp.swapaxes(pxz, -1, -2)),
             -1, -2,
         )
         y = z - z_hat

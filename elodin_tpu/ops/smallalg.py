@@ -1,0 +1,130 @@
+"""Small-matrix linear algebra in pure arithmetic ops.
+
+``jnp.linalg.solve`` / ``inv`` / ``cholesky`` lower to LAPACK-style custom
+calls that this TPU stack's remote compiler cannot handle inside loops
+(compile hangs / HTTP 500 from tpu_compile_helper) — and the matrices the
+estimators need them for are tiny, fixed-size, and (almost always) SPD:
+3x3 soft-iron fits, 6x6 innovation covariances, 18x18 MEKF covariances.
+
+These routines unroll a Cholesky factorization and the triangular solves
+over the STATIC matrix dimension into plain adds/muls/divides, which XLA
+compiles anywhere and fuses into the surrounding graph.  Batched leading
+dimensions work throughout (used under vmap by the batched campaigns).
+
+Reference counterparts do the same math through faer on CPU
+(libs/nox/src/array/..., Cholesky/LuInverse noxpr nodes).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cholesky_lower(a, jitter: float = 0.0):
+    """Lower-triangular Cholesky factor of an SPD matrix (..., n, n),
+    unrolled over the static n."""
+    n = a.shape[-1]
+    if jitter:
+        a = a + jitter * jnp.eye(n, dtype=a.dtype)
+    l = jnp.zeros_like(a)
+    for j in range(n):
+        if j:
+            d = a[..., j, j] - jnp.sum(l[..., j, :j] * l[..., j, :j], axis=-1)
+        else:
+            d = a[..., j, j]
+        d = jnp.sqrt(jnp.maximum(d, jnp.asarray(1e-300, dtype=a.dtype)))
+        l = l.at[..., j, j].set(d)
+        if j + 1 < n:
+            if j:
+                num = a[..., j + 1 :, j] - jnp.einsum(
+                    "...ik,...k->...i", l[..., j + 1 :, :j], l[..., j, :j]
+                )
+            else:
+                num = a[..., j + 1 :, j]
+            l = l.at[..., j + 1 :, j].set(num / d[..., None])
+    return l
+
+
+def cholesky_upper(a, jitter: float = 0.0):
+    """Upper factor U with a = U^T U (the Merwe sigma-point convention)."""
+    return jnp.swapaxes(cholesky_lower(a, jitter), -1, -2)
+
+
+def solve_tri_lower(l, b):
+    """Solve l x = b with lower-triangular l; b is (..., n, m)."""
+    n = l.shape[-1]
+    rows = []
+    for i in range(n):
+        acc = b[..., i, :]
+        for j in range(i):
+            acc = acc - l[..., i, j, None] * rows[j]
+        rows.append(acc / l[..., i, i, None])
+    return jnp.stack(rows, axis=-2)
+
+
+def solve_tri_upper(u, b):
+    """Solve u x = b with upper-triangular u; b is (..., n, m)."""
+    n = u.shape[-1]
+    rows = [None] * n
+    for i in reversed(range(n)):
+        acc = b[..., i, :]
+        for j in range(i + 1, n):
+            acc = acc - u[..., i, j, None] * rows[j]
+        rows[i] = acc / u[..., i, i, None]
+    return jnp.stack(rows, axis=-2)
+
+
+def psd_solve(a, b, jitter: float = 0.0):
+    """Solve a x = b for SPD a (..., n, n) and b (..., n, m)."""
+    l = cholesky_lower(a, jitter)
+    return solve_tri_upper(
+        jnp.swapaxes(l, -1, -2), solve_tri_lower(l, b)
+    )
+
+
+def psd_inv(a, jitter: float = 0.0):
+    """Inverse of an SPD matrix via the unrolled Cholesky solve."""
+    n = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    return psd_solve(a, eye, jitter)
+
+
+def inv_3x3(a):
+    """Closed-form adjugate inverse for general (..., 3, 3) matrices."""
+    m = a
+    c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+    c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+    c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+    det = (
+        m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+    )
+    adj = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    c00,
+                    m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2],
+                    m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1],
+                ],
+                axis=-1,
+            ),
+            jnp.stack(
+                [
+                    c01,
+                    m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0],
+                    m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2],
+                ],
+                axis=-1,
+            ),
+            jnp.stack(
+                [
+                    c02,
+                    m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1],
+                    m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0],
+                ],
+                axis=-1,
+            ),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]

@@ -94,10 +94,35 @@ class _SixDofSystem(System):
 
     def call(self, builder: SystemBuilder) -> None:
         if self.integrator == Integrator.SemiImplicit:
-            self._pipe.call(builder)
+            self._run_pipe(builder)
             self._semi_implicit(builder)
         else:
             self._rk4(builder)
+
+    def _run_pipe(self, builder: SystemBuilder) -> None:
+        """Run clear_forces |> effectors |> calc_accel, in f32 under the
+        'mixed' float policy: inputs are downcast at the pipe boundary, the
+        f64 integrator state and any column the pipe left untouched are
+        restored afterwards, and the f32 accel upcasts in u' = u + dt*du."""
+        from . import _config
+
+        dt32 = _config.effector_compute_dtype()
+        if dt32 is None:
+            self._pipe.call(builder)
+            return
+        saved = dict(builder.cols)
+        cast = {}
+        for k, v in saved.items():
+            arr = jnp.asarray(v)
+            cast[k] = arr.astype(dt32) if arr.dtype == jnp.float64 else arr
+        builder.cols = dict(cast)
+        self._pipe.call(builder)
+        out = builder.cols
+        for k, v in saved.items():
+            # restore f64 for the integrator state and for every column the
+            # pipe only read (identity check) — effector OUTPUTS stay f32
+            if k in (WORLD_POS, WORLD_VEL) or out.get(k) is cast.get(k):
+                out[k] = v
 
     def _semi_implicit(self, builder: SystemBuilder) -> None:
         """v' = v + dt*a; x' = x ⊕ dt*v'  (symplectic Euler,
@@ -172,12 +197,12 @@ class _SixDofSystem(System):
                     ),
                     vel0,
                 )
-                self._pipe.call(builder)
+                self._run_pipe(builder)
                 return read_du()
             dv, da = read_du()
             f = dt * factor
             set_u(stf_add_motion(pos0, f * dv), vel0 + f * da)
-            self._pipe.call(builder)
+            self._run_pipe(builder)
             return read_du()
 
         k1 = stage(0.0)

@@ -21,6 +21,7 @@ import elodin as el
 import jax
 import jax.numpy as jnp
 
+from elodin_tpu.ops.smallalg import psd_solve
 from elodin_tpu.spatial import skew
 
 CTRL_DT = 1.0 / 300.0
@@ -148,7 +149,9 @@ def make_update(sn):
 
         ph_t = p_cov @ h_mat.T
         innov_cov = h_mat @ ph_t + r_mat
-        gain = jnp.linalg.solve(innov_cov.T, ph_t.T).T  # P H^T S^-1
+        # K = P H^T S^-1 via the unrolled SPD solve — jnp.linalg.solve's
+        # LAPACK custom call does not compile on this TPU stack
+        gain = psd_solve(innov_cov, ph_t.T).T
         p_cov = (jnp.eye(18) - gain @ h_mat) @ p_cov
 
         innov = jnp.concatenate([a_meas - up_b, m_meas - north_b])

@@ -34,7 +34,9 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
     }
     draws = sample_plan(variables, n_samples, method="lhs", seed=seed)
 
-    world, system = build(None)
+    # sensors are pure observers — the campaign scores touchdown state, so
+    # the vmapped program drops them (the physics and FSW are identical)
+    world, system = build(None, sensors=False)
     mass = draws["dry_mass"] + STAGE1_PROP_KG + STAGE2_AND_PAYLOAD_KG
     overrides = {
         "booster.thrust_eff": draws["thrust_eff"],

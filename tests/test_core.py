@@ -1363,3 +1363,87 @@ def test_edge_fold_additive_override_contract():
     np.testing.assert_allclose(forced_dense, dense, rtol=1e-12)
     # and dense genuinely differs from exact here (the trap is real)
     assert np.abs(forced_dense - exact).max() > 1.0
+
+
+def test_mixed_float_policy_sixdof():
+    """'mixed' policy (SURVEY 7e): effector pipeline computes f32, the
+    integrator state stays f64, and the trajectory tracks the full-f64 run
+    to f32-force accuracy."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import elodin_tpu as el
+    from elodin_tpu import _config
+    from elodin_tpu.models import build_batched_sixdof
+    from elodin_tpu.six_dof import increment_sim_tick_system
+    from elodin_tpu.system import Pipe, SystemBuilder, as_system
+
+    def run(policy, ticks=200):
+        prev = _config._FLOAT_POLICY
+        el.set_float_policy(policy)
+        try:
+            world, system = build_batched_sixdof(64)
+            meta, cols = world.snapshot()
+            if policy == "mixed":
+                cols = {
+                    k: (
+                        v
+                        if k in ("world_pos", "world_vel") or v.dtype.kind != "f"
+                        else v.astype("float32")
+                    )
+                    for k, v in cols.items()
+                }
+            full = Pipe(increment_sim_tick_system, as_system(system))
+            state = {k: jnp.asarray(v) for k, v in cols.items()}
+            for _ in range(ticks):
+                b = SystemBuilder(meta, dict(state))
+                full.call(b)
+                state = b.cols
+            return state
+        finally:
+            el.set_float_policy(prev)
+
+    mixed = run("mixed")
+    full64 = run("f64")
+    # state dtype contract
+    assert mixed["world_pos"].dtype == jnp.float64
+    assert mixed["world_accel"].dtype == jnp.float32
+    assert mixed["force"].dtype == jnp.float32
+    # trajectory agreement at f32-force accuracy over 200 RK4 ticks
+    p_m = np.asarray(mixed["world_pos"], dtype=np.float64)[:, 4:]
+    p_f = np.asarray(full64["world_pos"])[:, 4:]
+    rel = np.abs(p_m - p_f).max() / np.abs(p_f).max()
+    assert rel < 1e-5, rel
+
+
+def test_smallalg_matches_lapack():
+    """Unrolled Cholesky solve/inv/3x3-adjugate vs the LAPACK reference
+    (regression for the TPU-stack compile workaround in estimators)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from elodin_tpu.ops import smallalg
+
+    rng = np.random.default_rng(7)
+    for n in (3, 4, 6, 18):
+        m = rng.standard_normal((n, n))
+        a = m @ m.T + n * np.eye(n)
+        b = rng.standard_normal((n, 2))
+        np.testing.assert_allclose(
+            np.asarray(smallalg.psd_solve(jnp.asarray(a), jnp.asarray(b))),
+            np.linalg.solve(a, b), rtol=1e-9, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(smallalg.psd_inv(jnp.asarray(a))),
+            np.linalg.inv(a), rtol=1e-8, atol=1e-9,
+        )
+        l = np.asarray(smallalg.cholesky_lower(jnp.asarray(a)))
+        np.testing.assert_allclose(l @ l.T, a, rtol=1e-9, atol=1e-9)
+        u = np.asarray(smallalg.cholesky_upper(jnp.asarray(a)))
+        np.testing.assert_allclose(u.T @ u, a, rtol=1e-9, atol=1e-9)
+    # batched + general 3x3 adjugate
+    t = rng.standard_normal((5, 3, 3)) + 2 * np.eye(3)
+    np.testing.assert_allclose(
+        np.asarray(smallalg.inv_3x3(jnp.asarray(t))),
+        np.linalg.inv(t), rtol=1e-9, atol=1e-9,
+    )
