@@ -143,13 +143,17 @@ def register_routes(routes: dict, db) -> None:
         raw = db.assets.get("schematic.kdl")
         if raw is None:
             return _json_resp({"components": [], "raw": None})
-        from ..kdl import schematic_components
+        from .. import schematic as _schematic
 
         text = raw.decode(errors="replace")
-        return _json_resp({
-            "components": schematic_components(text),
-            "raw": text,
-        })
+        try:
+            # typed layout: the viewer consumes the validated panel tree
+            sch = _schematic.load(text, strict=False)
+            payload = _schematic.to_layout_json(sch)
+        except _schematic.SchematicError as e:
+            payload = {"components": [], "error": str(e)}
+        payload["raw"] = text
+        return _json_resp(payload)
 
     def api_msg_logs(path, query):
         out = []

@@ -242,6 +242,13 @@ class WorldBuilder:
     # -- editor/orchestration hooks ---------------------------------------
 
     def schematic(self, default_content: str | None = None, path: str | None = None) -> None:
+        if default_content is not None:
+            # Load-time validation against the typed panel vocabulary
+            # (impeller2-kdl de.rs behavior): a malformed schematic fails
+            # HERE with the offending node named, not at render time.
+            from . import schematic as _schematic
+
+            _schematic.load(default_content)
         self.schematic_content = default_content
         self.schematic_path = path
 

@@ -102,7 +102,7 @@ def test_webui_schematic_sql_msgs(tmp_path):
         s = json.loads(_get(base + "/api/schematic")[2])
         assert s["components"] == []
         srv.db.assets.put("schematic.kdl", b'''
-tiles {
+vsplit {
     graph "ball.world_pos"
     graph "ball.mass"
 }
