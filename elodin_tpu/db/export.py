@@ -28,10 +28,108 @@ def _is_private(store) -> bool:
     return str(store.metadata.get("private", "")).lower() == "true"
 
 
+def _csv_float(v, positional_only: bool = False) -> str:
+    """Rust-parity float formatting (src/export.rs writes through ryu for
+    flattened cells and Display for bracketed arrays — the byte format the
+    reference csv-export goldens pin down)."""
+    import math
+
+    import numpy as np
+
+    f = float(v)
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "inf" if f > 0 else "-inf"
+    if positional_only:
+        # Display style: integral floats print bare ("0"), never exponent.
+        return np.format_float_positional(v, trim="-")
+    a = abs(f)
+    if f == 0.0 or 1e-5 <= a < 1e16:
+        return np.format_float_positional(v, trim="0")
+    # ryu exponent form: no zero-padded exponent ("1e-7", not "1e-07")
+    s = np.format_float_scientific(v, trim="0")
+    mant, exp = s.split("e")
+    if mant.endswith(".0"):
+        mant = mant[:-2]
+    return f"{mant}e{int(exp)}"
+
+
+def _csv_cell(v, fast_floats: bool, positional_only: bool = False) -> str:
+    import numpy as np
+
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (float, np.floating)):
+        if fast_floats:
+            return f"{float(v):.9g}"
+        return _csv_float(v, positional_only)
+    return str(v)
+
+
+def _iso_time(us: int) -> str:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(us / 1e6, tz=timezone.utc)
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    if us % 1_000_000:
+        return base + f".{us % 1_000_000:06d}".rstrip("0")
+    return base
+
+
+def _write_csv(store, path, name: str, flatten: bool, time_format: str,
+               fast_floats: bool) -> None:
+    import csv as _csv
+
+    n = store.len
+    ts = store.timestamps[:n]
+    if time_format == "ns":
+        tcol, tvals = "time_ns", [str(int(t) * 1000) for t in ts]
+    elif time_format == "iso":
+        tcol, tvals = "time", [_iso_time(int(t)) for t in ts]
+    else:
+        tcol, tvals = "time_us", [str(int(t)) for t in ts]
+
+    cols: dict[str, list[str]] = {tcol: tvals}
+    vals = store.values[:n]
+    is_bool = str(store.metadata.get("prim_type", "")) == "bool" or (
+        getattr(vals, "dtype", None) is not None and vals.dtype.kind == "b"
+    )
+
+    def cell(v):
+        if is_bool:
+            return "true" if v else "false"
+        return _csv_cell(v, fast_floats)
+
+    if store.elem_count == 1:
+        cols[name] = [cell(v) for v in vals[:, 0]]
+    elif flatten:
+        labels = (store.metadata.get("element_names") or "").split(",")
+        for i in range(store.elem_count):
+            label = labels[i] if i < len(labels) and labels[i] else str(i)
+            cols[f"{name}_{label}"] = [cell(v) for v in vals[:, i]]
+    else:
+        def list_cell(v):
+            if is_bool:
+                return "true" if v else "false"
+            return _csv_cell(v, fast_floats, positional_only=True)
+
+        cols[name] = [
+            "[" + ", ".join(list_cell(v) for v in row) + "]" for row in vals
+        ]
+
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(cols.keys())
+        for row in zip(*cols.values()):
+            w.writerow(row)
+
+
 def save_archive(db, path: str, fmt: str = "arrow_ipc",
                  include_private: bool = False, pattern: str | None = None,
                  flatten: bool = True, mono_ns: bool = False,
-                 fast_floats: bool = False) -> None:
+                 fast_floats: bool = False,
+                 time_format: str | None = None) -> None:
     """Export every component series (src/export.rs options: name glob
     pattern, per-element flatten, ns vs us timestamps, fast float
     formatting — the knobs behind the reference csv-export goldens)."""
@@ -66,35 +164,10 @@ def save_archive(db, path: str, fmt: str = "arrow_ipc",
 
             pq.write_table(table, str(out / f"{name}.parquet"))
         elif fmt == "csv":
-            n = store.len
-            ts = store.timestamps[:n]
-            tcol = "time_ns" if mono_ns else "time_us"
-            cols = {tcol: ts * 1000 if mono_ns else ts}
-            if store.elem_count == 1:
-                cols[name] = store.values[:n, 0]
-            elif flatten:
-                labels = (store.metadata.get("element_names") or "").split(",")
-                for i in range(store.elem_count):
-                    label = labels[i] if i < len(labels) and labels[i] else str(i)
-                    cols[f"{name}.{label}"] = store.values[:n, i]
-            else:
-                # one column holding the whole element vector per row
-                cols[name] = [
-                    "[" + ", ".join(repr(float(v)) for v in row) + "]"
-                    for row in store.values[:n]
-                ]
-            import csv as _csv
-
-            def fmt_val(v):
-                if fast_floats and isinstance(v, float):
-                    return f"{v:.9g}"
-                return v
-
-            with open(out / f"{name}.csv", "w", newline="") as f:
-                w = _csv.writer(f)
-                w.writerow(cols.keys())
-                for row in zip(*cols.values()):
-                    w.writerow([fmt_val(v) for v in row])
+            _write_csv(
+                store, out / f"{name}.csv", name, flatten,
+                time_format or ("ns" if mono_ns else "us"), fast_floats,
+            )
         else:
             raise ValueError(f"unknown archive format {fmt!r}")
 
