@@ -179,10 +179,15 @@ def main() -> None:
         # the projection from the 1250-sample share decides whether the
         # full run fits the bench window.
         budget_s = float(os.environ.get("BENCH_F9_10K_BUDGET_S", "1800"))
-        projected = (f9_share_wall or 0.0) * 8.0
-        if f9_share_wall is not None and projected > budget_s:
+        if f9_share_wall is None:
+            # No 1250-sample proxy to project from (BENCH_F9=0 or it
+            # failed): don't start an unguarded 10k-sample campaign.
             result["falcon9_10k_skipped"] = (
-                f"projected {projected:.0f}s exceeds {budget_s:.0f}s budget"
+                "no share-run projection available; skipping unguarded 10k run"
+            )
+        elif f9_share_wall * 8.0 > budget_s:
+            result["falcon9_10k_skipped"] = (
+                f"projected {f9_share_wall * 8.0:.0f}s exceeds {budget_s:.0f}s budget"
             )
         else:
             try:
@@ -329,7 +334,6 @@ def bench_mixed(n_bodies: int, ticks: int) -> dict:
         tpu_pos = final_pos(jax.devices()[0])
         cpu_pos = final_pos(jax.devices("cpu")[0])
         scale = np.maximum(np.abs(cpu_pos), 1.0)
-        rel = float(np.abs(tpu_pos - cpu_pos).max() / scale.max())
         rel = float((np.abs(tpu_pos - cpu_pos) / scale).max())
         out["mixed_vs_cpu_max_rel"] = rel
         assert rel <= 1e-6, f"mixed TPU-vs-CPU mismatch: {rel}"

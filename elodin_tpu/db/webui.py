@@ -150,7 +150,10 @@ def register_routes(routes: dict, db) -> None:
             # typed layout: the viewer consumes the validated panel tree
             sch = _schematic.load(text, strict=False)
             payload = _schematic.to_layout_json(sch)
-        except _schematic.SchematicError as e:
+        except (_schematic.SchematicError, ValueError) as e:
+            # SchematicError = typed-vocabulary violations; ValueError =
+            # malformed KDL syntax from kdl.parse.  Both surface as a
+            # structured error payload the viewer renders, not an HTTP 500.
             payload = {"components": [], "error": str(e)}
         payload["raw"] = text
         return _json_resp(payload)

@@ -279,6 +279,12 @@ class Exec:
         # write_component may be called from the DB server's threads
         # (external_control over the wire) while the sim thread applies
         self._host_writes_lock = threading.Lock()
+        # Both step programs donate their input buffers, so self.cols points
+        # at DELETED jax arrays for the duration of a device launch.  Server
+        # threads reading components must not observe that window: _run_batch
+        # holds this lock from launch until self.cols is swapped to the
+        # program's output, and every cross-thread self.cols read takes it.
+        self._cols_lock = threading.Lock()
         self._pump: _TelemetryPump | None = None
 
     # -- compilation -------------------------------------------------------
@@ -339,10 +345,10 @@ class Exec:
         next batch (mirrors copy_db_to_world,
         libs/nox-py/src/impeller2_server.rs:320)."""
         comp, row = self._history.resolve(qualified)
+        with self._cols_lock:
+            snapshot = np.asarray(self.cols[comp]).copy()
         with self._host_writes_lock:
-            self._host_writes.setdefault(
-                comp, np.asarray(self.cols[comp]).copy()
-            )
+            self._host_writes.setdefault(comp, snapshot)
             buf = self._host_writes[comp]
             buf[row] = np.asarray(value, dtype=buf.dtype).reshape(buf.shape[1:])
 
@@ -351,7 +357,8 @@ class Exec:
         with self._host_writes_lock:
             if comp in self._host_writes:
                 return np.atleast_1d(self._host_writes[comp][row])
-        return np.atleast_1d(np.asarray(self.cols[comp][row]))
+        with self._cols_lock:
+            return np.atleast_1d(np.asarray(self.cols[comp][row]))
 
     def _apply_host_writes(self) -> None:
         with self._host_writes_lock:
@@ -386,9 +393,11 @@ class Exec:
         fn = self._scan_fn(n, stride, emit=self.record_history)
         t0 = time.perf_counter()
         if self.record_history:
-            final, stacked = fn(self.cols)
-            final = dict(final)
-            jax.block_until_ready(final)
+            with self._cols_lock:
+                final, stacked = fn(self.cols)
+                final = dict(final)
+                jax.block_until_ready(final)
+                self.cols = final
             self.profiler.kernel_s += time.perf_counter() - t0
             ts = (
                 self._tick + (np.arange(1, n + 1) * stride)
@@ -408,11 +417,12 @@ class Exec:
                 self._pump.commit_hist = getattr(self, "commit_hist", None)
             self._pump.submit(ts, dict(stacked))
         else:
-            final, _ = fn(self.cols)
-            final = dict(final)
-            jax.block_until_ready(final)
+            with self._cols_lock:
+                final, _ = fn(self.cols)
+                final = dict(final)
+                jax.block_until_ready(final)
+                self.cols = final
             self.profiler.kernel_s += time.perf_counter() - t0
-        self.cols = final
         self._tick += n * stride
         self.profiler.ticks += n * stride
 
@@ -432,7 +442,8 @@ class Exec:
 
     def column_array(self, name: str) -> np.ndarray:
         """Latest values of a component column."""
-        return np.asarray(self.cols[name])
+        with self._cols_lock:
+            return np.asarray(self.cols[name])
 
     def history_frame(self, components) -> DataFrame:
         if isinstance(components, str):

@@ -177,9 +177,9 @@ class BatchedCampaign:
         history_times = None
         if history_every:
             # In-graph decimated trajectory emit: scan segments of
-            # `history_every` ticks, each appending the selected columns —
-            # the stacked (n_emits, n, ...) history stays on device until
-            # the single d2h at the end.
+            # `history_every` ticks, each appending the selected columns;
+            # the stacked (chunk, n, ...) history is copied to host once
+            # per launch.
             if history_components:
                 resolver = History(self.meta)
                 selected = tuple(
@@ -189,16 +189,42 @@ class BatchedCampaign:
             else:
                 selected = tuple(sorted(self.cols))
             n_emits, tail = divmod(ticks, history_every)
-            compiled = self._emit_runner(history_every, n_emits, selected)
+            if n_emits == 0:
+                raise ValueError(
+                    f"history_every={history_every} exceeds ticks={ticks}: "
+                    "no emit would ever fire"
+                )
+            # Honor the segment bound on this path too: each device launch
+            # covers at most ~seg ticks (at least one emit interval), so a
+            # long trajectory-recording campaign gets the same
+            # bounded-duration launches as the no-history path.
+            emits_per_launch = max(1, min(n_emits, seg // max(1, history_every)))
+            n_full_l, rem_emits = divmod(n_emits, emits_per_launch)
+            compiled = self._emit_runner(history_every, emits_per_launch, selected)
+            compiled_rem = (
+                self._emit_runner(history_every, rem_emits, selected)
+                if rem_emits else None
+            )
             compiled_tail = self._runner(tail) if tail else None
             t0 = time.perf_counter()
-            cols, hist = compiled(self.cols)
-            cols = dict(cols)
+            cols = self.cols
+            hist_chunks: list[dict] = []
+            for _ in range(n_full_l):
+                cols, hist = compiled(cols)
+                cols = dict(cols)
+                hist_chunks.append({k: np.asarray(v) for k, v in hist.items()})
+            if compiled_rem is not None:
+                cols, hist = compiled_rem(cols)
+                cols = dict(cols)
+                hist_chunks.append({k: np.asarray(v) for k, v in hist.items()})
             if compiled_tail is not None:
                 cols = dict(compiled_tail(cols))
-            jax.block_until_ready((cols, hist))
+            jax.block_until_ready(cols)
             wall = time.perf_counter() - t0
-            history = {k: np.asarray(v) for k, v in hist.items()}
+            history = {
+                k: np.concatenate([h[k] for h in hist_chunks], axis=0)
+                for k in selected
+            }
             dt = float(np.asarray(cols["simulation_time_step"]).ravel()[0])
             history_times = (
                 np.arange(1, n_emits + 1, dtype=np.float64) * history_every * dt

@@ -32,7 +32,11 @@ def cholesky_lower(a, jitter: float = 0.0):
             d = a[..., j, j] - jnp.sum(l[..., j, :j] * l[..., j, :j], axis=-1)
         else:
             d = a[..., j, j]
-        d = jnp.sqrt(jnp.maximum(d, jnp.asarray(1e-300, dtype=a.dtype)))
+        # Singularity floor must be representable in a.dtype: 1e-300
+        # underflows to 0 in f32 (and in the TPU backend's emulated f64),
+        # turning the guard into a no-op and letting num/d produce NaN.
+        tiny = jnp.asarray(jnp.finfo(a.dtype).tiny, dtype=a.dtype)
+        d = jnp.sqrt(jnp.maximum(d, tiny))
         l = l.at[..., j, j].set(d)
         if j + 1 < n:
             if j:

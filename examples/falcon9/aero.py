@@ -62,10 +62,14 @@ FIN_POS = jnp.asarray(
         [np.full(4, FIN_STATION_M), STAGE1_RADIUS_M * np.cos(_AZ), STAGE1_RADIUS_M * np.sin(_AZ)]
     )
 )
-# (4,3) mixer columns = (pitch, yaw, roll): project each fin's force direction
-# onto +Z (pitch) / +Y (yaw); roll deflects all fins together.
+# (4,3) mixer columns = (pitch, yaw, roll), chosen so a positive command
+# yields positive body torque about that axis.  The fins sit AHEAD of the CG
+# (station 44 m vs CG ~20 m), so for +pitch torque (about +Y) the net fin
+# force must point along -Z: tau_y = -arm_x * F_z with arm_x > 0.  For +yaw
+# torque (about +Z) the force points along +Y: tau_z = +arm_x * F_y.  Roll
+# deflects all fins together (tangential forces cancel, torques add about +X).
 FIN_MIX = jnp.concatenate(
-    [FIN_FORCE_DIR[:, 2:3], FIN_FORCE_DIR[:, 1:2], jnp.ones((4, 1))], axis=1
+    [-FIN_FORCE_DIR[:, 2:3], FIN_FORCE_DIR[:, 1:2], jnp.ones((4, 1))], axis=1
 )
 
 _X_HAT = jnp.asarray([1.0, 0.0, 0.0])

@@ -10,7 +10,6 @@ Usage:  python batched.py [n_samples] [ticks]
 """
 
 import json
-import sys
 
 import numpy as np
 
@@ -99,18 +98,16 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
 
 
 if __name__ == "__main__":
-    # usage: python batched.py [n_samples] [ticks] [--out DIR] [--traj-every K]
-    args = [a for a in sys.argv[1:]]
-    out = None
-    every = 0
-    if "--out" in args:
-        i = args.index("--out")
-        out = args[i + 1]
-        del args[i : i + 2]
-    if "--traj-every" in args:
-        i = args.index("--traj-every")
-        every = int(args[i + 1])
-        del args[i : i + 2]
-    n = int(args[0]) if args else 256
-    ticks = int(args[1]) if len(args) > 1 else DEFAULT_MAX_TICKS
-    print(json.dumps(run_campaign(n, ticks, out_dir=out, history_every=every), indent=2))
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Batched falcon9 landing campaign")
+    ap.add_argument("n_samples", nargs="?", type=int, default=256)
+    ap.add_argument("ticks", nargs="?", type=int, default=DEFAULT_MAX_TICKS)
+    ap.add_argument("--out", default=None, help="artifact output directory")
+    ap.add_argument("--traj-every", type=int, default=0,
+                    help="record decimated trajectories every K ticks")
+    a = ap.parse_args()
+    print(json.dumps(
+        run_campaign(a.n_samples, a.ticks, out_dir=a.out, history_every=a.traj_every),
+        indent=2,
+    ))

@@ -51,6 +51,7 @@ import rcs as rcs_mod
 import sensors as sn
 import zemzev
 from constants import (
+    ENGINE_A_E_M2,
     ENGINE_T_VAC_N,
     G0,
     LOX_LOAD_KG,
@@ -566,7 +567,7 @@ def guidance(
         three = ~on_single
         n_land = jnp.where(three, 3.0, 1.0)
         landing_throttle = jnp.clip(
-            (m_now * a_up / cos_tilt / n_land + p_amb * 0.681) / ENGINE_T_VAC_N,
+            (m_now * a_up / cos_tilt / n_land + p_amb * ENGINE_A_E_M2) / ENGINE_T_VAC_N,
             THROTTLE_MIN,
             1.0,
         )
@@ -820,11 +821,6 @@ def attitude_control(
     )
     pyr_cmd = jnp.clip(pyr_cmd, -FIN_MAX_RAD, FIN_MAX_RAD)
     fin_cmd = jnp.where(fins_on, aero.fin_mix(pyr_cmd), jnp.zeros(4))
-    fin_torque = jnp.where(
-        fins_on,
-        jnp.stack([pyr_cmd[2] * auth[0], pyr_cmd[0] * auth[1], pyr_cmd[1] * auth[2]]),
-        jnp.zeros(3),
-    )
 
     # RCS: roll when powered, everything unpowered in thin air; shut off
     # while the fins own attitude (holding AoA against the static margin on

@@ -217,6 +217,10 @@ def test_fin_mixing_axis_purity():
         _, torque = aero.fin_wrench(deltas, mach, qbar, cg)
         torque = np.asarray(torque)
         assert np.argmax(np.abs(torque)) == axis, f"cmd {cmd}: {torque}"
+        # Positive command must produce POSITIVE torque about its own axis —
+        # the attitude controller divides residuals by |authority| and assumes
+        # this convention (a sign flip here is positive feedback in the loop).
+        assert torque[axis] > 0.0, f"cmd {cmd}: {torque}"
         off = np.delete(torque, axis)
         assert np.all(np.abs(off) < 1e-9 * max(1.0, abs(torque[axis])))
     # A pure roll command is force-free (tangential forces cancel).

@@ -119,3 +119,38 @@ def test_tick_count_survives_jit_roundtrip():
     sim.step(5)
     sim2 = jax.jit(lambda s: s)(sim)
     assert sim2.get_tick_count() == 5
+
+def test_concurrent_component_reads_survive_donated_launches():
+    """Both step programs donate their input buffers, so self.cols points at
+    deleted jax arrays while a launch is in flight.  Server threads reading
+    components (read_component / column_array, the external_control wire
+    path) must be serialized against that window — before the _cols_lock fix
+    this raced and raised 'Array has been deleted'."""
+    import threading
+
+    w = _world()
+    exec_ = w.build(double)
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                exec_.read_component("e1.x")
+                exec_.column_array("x")
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(60):
+            exec_.run(10, show_progress=False)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors[0]
+    assert exec_.tick() == 600

@@ -59,3 +59,44 @@ def test_batched_history_and_artifacts(tmp_path):
     rows = (tmp_path / "results.csv").read_text().splitlines()
     assert len(rows) == 5 and "param.thrust_eff" in rows[0]
     assert "miss_distance" in rows[0] and rows[0].endswith("valid")
+
+
+def test_history_path_honors_segment_ticks(monkeypatch):
+    """ELODIN_MC_SEGMENT_TICKS must bound device-launch size on the
+    trajectory-recording path too (it silently compiled the whole run into
+    one launch before); segmented and monolithic runs produce identical
+    histories and final state."""
+    import numpy as np
+
+    from elodin_tpu.models import build_batched_sixdof
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    def run_one(seg):
+        monkeypatch.setenv("ELODIN_MC_SEGMENT_TICKS", str(seg))
+        world, system = build_batched_sixdof(3)
+        c = BatchedCampaign(world, system, n_samples=4)
+        r = c.run(ticks=70, history_every=10,
+                  history_components=["world_pos"])
+        return r
+
+    a = run_one(25)   # 2 emits/launch -> launches of 20/20/20 + 10 ticks
+    b = run_one(100_000)  # effectively one launch
+    assert a.history["world_pos"].shape == b.history["world_pos"].shape == (
+        7, 4, 3, 7)
+    np.testing.assert_array_equal(a.history["world_pos"],
+                                  b.history["world_pos"])
+    np.testing.assert_array_equal(np.asarray(a.final["world_pos"]),
+                                  np.asarray(b.final["world_pos"]))
+    np.testing.assert_allclose(a.history_times, b.history_times)
+
+
+def test_history_every_exceeding_ticks_rejected():
+    import pytest
+
+    from elodin_tpu.models import build_batched_sixdof
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    world, system = build_batched_sixdof(2)
+    c = BatchedCampaign(world, system, n_samples=2)
+    with pytest.raises(ValueError, match="history_every"):
+        c.run(ticks=5, history_every=10)

@@ -110,6 +110,18 @@ vsplit {
         s = json.loads(_get(base + "/api/schematic")[2])
         assert s["components"] == ["ball.world_pos", "ball.mass"]
 
+        # malformed KDL syntax (unclosed brace -> ValueError from kdl.parse)
+        # surfaces as a structured error payload, not an HTTP 500
+        srv.db.assets.put("schematic.kdl", b"vsplit {\n  graph \"x\"\n")
+        s = json.loads(_get(base + "/api/schematic")[2])
+        assert s["components"] == [] and s["error"]
+        srv.db.assets.put("schematic.kdl", b'''
+vsplit {
+    graph "ball.world_pos"
+    graph "ball.mass"
+}
+''')
+
         # sql over http
         from elodin_tpu.db import sql_table_name
 
