@@ -173,30 +173,6 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["falcon9_error"] = str(e)
 
-    if os.environ.get("BENCH_F9_10K", "1") != "0":
-        # the real single-chip 10k run (BASELINE.json target is <60 s on a
-        # v5e-8 POD; one chip carries 8x the share).  Guarded by a budget:
-        # the projection from the 1250-sample share decides whether the
-        # full run fits the bench window.
-        budget_s = float(os.environ.get("BENCH_F9_10K_BUDGET_S", "1800"))
-        if f9_share_wall is None:
-            # No 1250-sample proxy to project from (BENCH_F9=0 or it
-            # failed): don't start an unguarded 10k-sample campaign.
-            result["falcon9_10k_skipped"] = (
-                "no share-run projection available; skipping unguarded 10k run"
-            )
-        elif f9_share_wall * 8.0 > budget_s:
-            result["falcon9_10k_skipped"] = (
-                f"projected {f9_share_wall * 8.0:.0f}s exceeds {budget_s:.0f}s budget"
-            )
-        else:
-            try:
-                f9k = bench_falcon9(10000)
-                result["falcon9_10k_wall_s"] = round(f9k["wall_s"], 1)
-                result["falcon9_10k_soft_frac"] = f9k["soft_landing_frac"]
-            except Exception as e:  # noqa: BLE001
-                result["falcon9_10k_error"] = str(e)
-
     if os.environ.get("BENCH_EGM", "1") != "0":
         try:
             eg = bench_egm08()
@@ -244,6 +220,46 @@ def main() -> None:
             result.update(bench_verify())
         except Exception as e:  # noqa: BLE001
             result["verify_error"] = str(e)
+
+    # The real single-chip 10k falcon9 run goes LAST: it is the longest
+    # single workload, and a device/tunnel fault during it must not poison
+    # the other metrics (a faulted TPU stays UNAVAILABLE for the rest of
+    # the process — observed when this stage ran mid-bench).
+    if os.environ.get("BENCH_F9_10K", "1") != "0":
+        # BASELINE.json target is <60 s on a v5e-8 POD; one chip carries 8x
+        # the share.  Guarded by a budget projection from the 1250-sample
+        # share run.
+        budget_s = float(os.environ.get("BENCH_F9_10K_BUDGET_S", "1800"))
+        if f9_share_wall is None:
+            # No 1250-sample proxy to project from (BENCH_F9=0 or it
+            # failed): don't start an unguarded 10k-sample campaign.
+            result["falcon9_10k_skipped"] = (
+                "no share-run projection available; skipping unguarded 10k run"
+            )
+        elif f9_share_wall * 8.0 > budget_s:
+            result["falcon9_10k_skipped"] = (
+                f"projected {f9_share_wall * 8.0:.0f}s exceeds {budget_s:.0f}s budget"
+            )
+        else:
+            # Bound each device launch to ~LAUNCH_S seconds: 8x the sample
+            # count at the default 20k-tick segments means ~3 min launches,
+            # which trips the tunnel watchdog and faults the device.
+            launch_s = float(os.environ.get("BENCH_F9_LAUNCH_S", "30"))
+            seg = max(500, int(58000 * launch_s / (f9_share_wall * 8.0)))
+            prev_seg = os.environ.get("ELODIN_MC_SEGMENT_TICKS")
+            os.environ["ELODIN_MC_SEGMENT_TICKS"] = str(seg)
+            try:
+                f9k = bench_falcon9(10000)
+                result["falcon9_10k_wall_s"] = round(f9k["wall_s"], 1)
+                result["falcon9_10k_soft_frac"] = f9k["soft_landing_frac"]
+                result["falcon9_10k_segment_ticks"] = seg
+            except Exception as e:  # noqa: BLE001
+                result["falcon9_10k_error"] = str(e)
+            finally:
+                if prev_seg is None:
+                    os.environ.pop("ELODIN_MC_SEGMENT_TICKS", None)
+                else:
+                    os.environ["ELODIN_MC_SEGMENT_TICKS"] = prev_seg
 
     try:
         stats = jax.devices()[0].memory_stats() or {}

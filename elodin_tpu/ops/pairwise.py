@@ -9,6 +9,17 @@ O(N^2 / TILE) instead of O(N^2), and the inner math vectorizes on the VPU.
 
 ``pairwise_gravity`` dispatches to the Pallas kernel on TPU (f32; Mosaic has
 no f64) and to the broadcast XLA reference elsewhere or for f64.
+
+An MXU (matmul-form) distance computation was tried and measured
+(``pairwise_gravity_mxu`` + scripts/profile_pairwise.py, v5e, 16k bodies,
+f32): throughput is within noise of the displacement forms (~60-67G pairs/s
+standalone for every variant — the kernel is VPU-bound on the N^2 rsqrt, so
+moving the 12-of-~25 FLOPs/pair of contraction work to the MXU buys
+nothing), while accuracy collapses: the default TPU f32 matmul runs bf16
+passes (max rel err ~7e2 vs f64 even on a unit cloud) and even
+precision=HIGHEST leaves 7.5e-4 (cloud) / 1e-1 (orbital shell, where
+|x|^2+|y|^2-2x.y cancels catastrophically) against ~1e-5 for the
+displacement forms.  The displacement forms therefore remain the defaults.
 """
 
 from __future__ import annotations
@@ -104,6 +115,52 @@ def _pairwise_gravity_pallas(pos, mass, g: float, eps: float):
             out_specs=pl.BlockSpec((TILE_I, 3), lambda i, j: (i, 0)),
         )(pos_p, pos_t, mass_t)
     return out[:n]
+
+
+def pairwise_gravity_mxu(pos, mass, g: float = 6.6743e-11, eps: float = 0.0,
+                         precision=None):
+    """Matmul-form all-pairs gravity: distances via the Gram matrix so the
+    O(N^2) contractions run on the MXU instead of the VPU.
+
+        d2_ij = |x_i|^2 + |x_j|^2 - 2 x_i.x_j         (Gram: P @ P.T)
+        a_i   = G [ (W @ P)_i - rowsum(W)_i * x_i ],  W_ij = m_j d2_ij^{-3/2}
+
+    Two (N,N) matmuls replace the (N,N,3) broadcast tensor; XLA fuses the
+    elementwise w computation into the second matmul's operand.
+
+    ACCURACY CAVEAT (measured, scripts/profile_pairwise.py): the Gram
+    expansion cancels catastrophically when separations are small relative
+    to coordinate magnitudes — |x| ~ 7e6 m orbits with ~1e3 m separations
+    lose ALL significant digits of d2 in f32 (absolute error of |x|^2 is
+    ~5e6 > d2 itself).  The displacement-first forms (broadcast / Pallas)
+    subtract positions BEFORE squaring and do not suffer this.  Use only
+    for clouds whose extent is comparable to their coordinate scale.
+    """
+    x = jnp.asarray(pos)
+    m = jnp.asarray(mass)
+    n = x.shape[0]
+    sq = jnp.sum(x * x, axis=-1)
+    # NOTE: on TPU the default f32 matmul runs reduced-precision bf16
+    # passes on the MXU, which destroys the Gram cancellation entirely
+    # (measured rel err ~7e2 even on a benign unit cloud); precision=
+    # 'highest' restores f32-accurate matmul at ~half the matmul rate.
+    gram = jnp.matmul(x, x.T, precision=precision)  # (N, N) on the MXU
+    d2 = sq[:, None] + sq[None, :] - 2.0 * gram + eps * eps
+    # cancellation can leave small negatives; clamp before the rsqrt
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(d2 == 0.0, 1.0, d2)
+    inv = jax.lax.rsqrt(d2)
+    w = inv * inv * inv * m[None, :]
+    # unlike the displacement forms, the self-term does not vanish through a
+    # zero numerator here — mask the diagonal explicitly
+    w = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1),
+        jnp.zeros((), w.dtype),
+        w,
+    )
+    return g * (jnp.matmul(w, x, precision=precision)
+                - jnp.sum(w, axis=1, keepdims=True) * x)
 
 
 def pairwise_gravity_sharded(pos, mass, mesh, axis: str | None = None,

@@ -1447,3 +1447,40 @@ def test_smallalg_matches_lapack():
         np.asarray(smallalg.inv_3x3(jnp.asarray(t))),
         np.linalg.inv(t), rtol=1e-9, atol=1e-9,
     )
+
+
+def test_pairwise_gravity_mxu_matches_reference():
+    """Matmul-form (MXU) all-pairs gravity vs the displacement-form
+    reference: agrees in f64 (where the Gram expansion keeps precision) and
+    masks self-pairs exactly.  Its f32 cancellation loss is measured and
+    documented in scripts/profile_pairwise.py, not asserted here."""
+    from elodin_tpu.ops.pairwise import (
+        pairwise_gravity_mxu,
+        pairwise_gravity_reference,
+    )
+
+    rng = numpy.random.default_rng(7)
+    n = 257  # odd size: exercises non-tile-aligned shapes
+    pos = rng.normal(size=(n, 3)) * 10
+    mass = rng.uniform(1, 5, n)
+    ref = numpy.asarray(
+        pairwise_gravity_reference(
+            np.asarray(pos), np.asarray(mass), g=1.0, eps=0.1
+        )
+    )
+    out = numpy.asarray(
+        pairwise_gravity_mxu(np.asarray(pos), np.asarray(mass), g=1.0, eps=0.1)
+    )
+    numpy.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-12 * numpy.abs(ref).max())
+
+    # two coincident bodies: the d2==0 guard must keep the result finite and
+    # the pair must contribute nothing to each other (matches reference)
+    pos2 = numpy.zeros((3, 3))
+    pos2[2] = [1.0, 0.0, 0.0]
+    mass2 = numpy.ones(3)
+    out2 = numpy.asarray(pairwise_gravity_mxu(np.asarray(pos2), np.asarray(mass2), g=1.0))
+    ref2 = numpy.asarray(
+        pairwise_gravity_reference(np.asarray(pos2), np.asarray(mass2), g=1.0)
+    )
+    assert numpy.isfinite(out2).all()
+    numpy.testing.assert_allclose(out2, ref2, rtol=1e-9)
