@@ -248,8 +248,17 @@ def cmd_export(args):
         out = Path(args.output)
         if not out.suffix:
             out.mkdir(parents=True, exist_ok=True)
-            out = out / "archive.mcap"
-        n = export_mcap(db, str(out), include_private=args.include_private)
+            # name the archive after the database directory (export_mcap.rs
+            # run(): {db_name}.mcap + {db_name}.foxglove-layout.json)
+            out = out / f"{Path(args.path).name or 'elodin-db'}.mcap"
+        n = export_mcap(
+            db, str(out),
+            pattern=args.pattern,
+            include_private=args.include_private,
+            all_assets=args.all_assets,
+            epoch_offset_us=args.epoch_offset_us,
+            max_embed_mb=args.max_embed_mb,
+        )
         print(f"exported {n} messages -> {out}")
         return
     if args.join and args.format == "csv":
@@ -779,6 +788,14 @@ def main(argv=None):
     exp.add_argument("--csv-fast-floats", action="store_true")
     exp.add_argument("--pattern", default=None)
     exp.add_argument("--include-private", action="store_true")
+    exp.add_argument("--all-assets", action="store_true",
+                     help="attach every db asset to the MCAP, not just "
+                          "schematic-referenced ones")
+    exp.add_argument("--epoch-offset-us", type=int, default=None,
+                     help="microsecond offset added to all timestamps in "
+                          "the MCAP export (auto-rebases pre-1970 data)")
+    exp.add_argument("--max-embed-mb", type=int, default=32,
+                     help="largest GLB (MiB) to base64-embed in SceneUpdate")
     exp.set_defaults(fn=cmd_export)
 
     mrg = sub.add_parser("merge")

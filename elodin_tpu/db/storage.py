@@ -305,6 +305,16 @@ class Database:
         self.lock = threading.RLock()
         self.listeners: list = []  # callables(component_ids, timestamp)
         self.recording = True
+        # asset key of the active schematic (reference: db_config
+        # schematic.active, libs/db/src/lib.rs set_active_schematic);
+        # persisted so exports after a reopen still find the scene
+        self.active_schematic: str | None = None
+        if self.path and (self.path / "config.json").is_file():
+            try:
+                cfg = json.loads((self.path / "config.json").read_text())
+                self.active_schematic = cfg.get("active_schematic")
+            except (OSError, ValueError):
+                pass
         if self.path and (self.path / "components").is_dir():
             for comp_dir in (self.path / "components").iterdir():
                 if (comp_dir / "schema.json").is_file():
@@ -344,6 +354,15 @@ class Database:
                 log = MsgLog(msg_id, p)
                 self.msg_logs[msg_id] = log
             return log
+
+    def set_active_schematic(self, key: str) -> None:
+        """Mark an asset key as the active schematic (reference
+        DB::set_active_schematic)."""
+        self.active_schematic = key
+        if self.path:
+            (self.path / "config.json").write_text(
+                json.dumps({"active_schematic": key})
+            )
 
     def notify(self, component_ids, timestamp: int) -> None:
         for fn in list(self.listeners):

@@ -62,7 +62,7 @@ _KNOWN_PROPS = {
     "line_3d": {"line_width", "color", "perspective", "name"},
     "vector_arrow": {
         "origin", "scale", "name", "body_frame", "color", "label",
-        "thickness", "label_position",
+        "thickness", "label_position", "normalize", "arrow_thickness",
     },
     "coordinate": {"frame", "lat", "lon", "alt"},
     "theme": {"mode", "scheme"},
@@ -106,12 +106,14 @@ class Object3D:
 class Line3D:
     eql: str
     props: dict = dc_field(default_factory=dict)
+    children: list = dc_field(default_factory=list)  # e.g. `color` nodes
 
 
 @dataclass
 class VectorArrow:
     vector: str
     props: dict = dc_field(default_factory=dict)
+    children: list = dc_field(default_factory=list)  # e.g. `color` nodes
 
 
 @dataclass
@@ -253,12 +255,16 @@ def load(text: str, strict: bool = True) -> Schematic:
             if not node.args:
                 raise SchematicError("line_3d: missing the EQL argument")
             _check_props(node, strict, sch.warnings)
-            sch.lines.append(Line3D(node.args[0], dict(node.props)))
+            sch.lines.append(
+                Line3D(node.args[0], dict(node.props), list(node.children))
+            )
         elif name == "vector_arrow":
             if not node.args:
                 raise SchematicError("vector_arrow: missing the vector argument")
             _check_props(node, strict, sch.warnings)
-            sch.arrows.append(VectorArrow(node.args[0], dict(node.props)))
+            sch.arrows.append(
+                VectorArrow(node.args[0], dict(node.props), list(node.children))
+            )
         elif name == "coordinate":
             _check_props(node, strict, sch.warnings)
             frame = node.props.get("frame", node.args[0] if node.args else "ECEF")
@@ -306,9 +312,11 @@ def dump(sch: Schematic) -> str:
         nodes.append(kdl.Node("object_3d", [o.eql], dict(o.props),
                               list(o.children)))
     for ln in sch.lines:
-        nodes.append(kdl.Node("line_3d", [ln.eql], dict(ln.props), []))
+        nodes.append(kdl.Node("line_3d", [ln.eql], dict(ln.props),
+                              list(ln.children)))
     for ar in sch.arrows:
-        nodes.append(kdl.Node("vector_arrow", [ar.vector], dict(ar.props), []))
+        nodes.append(kdl.Node("vector_arrow", [ar.vector], dict(ar.props),
+                              list(ar.children)))
     for w in sch.windows:
         nodes.append(kdl.Node("window", [], dict(w.props),
                               [_panel_to_node(p) for p in w.panels]))

@@ -608,13 +608,14 @@ def test_mcap_export_roundtrip(tmp_path):
     assert pos_msgs[0][1] == 1_000_000 * 1000  # log_time in ns
     row = json.loads(pos_msgs[2][2])
     assert row["x"] == 2.0 and row["y"] == 4.0 and row["z"] == 6.0
-    # schema carries the element fields
+    # schema carries the element fields (no timestamp field in the row —
+    # log_time carries it, matching the reference component_json_schema)
     sch = json.loads(
         channels[by_topic["/ball/world_pos"]]["schema"]["data"]
     )
-    assert set(sch["properties"]) == {"timestamp", "x", "y", "z"}
+    assert set(sch["properties"]) == {"x", "y", "z"}
     sch2 = json.loads(channels[by_topic["/ball/temp"]]["schema"]["data"])
-    assert set(sch2["properties"]) == {"timestamp", "value"}
+    assert set(sch2["properties"]) == {"value"}
 
 
 def test_component_metadata_survives_double_reopen(tmp_path):
