@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import base64
 import fnmatch
+import functools
 import heapq
 import json
 import math
@@ -57,6 +58,7 @@ _SCHEMA_DIR = Path(__file__).parent / "foxglove_schemas"
 _B64 = base64.b64encode
 
 
+@functools.lru_cache(maxsize=None)
 def _schema_bytes(name: str) -> bytes:
     return (_SCHEMA_DIR / f"{name}.json").read_bytes()
 
@@ -709,12 +711,19 @@ def _component_json_schema(comp: _ExportComponent) -> bytes:
         props: dict = {}
         for path in paths:
             node = props
+            ok = True
             for key in path[:-1]:
                 entry = node.setdefault(
                     key, {"type": "object", "properties": {}}
                 )
+                if "properties" not in entry:
+                    # a leaf already claimed this key (e.g. names "q,q.w");
+                    # skip the nested path, matching _insert_path's guard
+                    ok = False
+                    break
                 node = entry["properties"]
-            node[path[-1]] = {"type": leaf_type}
+            if ok:
+                node[path[-1]] = {"type": leaf_type}
         return props
 
     return json.dumps(
@@ -997,7 +1006,8 @@ def _component_refs(text: str, comp_names) -> list[tuple[str, object]]:
             out.append((comp, idx if idx is not None else label))
         else:
             prefix = path + "."
-            for name in comp_names:
+            # sorted: comp_names may be a set; keep series order stable
+            for name in sorted(comp_names):
                 if name.startswith(prefix):
                     out.append((name, None))
     return out
@@ -1392,11 +1402,18 @@ def _build_scene(schs: _Schematics, comps, comps_by_name, db, ts_ns,
             if hit is not None:
                 frame, prim = hit
                 arrow_groups.setdefault(frame, []).append(prim)
+        line_id_counts: dict = {}
         for line in sch.lines:
             entity = _build_line_entity(
                 line, comp_names, comps_by_name, ts_ns, geo_active, warnings
             )
             if entity is not None:
+                # two line_3d nodes on the same entity must not share a
+                # topic/id: Foxglove backfills one message per topic
+                base = entity["id"]
+                line_id_counts[base] = line_id_counts.get(base, 0) + 1
+                if line_id_counts[base] > 1:
+                    entity["id"] = f"{base}-{line_id_counts[base]}"
                 push(entity)
 
     for frame, arrows in arrow_groups.items():
@@ -1925,7 +1942,8 @@ def _msg_log_json(kind: str, name: str, payload: bytes, ts_ns: int) -> bytes:
             level, message = 2, payload.decode("utf-8", "replace")
         else:
             level, message = decoded
-        # Elodin trace..error (0..4) -> foxglove debug..fatal (1..5)
+        # parity with export_mcap.rs:484-489: trace/debug -> DEBUG(1),
+        # info -> INFO(2), warn -> WARN(3), error+ -> ERROR(4)
         fox_level = {0: 1, 1: 1, 2: 2, 3: 3}.get(level, 4)
         value = {
             "timestamp": _timestamp_json(ts_ns),

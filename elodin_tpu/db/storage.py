@@ -312,7 +312,8 @@ class Database:
         if self.path and (self.path / "config.json").is_file():
             try:
                 cfg = json.loads((self.path / "config.json").read_text())
-                self.active_schematic = cfg.get("active_schematic")
+                if isinstance(cfg, dict):
+                    self.active_schematic = cfg.get("active_schematic")
             except (OSError, ValueError):
                 pass
         if self.path and (self.path / "components").is_dir():

@@ -43,6 +43,7 @@ _KNOWN_PROPS = {
     "viewport": {
         "name", "share", "pos", "look_at", "show_grid", "active", "hdr",
         "fov", "show_gizmos", "create_frustum", "near", "far", "show_frustums",
+        "frame",
     },
     "graph": {
         "name", "share", "eql", "type", "auto_y_range", "y_min", "y_max",
@@ -59,7 +60,7 @@ _KNOWN_PROPS = {
     "geo_position_gauge": {"name", "share", "eql", "component", "source", "display"},
     "orientation_gauge": {"name", "share", "eql", "component", "source", "display"},
     "object_3d": {"name", "eql", "frame", "frame_orientation"},
-    "line_3d": {"line_width", "color", "perspective", "name"},
+    "line_3d": {"line_width", "color", "perspective", "name", "frame"},
     "vector_arrow": {
         "origin", "scale", "name", "body_frame", "color", "label",
         "thickness", "label_position", "normalize", "arrow_thickness",

@@ -120,9 +120,15 @@ def main() -> None:
     n = 2048
     for scene in ("cloud", "orbit"):
         pos_np, mass_np = make_scene(scene, n, seed=1)
-        ref = pairwise_gravity_reference(
-            jnp.asarray(pos_np, dtype=jnp.float64),
-            jnp.asarray(mass_np, dtype=jnp.float64), G)
+        try:
+            # the f64 reference itself can fail on backends without f64
+            # (Mosaic/TPU); record it so throughput results still print
+            ref = pairwise_gravity_reference(
+                jnp.asarray(pos_np, dtype=jnp.float64),
+                jnp.asarray(mass_np, dtype=jnp.float64), G)
+        except Exception as e:  # noqa: BLE001
+            out["accuracy"][scene + "_f32_max_rel_vs_f64"] = f"ref error: {e}"
+            continue
         pos = jnp.asarray(pos_np, dtype=jnp.float32)
         mass = jnp.asarray(mass_np, dtype=jnp.float32)
         row = {}

@@ -357,5 +357,60 @@ def test_mcap_cli_export(tmp_path):
     assert len(f.messages) > 0
 
 
+def test_mcap_export_leaf_nested_name_collision(tmp_path):
+    """element_names mixing a leaf and a nested path under the same key
+    ("q,q.w") must not abort the export (regression: KeyError in
+    _component_json_schema)."""
+    db = build_fixture(tmp_path / "db")
+    store = db.get_or_create(
+        component_id_of("drone.weird"), "f64", (2,), "drone.weird"
+    )
+    store.set_metadata(metadata={"element_names": "q,q.w"})
+    store.append(TS_BASE, np.array([1.0, 2.0]))
+    db.flush()
+    mcap_path, _ = _export(db, tmp_path)
+    f = read_mcap_full(str(mcap_path))
+    assert any(c["topic"].endswith("drone/weird")
+               for c in f.channels.values())
+
+
+def test_config_json_non_dict_tolerated(tmp_path):
+    """A config.json holding valid-but-non-dict JSON must not brick
+    Database open (regression: AttributeError on cfg.get)."""
+    p = tmp_path / "db"
+    build_fixture(p)
+    (p / "config.json").write_text("null")
+    db2 = Database(str(p))
+    assert db2.active_schematic is None
+
+
+def test_schematic_frame_props_accepted():
+    """viewport frame= and line_3d frame= are part of the vocabulary the
+    exporter consumes; the typed layer must accept them at load time."""
+    from elodin_tpu import schematic as S
+
+    sch = S.load(
+        'tabs {\n viewport name=V frame=NED\n}\n'
+        'line_3d drone.world_pos frame=ENU color=red'
+    )
+    assert sch.lines[0].props.get("frame") == "ENU"
+
+
+def test_mcap_duplicate_line_topics_uniquified(tmp_path):
+    """Two line_3d nodes resolving to the same entity get distinct
+    /scene topics (Foxglove backfills one message per topic)."""
+    db = build_fixture(tmp_path / "db")
+    sch = SCHEMATIC + (
+        '\nline_3d drone.world_pos color=red'
+        '\nline_3d drone.world_pos color=blue'
+    )
+    db.assets.put("schematics/main.kdl", sch.encode())
+    mcap_path, _ = _export(db, tmp_path)
+    f = read_mcap_full(str(mcap_path))
+    line_topics = [c["topic"] for c in f.channels.values()
+                   if "-line" in c["topic"]]
+    assert len(line_topics) == len(set(line_topics)) == 2
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
