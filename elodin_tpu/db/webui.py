@@ -140,7 +140,14 @@ def register_routes(routes: dict, db) -> None:
         })
 
     def api_schematic(path, query):
-        raw = db.assets.get("schematic.kdl")
+        # prefer the persisted active schematic (set_active_schematic,
+        # export path parity); fall back to the legacy fixed asset key
+        raw = None
+        active = getattr(db, "active_schematic", None)
+        if active:
+            raw = db.assets.get(active)
+        if raw is None:
+            raw = db.assets.get("schematic.kdl")
         if raw is None:
             return _json_resp({"components": [], "raw": None})
         from .. import schematic as _schematic
@@ -933,9 +940,9 @@ let schematicApplied = false;
 
 async function applySchematic() {
   if (schematicApplied) return;
-  schematicApplied = true;
   try {
     const sch = await fetch("/api/schematic").then(r => r.json());
+    schematicApplied = true;  // latch only on success so a hiccup retries
     const have = new Set(components.map(c => c.name));
     const want = [...new Set(sch.components)].filter(n => have.has(n));
     for (const name of want.slice(0, 6)) {

@@ -37,7 +37,9 @@ def test_broadcast_between_two_dbs(tmp_path):
             [sys.executable, "receive.py",
              "--listen", f"127.0.0.1:{port}",
              "--db-addr", dst.addr, "--max-samples", "3",
-             "--timeout", "10"],
+             # generous: under a saturated parallel suite the broadcaster's
+             # own python startup can exceed 10s before the first packet
+             "--timeout", "60"],
             cwd=EX, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         # wait for the receiver's readiness line instead of a fixed sleep:
@@ -59,7 +61,7 @@ def test_broadcast_between_two_dbs(tmp_path):
         )
         assert bcast.returncode == 0, bcast.stderr
         assert "broadcast 6 samples" in bcast.stdout
-        out, err = recv.communicate(timeout=30)
+        out, err = recv.communicate(timeout=90)
         assert recv.returncode == 0, err
         assert "received 3 samples (0 lost)" in out
 

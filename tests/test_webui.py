@@ -110,6 +110,16 @@ vsplit {
         s = json.loads(_get(base + "/api/schematic")[2])
         assert s["components"] == ["ball.world_pos", "ball.mass"]
 
+        # the persisted active schematic (set_active_schematic flow, as the
+        # MCAP exporter uses) takes precedence over the legacy fixed key
+        srv.db.assets.put(
+            "schematics/alt.kdl", b'vsplit {\n graph "ball.mass"\n}\n'
+        )
+        srv.db.set_active_schematic("schematics/alt.kdl")
+        s = json.loads(_get(base + "/api/schematic")[2])
+        assert s["components"] == ["ball.mass"]
+        srv.db.set_active_schematic(None)
+
         # malformed KDL syntax (unclosed brace -> ValueError from kdl.parse)
         # surfaces as a structured error payload, not an HTTP 500
         srv.db.assets.put("schematic.kdl", b"vsplit {\n  graph \"x\"\n")
