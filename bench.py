@@ -168,6 +168,8 @@ def main() -> None:
             result["falcon9_rollouts_per_sec"] = round(f9["rollouts_per_s"], 1)
             result["falcon9_10k_share_wall_s"] = round(f9["wall_s"], 4)
             result["falcon9_samples"] = f9["n_samples"]
+            # soft = the FULL declared touchdown envelope (vz/vlat/tilt)
+            result["falcon9_soft_frac"] = f9["soft_landing_frac"]
             result["falcon9_precision_frac"] = f9["precision_landing_frac"]
             result["falcon9_median_miss_m"] = f9["median_miss_m"]
         except Exception as e:  # noqa: BLE001

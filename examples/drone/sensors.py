@@ -51,7 +51,6 @@ Magnetometer = ty.Annotated[
 MagBias = ty.Annotated[jax.Array, el.Component("magnetometer_bias", _F3)]
 
 _KEY = jr.key(450)
-NOISE_ON = True  # module-level toggle; build_world flips it for clean runs
 
 
 def _draw(salt: int, tick, shape, cov):

@@ -15,12 +15,15 @@ import numpy as np
 
 from elodin_tpu.monte_carlo import BatchedCampaign, sample_plan, write_artifacts
 
+from constants import (
+    TOUCHDOWN_SOFT_LATERAL_MPS,
+    TOUCHDOWN_SOFT_TILT_DEG,
+    TOUCHDOWN_SOFT_VERTICAL_MPS,
+)
 from sim import (
     DEFAULT_MAX_TICKS,
     PARAMS,
     SIM_RATE_HZ,
-    STAGE1_PROP_KG,
-    STAGE2_AND_PAYLOAD_KG,
     build,
 )
 
@@ -36,18 +39,14 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
     # sensors are pure observers — the campaign scores touchdown state, so
     # the vmapped program drops them (the physics and FSW are identical)
     world, system = build(None, sensors=False)
-    mass = draws["dry_mass"] + STAGE1_PROP_KG + STAGE2_AND_PAYLOAD_KG
+    # no booster.inertia override: mass_props recomputes the stack inertia
+    # from the dispersed dry_mass every tick before the first integration
     overrides = {
         "booster.thrust_eff": draws["thrust_eff"],
         "booster.dry_mass": draws["dry_mass"],
         "booster.cd_descent": draws["cd_descent"],
         "booster.wind": np.stack(
             [draws["wind_e"], draws["wind_n"], np.zeros(n_samples)], axis=1
-        ),
-        "booster.inertia": np.concatenate(
-            [np.tile(mass[:, None], (1, 3)), np.zeros((n_samples, 3)),
-             mass[:, None]],
-            axis=1,
         ),
     }
     campaign = BatchedCampaign(
@@ -66,9 +65,18 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
     )
 
     vz = result.component("booster.touchdown_vz")
+    vlat = result.component("booster.touchdown_vlat")
+    tilt = result.component("booster.touchdown_tilt")
     miss = result.component("booster.miss_distance")
     landed = miss >= 0.0
-    soft = landed & (vz > -6.0)
+    # score against the declared touchdown envelope (constants.py), not a
+    # vertical-only proxy: a fast lateral or tipped arrival is a tip-over
+    soft = (
+        landed
+        & (vz > -TOUCHDOWN_SOFT_VERTICAL_MPS)
+        & (vlat < TOUCHDOWN_SOFT_LATERAL_MPS)
+        & (tilt < TOUCHDOWN_SOFT_TILT_DEG)
+    )
     precise = soft & (miss < 50.0)
     if out_dir is not None:
         write_artifacts(

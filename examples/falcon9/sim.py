@@ -59,11 +59,13 @@ from constants import (
     N_ENGINES,
     OMEGA_EARTH_RADPS,
     RP1_LOAD_KG,
-    S_REF_M2,
     STAGE1_DRY_MASS_KG,
     STAGE1_PROP_KG,
     STAGE2_AND_PAYLOAD_KG,
     THROTTLE_MIN,
+    ENGINE_SPINUP_TAU_S,
+    ENGINE_THROTTLE_TAU_S,
+    ENGINE_SHUTDOWN_TAU_S,
     FIN_MAX_RAD,
     FIN_RATE_RADPS,
     FIN_TAU_S,
@@ -105,11 +107,11 @@ ENTRY_THROTTLE = 0.65
 LANDING_ARM_ALT_M = 6_000.0
 LANDING_IGNITION_MARGIN = 1.05
 LANDING_SPOOL_CHARGE_S = 2.5  # spool-up distance charged against altitude
-LANDING_KV_HIGH = 3.2  # hoverslam rate-loop gain
+LANDING_KV_HIGH = 3.2  # hoverslam rate gain onto the suicide curve (1/s)
 LANDING_KV_LOW = 4.0  # tightened under 200 m for the <=2 m/s impact
 COMMIT_MISS_MAX_M = 25.0
 LANDING_VLAT_MAX_MPS = 60.0
-LANDING_KLAT = 0.8  # 1/s, lateral-velocity tracking gain
+LANDING_KLAT_POST = 1.2  # 1/s, post-commit lateral-velocity damping
 
 # Attitude-loop bandwidth schedule (reference sim.py:677-681).
 ATT_WN_TVC = 0.9
@@ -315,7 +317,7 @@ _G_APPARENT = G0 - OMEGA_EARTH_RADPS**2 * _R_PAD_SURFACE * float(
 )
 
 
-def _impact_point(r_enu, v_enu, mass, cd_s=IIP_CD_S_M2):
+def _impact_point(r_enu, v_enu, mass, cd_s=IIP_CD_S_M2, wind_enu=None):
     """Drag-aware rotating-frame ballistic impact point (pad-ENU xy).
 
     The vacuum flat-earth IIP is kilometers off: descent drag steepens the
@@ -333,7 +335,11 @@ def _impact_point(r_enu, v_enu, mass, cd_s=IIP_CD_S_M2):
     def body(carry, _):
         r, v, done = carry
         h = jnp.maximum(r[2], 0.0)
-        speed = la.norm(v) + 1e-9
+        # drag acts on the AIR-relative velocity: a 12 m/s wind otherwise
+        # biases the predicted impact by hundreds of meters, which the
+        # descent steering then inherits as ignition miss
+        v_air = v if wind_enu is None else v - wind_enu
+        speed = la.norm(v_air) + 1e-9
         rho = 1.225 * jnp.exp(-h / 8_500.0)
         # Central gravity in the pad frame: over a 70 km arc the gravity
         # direction rotates ~0.6 deg, which a constant -z field turns into a
@@ -343,7 +349,7 @@ def _impact_point(r_enu, v_enu, mass, cd_s=IIP_CD_S_M2):
         a = (
             g_h * to_center / jnp.maximum(la.norm(to_center), 1.0)
             - 2.0 * jnp.cross(jnp.asarray(_OMEGA_ENU), v)
-            - 0.5 * rho * speed * v * (cd_s / mass)
+            - 0.5 * rho * speed * v_air * (cd_s / mass)
         )
         v_n = v + a * dt
         r_n = r + v_n * dt
@@ -361,12 +367,6 @@ def _impact_point(r_enu, v_enu, mass, cd_s=IIP_CD_S_M2):
     return r_f[:2]
 
 
-def _iip_error(r_enu, v_enu, mass, target_xy=None, cd_s=IIP_CD_S_M2):
-    if target_xy is None:
-        target_xy = jnp.asarray(_LZ1_ENU)[:2]
-    return target_xy - _impact_point(r_enu, v_enu, mass, cd_s)
-
-
 @el.system
 def guidance(
     tick: el.Query[el.SimulationTick],
@@ -380,6 +380,7 @@ def guidance(
         ThrustDir,
         CgStation,
         CdDescent,
+        Wind,
         LandSingle,
         LandCommit,
         MecoT,
@@ -387,7 +388,7 @@ def guidance(
 ) -> el.Query[Phase, Throttle, EngineCmd, ThrustDir, EnginesLit, LandSingle, LandCommit, MecoT]:
     t = tick[0] * ts[0]
 
-    def one(pos, vel, prop, phase, dry, prev_dir, cg, cd_desc, land_single, land_commit, meco_t):
+    def one(pos, vel, prop, phase, dry, prev_dir, cg, cd_desc, wind_c, land_single, land_commit, meco_t):
         r = pos.linear()
         v = vel.linear()
         r_enu = to_enu(r)
@@ -412,7 +413,7 @@ def guidance(
         # descent-drag figure (the reference disperses fsw_cd_s_m2 the same
         # way, main.py:87).
         fsw_cd = IIP_CD_S_M2 * cd_desc / CD_DESCENT_NOMINAL
-        impact_xy = _impact_point(r_enu, v_enu, dry + prop, fsw_cd)
+        impact_xy = _impact_point(r_enu, v_enu, dry + prop, fsw_cd, wind_c)
         iip_err = jnp.asarray(_LZ1_ENU)[:2] - impact_xy
         # Boostback targets an aim point past LZ-1 along the return track:
         # the (unmodeled) entry burn pulls the impact short by a few km, and
@@ -498,39 +499,64 @@ def guidance(
         # Continuous hoverslam: the vertical rate loop rides the feasible
         # suicide curve (never coasts); ZEM/ZEV shapes only the lateral.
         up = jnp.asarray([0.0, 0.0, 1.0])
-        h_land = jnp.maximum(h_e - 0.5, 0.3)
+        # The curve reaches V_TD at 3 m and holds it: the sqrt profile's
+        # final drop is untrackable (dv_des/dt diverges as h -> 0), so a
+        # curve aimed at the deck always lands hot by the tracking lag.
+        # The ~2.5 s constant-sink tail also gives the attitude loop time
+        # to level before the legs touch.
+        h_land = jnp.maximum(h_e - 2.0, 0.0)
         a_floor = jnp.maximum(t_eng_min / m_now - G0, 0.5)
         a_single = jnp.maximum(t_eng_max / m_now - G0, 0.6)
-        a_mid = 0.5 * (a_floor + a_single)
-        # Two-stage hoverslam vertical channel.
-        # Stage 1 (three engines): brake onto the *single-engine* curve —
-        # targeting V_TD directly with the 3-engine floor crushes vdown far
-        # below the single profile and strands the vehicle hovering with
-        # T_min/W > 1 (runaway loft).
-        # Stage 2 (center engine): exact self-correcting law — command the
-        # constant deceleration that arrives at V_TD from the current
-        # (vdown, h) every tick.  Fall behind -> a_req grows; get ahead ->
-        # command drops below hover and the vehicle re-accelerates onto the
-        # profile.
+        # 35% into the feasible band, not the midpoint: the shallower curve
+        # leaves ~2.9x braking margin to recover tracking error accumulated
+        # through the spool/attitude lags — at the midpoint the last-10 m
+        # catch-up saturates the engine and the vehicle lands ~3 m/s hot.
+        a_mid = a_floor + 0.35 * (a_single - a_floor)
+        # Two-stage hoverslam, reference main.rs:651-707 architecture.
+        # Vertical: ONE symmetric rate loop onto the suicide curve
+        # v_des = sqrt(2 a h) + V_TD.  Real authority on both sides of the
+        # profile — fall behind and it brakes harder, get ahead (drag
+        # over-braked you high up) and the loop commands below hover with
+        # kv*error so the sink rebuilds instead of crawling the last 20 m.
         v_single = jnp.sqrt(2.0 * a_mid * h_land)
-        a_req_now = (vdown * jnp.abs(vdown) - zemzev.V_TD_MPS**2) / (2.0 * h_land)
-        a_up_three = G0 + a_mid + 1.5 * (vdown - v_single)
-        a_up_one = G0 + a_req_now
-        # Hand over to the center engine once on the single-engine curve
-        # (monotone — the outer pair's TEA-TEB is spent).
-        go_single = vdown <= v_single + 10.0
+        # Hand over EARLY by the outer pair's spool-down tail: three
+        # engines at min throttle still brake ~23 m/s^2 (T_min3/W ~ 3.3),
+        # and after the cut the pair keeps thrusting for ~tau_shutdown —
+        # ~2 x 470 kN x 0.35 s / m ~ 9 m/s of unavoidable extra braking.
+        # Switching at the curve itself used to drive the vehicle ~5 m/s
+        # below the profile, where min-throttle (T/W > 1) pins it.
+        spool_tail = (
+            2.0 * t_eng_min * ENGINE_SHUTDOWN_TAU_S / jnp.maximum(m_now, 1.0)
+        )
+        go_single = vdown <= v_single + spool_tail
         land_single = jnp.where((phase == LANDING) & go_single, 1.0, land_single)
         on_single = land_single > 0.5
-        a_up = jnp.maximum(jnp.where(on_single, a_up_one, a_up_three), 0.0)
+        a_land = jnp.where(on_single, a_mid, a_land3)
+        v_des = jnp.sqrt(2.0 * a_land * h_land) + zemzev.V_TD_MPS
+        # Lateral-cleanup hold: a sample arriving low with lateral velocity
+        # still to burn off slows its descent (propellant reserve is ~11 t,
+        # time is the scarce resource) until the damper has cleaned up —
+        # landing slowly 30 m off beats landing on time at 8 m/s sideways.
+        vlat_now = la.norm(v_enu[:2])
+        cleanup = (h_e < 60.0) & (vlat_now > 0.7)
+        v_des = jnp.where(
+            cleanup,
+            v_des * jnp.clip(1.0 - (vlat_now - 0.7) / 6.0, 0.25, 1.0),
+            v_des,
+        )
+        # Slightly higher rate gain in the last 200 m (reference :675).
+        kv = jnp.where(h_e < 200.0, LANDING_KV_LOW, LANDING_KV_HIGH)
+        # a_land feedforward: riding the curve requires exactly a_land of
+        # braking, so without it the loop trails the profile by a_land/kv
+        # (~1.5 m/s) all the way to the deck and touches down that much hot.
+        a_up = jnp.maximum(G0 + a_land + kv * (vdown - v_des), 0.0)
 
-        # Lateral divert: saturation-aware stop-curve law — accelerate
-        # toward the pad until on the braking curve for the available
-        # (tilt-capped) lateral authority, then brake to arrive at rest.
-        # The raw ZEM/ZEV lateral is optimal only when unsaturated; at
-        # km-scale ignition miss it pins the cap target-ward the whole way
-        # and arrives at 100 m/s.
+        # Lateral: ZEM/ZEV accel (zemzev.py), tilt-capped — the t_go^-2
+        # gain growth closes the divert on the hoverslam clock, unlike a
+        # first-order stop-curve chase that arrives still carrying the
+        # envelope-slope lag.  Commit-to-vertical freezes it near the deck.
         p_rel = r_enu - jnp.asarray(_LZ1_ENU) - cg * up
-        _, t_raw = zemzev.t_go_hoverslam(h_e, vdown)
+        t_go, t_raw = zemzev.t_go_hoverslam(h_e, vdown)
         miss_h = la.norm(p_rel[:2])
         commit_gate = (h_e < zemzev.COMMIT_ALT_M) | (
             (t_raw > 0.0) & (t_raw < zemzev.COMMIT_TGO_S) & (h_e < 200.0)
@@ -538,23 +564,42 @@ def guidance(
         commit_now = commit_gate & ((miss_h < COMMIT_MISS_MAX_M) | (h_e < 25.0))
         land_commit = jnp.where((phase == LANDING) & commit_now, 1.0, land_commit)
         committed = land_commit > 0.5
-        max_lat = jnp.maximum(a_up, G0) * jnp.tan(zemzev.TILT_CAP_RAD)
-        to_pad = -p_rel[:2]
-        d_hat = to_pad / jnp.maximum(miss_h, 1e-6)
-        v_stop = jnp.sqrt(2.0 * 0.7 * max_lat * miss_h)
-        # Height envelope: the divert must finish no later than the vertical
-        # channel — prefer touching down 100 m off at ~0 lateral speed over
-        # on-target at 40 m/s sideways.
-        v_env = 0.18 * h_e
-        v_lat_des = jnp.minimum(jnp.minimum(v_stop, v_env), LANDING_VLAT_MAX_MPS) * d_hat
-        # Committed = stop chasing position; still null the lateral velocity.
-        v_lat_des = jnp.where(committed, jnp.zeros(2), v_lat_des)
-        v_lat = v_enu[:2]
-        a_lat2 = LANDING_KLAT * (v_lat_des - v_lat)
-        a_lat2 = a_lat2 * jnp.minimum(
-            1.0, max_lat / jnp.maximum(la.norm(a_lat2), 1e-6)
+        # Wider divert tilt above 100 m (there is time to level again up
+        # there); the conservative cap applies only near the deck.
+        tilt_cap = jnp.where(h_e > 100.0, 0.35, zemzev.TILT_CAP_RAD)
+        max_lat = jnp.maximum(a_up, G0) * jnp.tan(tilt_cap)
+        # Aim the lateral plan at the COMMIT point, not touchdown: commit
+        # freezes position-chasing ~5 s before the deck, and a plan aimed
+        # at touchdown still carries ~8 m/s there — which the post-commit
+        # damper can only remove with ~12 deg of tilt that a single
+        # engine's gimbal cannot level again in the time remaining.  The
+        # 4 s floor keeps the t_go^-2 gains bounded as t_go -> commit.
+        a_zem = zemzev.accel_cmd(p_rel, v_enu, up, t_go, committed)
+        a_lat3 = a_zem - jnp.dot(a_zem, up) * up
+
+        # Post-commit: stop chasing position but keep damping the lateral
+        # VELOCITY — the ZEM plan aims for rest at touchdown, so at the
+        # commit point (~5 s out) it still carries ~8 m/s laterally, and a
+        # hard freeze lands with all of it.  The damping tilt budget tapers
+        # from the full cap at 25 m to 1 degree at the deck so the final
+        # attitude stays inside the touchdown envelope while still holding
+        # wind-drag drift (~0.15 m/s^2 needs ~0.7 deg).
+        a_damp = -LANDING_KLAT_POST * v_enu * (1.0 - up)
+        damp_cap = jnp.maximum(
+            jnp.tan(jnp.deg2rad(1.0)) * jnp.maximum(a_up, G0),
+            max_lat * jnp.clip((h_e - 4.0) / 21.0, 0.0, 1.0),
         )
-        a_lat = jnp.concatenate([a_lat2, jnp.zeros(1)])
+        # during a cleanup hold (still above 12 m) the damper gets the full
+        # cap: the hold buys the time to level afterwards
+        damp_cap = jnp.where(
+            cleanup & (h_e > 12.0), max_lat, damp_cap
+        )
+        a_damp = a_damp * jnp.minimum(
+            1.0, damp_cap / jnp.maximum(la.norm(a_damp), 1e-6)
+        )
+        a_lat3 = jnp.where(committed, a_damp, a_lat3)
+        lat_mag = la.norm(a_lat3)
+        a_lat = a_lat3 * jnp.minimum(1.0, max_lat / jnp.maximum(lat_mag, 1e-6))
         a_cmd = jnp.maximum(a_up, G0) * up + a_lat
         landing_dir = a_cmd / jnp.maximum(la.norm(a_cmd), 1e-6)
 
@@ -574,10 +619,17 @@ def guidance(
         # Min-throttle lofting guard, near the deck only: a cut long enough
         # to cool the spool would need a 5th TEA-TEB charge that isn't there
         # (the spool survives sub-second cuts).
-        lofting = (phase == LANDING) & (h_e < 150.0) & (vdown < -0.5)
+        # Cut below 0.3 m/s of sink (not only when actually ascending):
+        # min throttle over-thrusts (T_min/W ~ 1.1), so during the
+        # constant-V_TD tail the sink otherwise decays to a perpetual
+        # hover above the deck.  The band keeps sink in ~[0.3, V_TD].
+        lofting = (phase == LANDING) & (h_e < 150.0) & (vdown < 0.5)
         # Terminal cutoff (reference main.rs: alt < 2 && speed < 1.5): kill
         # thrust at the deck so T_min/W > 1 cannot hold a skating hover.
-        lofting = lofting | ((phase == LANDING) & (h_e < 0.6) & (vdown < 2.0))
+        # Cut at 0.45 m: free-fall from the old 0.6 m cut to the 0.4 m
+        # touchdown plane alone adds sqrt(2g·0.2) — a guaranteed ~2 m/s
+        # impact, right at the envelope edge.
+        lofting = lofting | ((phase == LANDING) & (h_e < 0.45) & (vdown < 1.8))
 
         dir_enu = jnp.select(
             [
@@ -663,16 +715,22 @@ def engine_dynamics(
         )
         charges = charges - lighting.astype(spool.dtype)
 
+        # dry tanks make no thrust: the spool target collapses and the
+        # produced force is masked, so a sample that exhausts propellant
+        # before touchdown gets no free braking impulse from the spool tail
+        has_prop = prop > 0.0
         target = lit_new * jnp.clip(throttle, THROTTLE_MIN, 1.0)
+        target = jnp.where(has_prop, target, 0.0)
         running = spool > 0.5 * THROTTLE_MIN
-        tau_up = jnp.where(running, 0.15, 1.5)
-        tau = jnp.where(target > spool, tau_up, 0.35)
+        tau_up = jnp.where(running, ENGINE_THROTTLE_TAU_S, ENGINE_SPINUP_TAU_S)
+        tau = jnp.where(target > spool, tau_up, ENGINE_SHUTDOWN_TAU_S)
         spool = spool + (1.0 - jnp.exp(-dt / tau)) * (target - spool)
         spool = jnp.where(spool < 1e-3, 0.0, spool)
 
         h = altitude_m(pos.linear())
         p_amb = atmosphere.pressure(jnp.maximum(h, 0.0))
         thrust = eff * jnp.sum(prop_mod.engine_thrust_per_engine(spool, p_amb))
+        thrust = jnp.where(has_prop, thrust, 0.0)
         mdot = jnp.sum(prop_mod.cluster_mdot(1.0, spool))
         prop_new = jnp.maximum(prop - mdot * dt, 0.0)
         thrust = jnp.where(phase == DOWN, 0.0, thrust)
@@ -684,13 +742,13 @@ def engine_dynamics(
 @el.system
 def tank_dynamics(
     ts: el.Query[el.SimulationTimeStep],
-    q: el.Query[TankPressure, Prop, EngineSpool, ThrustTotal, DryMass],
+    q: el.Query[TankPressure, Prop, EngineSpool, ThrustTotal, el.Inertia],
 ) -> el.Query[TankPressure, InletPressure]:
     """Isothermal ullage + helium infill while any engine runs; inlet adds
     the acceleration head (reference sim.py:460-520)."""
     dt = ts[0]
 
-    def one(p_tank, prop, spool, thrust, dry):
+    def one(p_tank, prop, spool, thrust, inertia):
         m_lox, m_rp1 = lox_rp1(prop)
         mdot = jnp.sum(prop_mod.cluster_mdot(1.0, spool))
         mdot_lox, mdot_rp1 = prop_mod.split_mdot(mdot)
@@ -703,7 +761,9 @@ def tank_dynamics(
             p_tank[1], m_rp1, mdot_rp1, prop_mod.V_TANK_RP1_M3, prop_mod.RHO_RP1,
             infill, 0.0, dt,
         )
-        a_axial = thrust / jnp.maximum(dry + prop, 1.0)
+        # full stack mass (incl. stage 2 + payload until separation, via
+        # mass_props): thrust/(dry+prop) overestimated the ascent head ~28%
+        a_axial = thrust / jnp.maximum(inertia.mass(), 1.0)
         inlet = jnp.stack(
             [
                 prop_mod.inlet_pressure(
@@ -785,7 +845,16 @@ def attitude_control(
 
     landing = phase == LANDING
     tvc_on = thrust > TVC_THRUST_MIN_N
-    wn = jnp.where(tvc_on, jnp.where(landing, ATT_WN_TVC_LANDING, ATT_WN_TVC), ATT_WN_RCS)
+    # Authority-aware bandwidth: a single engine's gimbal torque
+    # (T*cg*TVC_MAX ~ 0.9 MN m) is ~3x short of what wn=1.7 demands at
+    # even 1.7 deg of error near touchdown — the loop saturates the
+    # gimbal and rings to ~7 deg of tilt.  Cap wn so the PD's stiffness
+    # term stays inside the gimbal authority at the current error.
+    tau_max = TVC_MAX_RAD * jnp.maximum(cg * thrust, 1.0)
+    i_tr = jnp.maximum(inertia.inertia_diag()[1], inertia.inertia_diag()[2])
+    wn_auth = jnp.sqrt(tau_max / (i_tr * jnp.maximum(ang, 0.05)))
+    wn_land = jnp.minimum(ATT_WN_TVC_LANDING, wn_auth)
+    wn = jnp.where(tvc_on, jnp.where(landing, wn_land, ATT_WN_TVC), ATT_WN_RCS)
     zeta = jnp.where(tvc_on, ATT_ZETA_TVC, ATT_ZETA_RCS)
     # No roll reference (axisymmetric): damp roll rate only.
     err_vec = err_body * jnp.asarray([0.0, 1.0, 1.0])
@@ -1092,8 +1161,14 @@ def contact(
         angular=jnp.where(frozen, jnp.zeros(3), vel.angular()),
         linear=jnp.where(frozen, jnp.zeros(3), vel.linear()),
     )
+    # while held down the vehicle sits on the pad: re-pin the CG to
+    # pad + cg·û every tick, otherwise the a·dt² residual of each
+    # zero-velocity tick accumulates ~0.1-0.3 m of pad penetration over
+    # the 2-3 s spool-up and biases the early-ascent altitude datum
+    pad_cg = jnp.asarray(_PAD_ECEF) + cg * jnp.asarray(_U_HAT)
+    lin_out = jnp.where(hold, pad_cg, pos.linear())
     return (
-        el.SpatialTransform(angular=pos.angular(), linear=pos.linear()),
+        el.SpatialTransform(angular=pos.angular(), linear=lin_out),
         vel_out,
         phase_new,
         lifted_new,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 G = 9.81
 WAYPOINT_ALT_M = 150.0
 WAYPOINT_VDOWN_MPS = 25.0
-V_TD_MPS = 1.5  # target touchdown sink rate
+V_TD_MPS = 1.2  # target touchdown sink rate (reference main.rs ZEM_V_TD_MPS)
 TILT_CAP_RAD = 0.25
 A_LAND_MPS2 = 12.0  # single-engine-class net vertical accel for t_go
 A_THRUST_MAX = 35.0  # 3-engine thrust-acceleration ceiling

@@ -58,6 +58,27 @@ def _read(ex, name):
     return np.asarray(ex.read_component(f"drone.{name}")).ravel()
 
 
+def test_first_order_lpf():
+    """LPF (reference filter.py first-order parity): tracks DC exactly,
+    attenuates far above cutoff, and cutoff 0 passes through unfiltered."""
+    m = _main()
+    lpf = m.filt.LPF(10.0, 900.0)
+    y = jnp.float64(0.0)
+    for _ in range(2000):
+        y = lpf.apply(y, jnp.float64(1.0))
+    assert abs(float(y) - 1.0) < 1e-6
+    t = np.arange(0, 900) / 900.0
+    hi = np.sin(2 * np.pi * 300.0 * t)
+    y = jnp.float64(0.0)
+    out = []
+    for x in hi:
+        y = lpf.apply(y, jnp.float64(x))
+        out.append(float(y))
+    assert np.abs(out[300:]).max() < 0.05
+    ident = m.filt.LPF(0.0, 900.0)
+    assert float(ident.apply(jnp.float64(0.0), jnp.float64(0.7))) == 0.7
+
+
 def test_biquad_lpf_attenuates_above_cutoff():
     m = _main()
     lpf = m.filt.BiquadLPF(40.0, 900.0)

@@ -408,9 +408,13 @@ def test_falcon9_rtls_mission():
     phase = float(np.asarray(ex.read_component("booster.phase")).ravel()[0])
     prop = float(np.asarray(ex.read_component("booster.prop_kg")).ravel()[0])
     assert phase == sim.DOWN
-    assert -6.0 < vz < 0.0, vz
+    # the declared touchdown envelope (constants.py), not a loose proxy
+    assert -2.0 < vz < 0.0, vz
     assert 0.0 <= miss < 50.0, miss
-    assert prop > 5_000.0  # landed with reserve, not on fumes
+    # the lateral-cleanup hold trades propellant for envelope compliance
+    # (~20 s of terminal hold); ~4 t of reserve is a clean landing, fumes
+    # would be <1 t
+    assert prop > 2_000.0
 
 
 def test_falcon9_dispersed_campaign():
@@ -432,11 +436,12 @@ def test_falcon9_dispersed_campaign():
         if saved_sim is not None:
             sys.modules["sim"] = saved_sim
     assert out["landed_frac"] == 1.0
-    assert out["soft_landing_frac"] >= 0.95
-    # The terminal lateral law trades the last ~100 m of divert for a soft
-    # touchdown (height-enveloped closing speed) — gate the dispersion tail
-    # accordingly, plus a median-precision gate.
-    assert out["p95_miss_m"] < 120.0
+    # soft now means the FULL declared envelope (vz/vlat/tilt, batched.py)
+    assert out["soft_landing_frac"] >= 0.9
+    # The lateral-cleanup hold deliberately trades precision for envelope
+    # compliance on hard-wind samples (land softly 100-300 m off rather
+    # than on-pad at 8 m/s sideways) — the tail gate reflects that choice.
+    assert out["p95_miss_m"] < 400.0
     assert out["median_miss_m"] < 35.0
 
 
