@@ -33,7 +33,14 @@ def magical_calibrate(y, iterations: int = 32, tol: float = 1e-5):
     """Calibrate from N raw 3-vector readings (N, 3).
 
     Returns (m, t, h, converged): unit field directions (N, 3), soft-iron T
-    (3, 3), hard-iron offset h (3,), and a convergence flag."""
+    (3, 3), hard-iron offset h (3,), and a convergence flag.
+
+    ``tol`` bounds the ABSOLUTE residual sum over all N readings
+    (reference-parity with magical.rs:43, which returns None past it): with
+    measurement noise the optimum residual is ~N*(2*sigma)^2, so noisy data
+    never sets the flag even when the fit is good — pass a noise-scaled tol
+    (e.g. ``4 * n * sigma**2 * margin``) if you want the flag to mean
+    "converged to the noise floor" instead of "noise-free fixed point"."""
     y = jnp.asarray(y)
     y_mat = y.T  # (3, N)
     m0 = (y / jnp.linalg.norm(y, axis=-1, keepdims=True)).T
@@ -45,9 +52,9 @@ def magical_calibrate(y, iterations: int = 32, tol: float = 1e-5):
         m_tilde = (t_inv @ (y_mat - h[:, None])).T  # (N, 3)
         j = jnp.sum((jnp.sum(m_tilde * m_tilde, axis=-1) - 1.0) ** 2)
         m_new = (m_tilde / jnp.linalg.norm(m_tilde, axis=-1, keepdims=True)).T
-        newly_done = jnp.logical_and(~done, j < tol)
-        best_t = jnp.where(newly_done[..., None, None] | ~done, t, best_t)
-        best_h = jnp.where(newly_done[..., None] | ~done, h, best_h)
+        # keep refining until the done latch sets, then freeze everything
+        best_t = jnp.where(~done, t, best_t)
+        best_h = jnp.where(~done, h, best_h)
         m = jnp.where(done, m, m_new)
         return (m, best_t, best_h, done | (j < tol)), None
 

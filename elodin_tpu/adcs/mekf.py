@@ -14,6 +14,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from .. import _config
 from ..ops.smallalg import psd_solve
 
 from ..spatial import quat_identity, quat_integrate_body, quat_inverse, quat_rotate, skew
@@ -102,13 +103,19 @@ class Mekf:
 
     @staticmethod
     def new(sigma_g, sigma_b, dt: float) -> "Mekf":
-        y = jnp.diag(jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]))
-        q = calculate_covariance(sigma_g, sigma_b, dt)
+        # consistent dtype from the float policy: mixed f32/f64 fields make
+        # the filter un-carryable through lax.scan and silently promote the
+        # whole covariance update to emulated f64 on TPU
+        ft = _config.default_float()
+        y = jnp.diag(jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0], dtype=ft))
+        q = calculate_covariance(
+            jnp.asarray(sigma_g, dtype=ft), jnp.asarray(sigma_b, dtype=ft), dt
+        )
         return Mekf(
             q_hat=quat_identity(),
-            b_hat=jnp.zeros(3),
-            p=jnp.eye(6),
-            omega=jnp.zeros(3),
+            b_hat=jnp.zeros(3, dtype=ft),
+            p=jnp.eye(6, dtype=ft),
+            omega=jnp.zeros(3, dtype=ft),
             yqy=y @ q @ y.T,
             dt=dt,
         )
@@ -121,14 +128,20 @@ class Mekf:
         p = propagate_state_covariance(self.p, omega, self.yqy, self.dt)
         delta_x = jnp.zeros(q_hat.shape[:-1] + (6,), dtype=q_hat.dtype)
         eye6 = jnp.eye(6, dtype=p.dtype)
-        for body, ref, sigma in zip(measured_bodys, references, sigma_r):
-            body = jnp.asarray(body)
-            ref = jnp.asarray(ref)
+        # strict: a length mismatch (e.g. one sigma for two vector obs)
+        # must fail loudly, not silently drop a measurement
+        for body, ref, sigma in zip(
+            measured_bodys, references, sigma_r, strict=True
+        ):
+            body = jnp.asarray(body, dtype=p.dtype)
+            ref = jnp.asarray(ref, dtype=p.dtype)
             var_r = jnp.eye(3, dtype=p.dtype) * (sigma**2)
             body_r = quat_rotate(quat_inverse(q_hat), ref)
             e = body - body_r
             h = jnp.concatenate(
-                [skew(body_r), jnp.zeros(body_r.shape[:-1] + (3, 3))], axis=-1
+                [skew(body_r),
+                 jnp.zeros(body_r.shape[:-1] + (3, 3), dtype=p.dtype)],
+                axis=-1,
             )
             ht = jnp.swapaxes(h, -1, -2)
             s_mat = h @ p @ ht + var_r
@@ -157,9 +170,17 @@ class Mekf:
             & jnp.isfinite(self.omega).all(axis=-1)
         )
         return Mekf(
-            jnp.where(bad[..., None], quat_identity(), self.q_hat),
+            jnp.where(
+                bad[..., None],
+                quat_identity().astype(self.q_hat.dtype),
+                self.q_hat,
+            ),
             jnp.where(bad[..., None], 0.0, self.b_hat),
-            jnp.where(bad[..., None, None], jnp.eye(6), self.p),
+            jnp.where(
+                bad[..., None, None],
+                jnp.eye(6, dtype=self.p.dtype),
+                self.p,
+            ),
             jnp.where(bad[..., None], 0.0, self.omega),
             self.yqy,
             self.dt,

@@ -244,6 +244,83 @@ def test_magical_synthetic():
     )
 
 
+def test_magkal_synthetic():
+    """MagKal (streaming UKF calibration) makes corrupted readings
+    calibratable: like the reference test (magkal.rs test_calibrate), the
+    gate is FUNCTIONAL — corrected readings point along the true field to
+    cos ~ 1 — because the D parameters themselves are only weakly
+    identifiable from the scalar Crassidis residual."""
+    from elodin_tpu.adcs import MagKal
+
+    rng = np.random.default_rng(5)
+    b_true = np.array([12.0, -7.0, 4.0])
+    d_true = np.array([[0.02, 0.005, 0.0],
+                       [0.005, -0.015, 0.002],
+                       [0.0, 0.002, 0.01]])
+    kal = MagKal()
+    fields, readings = [], []
+    for _ in range(300):
+        direction = rng.normal(size=3)
+        direction /= np.linalg.norm(direction)
+        field = 45.0 * direction  # ~Earth-field magnitude, uT
+        z = (np.eye(3) + d_true) @ field + b_true
+        fields.append(field)
+        readings.append(z)
+        kal = kal.update(z, field)
+    d_hat = np.asarray(kal.d_hat)
+    h_hat = np.asarray(kal.h_hat)
+    # apply the estimated calibration: invert z = (I+D)B + b
+    inv = np.linalg.inv(np.eye(3) + d_hat)
+    for field, z in zip(fields[::25], readings[::25]):
+        corrected = inv @ (z - h_hat)
+        cos = corrected @ field / (
+            np.linalg.norm(corrected) * np.linalg.norm(field)
+        )
+        assert cos > 1.0 - 6e-3, cos
+    # the hard-iron offset itself is strongly identifiable
+    np.testing.assert_allclose(h_hat, b_true, atol=0.8)
+
+
+def test_mekf_f32_policy_scan_carry():
+    """Under ELODIN_FLOAT_POLICY=f32 the MEKF state must be uniformly f32
+    (regression: hard-f64 zeros/eye blocks promoted the filter mid-scan,
+    which breaks lax.scan carry typing and silently runs emulated f64)."""
+    from elodin_tpu.adcs import mekf as mekf_mod
+
+    filt = mekf_mod.Mekf.new(
+        jnp.full(3, 1e-3, dtype=jnp.float32),
+        jnp.full(3, 1e-5, dtype=jnp.float32),
+        0.01,
+    )
+    f32 = [filt.q_hat.dtype, filt.b_hat.dtype, filt.p.dtype, filt.omega.dtype]
+    # under the default f64 policy everything is f64; force f32 arrays in
+    # and assert no promotion happens through an update + reset
+    filt = mekf_mod.Mekf(
+        filt.q_hat.astype(jnp.float32), filt.b_hat.astype(jnp.float32),
+        filt.p.astype(jnp.float32), filt.omega.astype(jnp.float32),
+        filt.yqy.astype(jnp.float32), filt.dt,
+    )
+    body = jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32)
+    ref = jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32)
+    out = filt.estimate_attitude([body], [ref], [jnp.float32(0.01)])
+    out = out.reset_if_invalid()
+    assert out.q_hat.dtype == jnp.float32, f32
+    assert out.b_hat.dtype == jnp.float32
+    assert out.p.dtype == jnp.float32
+    assert out.omega.dtype == jnp.float32
+
+
+def test_mekf_measurement_length_mismatch_raises():
+    """A sigma list shorter than the vector-observation lists must fail
+    loudly instead of silently dropping a measurement."""
+    from elodin_tpu.adcs import mekf as mekf_mod
+
+    filt = mekf_mod.Mekf.new(jnp.full(3, 1e-3), jnp.full(3, 1e-5), 0.01)
+    v = jnp.asarray([0.0, 0.0, 1.0])
+    with pytest.raises(ValueError):
+        filt.estimate_attitude([v, v], [v, v], [0.01])
+
+
 def test_yang_lqr_large_angle_full_authority():
     """Regression: using the raw quaternion scalar as 'sign' scaled torque
     by cos(theta/2) — ~1000x too weak near a 180-degree slew."""

@@ -829,11 +829,18 @@ args = ["-c", "true"]
     sup = s10.run_recipes(recipes)
     import time as _t
 
-    deadline = _t.time() + 5
-    while _t.time() < deadline and not out.exists():
+    # wait for CONTENT, not existence: the shell creates the file before
+    # echo writes it, so an existence poll can read '' under load
+    deadline = _t.time() + 30
+    text = ""
+    while _t.time() < deadline:
+        if out.exists():
+            text = out.read_text().strip()
+            if text:
+                break
         _t.sleep(0.05)
     sup.stop_all()
-    assert out.read_text().strip() == "hi"
+    assert text == "hi"
 
 
 def test_coning_sculling_static():
