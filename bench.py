@@ -156,6 +156,15 @@ def main() -> None:
             result["mc_soft_landing_frac"] = mc["soft_landing_frac"]
         except Exception as e:  # noqa: BLE001
             result["mc_error"] = str(e)
+        try:
+            # the reference's headline scale claim is "up to 100,000
+            # simultaneous simulations" (cloud, process-per-sample); here
+            # that is one vmapped program on one chip
+            mc100 = bench_monte_carlo(100_000)
+            result["mc_100k_wall_s"] = round(mc100["wall_s"], 4)
+            result["mc_100k_soft_landing_frac"] = mc100["soft_landing_frac"]
+        except Exception as e:  # noqa: BLE001
+            result["mc_100k_error"] = str(e)
 
     f9_share_wall = None
     if os.environ.get("BENCH_F9", "1") != "0":
