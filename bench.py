@@ -80,17 +80,18 @@ def _bench_entity_steps_inner(n_bodies: int, ticks: int, dtype: str) -> dict:
     state = {k: jnp.asarray(v) for k, v in cols.items()}
     fn = jax.jit(run, donate_argnums=0).lower(state).compile()
 
-    # warm-up run (also validates donation), then timed
-    state = fn(state)
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    state = fn(state)
-    jax.block_until_ready(state)
-    wall = time.perf_counter() - t0
-
     import numpy as np
 
+    # warm-up run (also validates donation), then timed; the sync is a
+    # HOST READ, not block_until_ready — the axon tunnel's block can
+    # return early and read up to ~40x fast
+    state = fn(state)
+    _ = np.asarray(state["world_pos"])
+    t0 = time.perf_counter()
+    state = fn(state)
     pos = np.asarray(state["world_pos"])
+    wall = time.perf_counter() - t0
+
     assert np.isfinite(pos).all(), "non-finite state after bench"
     return {
         "entity_steps_per_sec": n_bodies * ticks / wall,
@@ -675,11 +676,27 @@ def bench_egm08(degree: int = 64, n: int = 65536) -> dict:
     j2f = np.asarray(J2().force(jnp.asarray([4e6, 3e6, 4e6]), 1.0))
     assert np.isfinite(pole).all(), f"EGM08 NaN at pole on TPU: {pole}"
     assert np.isfinite(j2f).all(), f"J2 NaN on TPU: {j2f}"
-    t0 = time.perf_counter()
+    # in-graph chained loop with a threaded dependency + host-read sync:
+    # per-call dispatch with block_until_ready reads up to ~40x fast
+    # through the axon tunnel, and an invariant loop body is legal for
+    # XLA while-loop invariant code motion to hoist
     reps = 5
-    for _ in range(reps):
-        out = fn(r)
-    out.block_until_ready()
+
+    def many(rr):
+        def body(carry, _):
+            r_c, acc = carry
+            out = jax.vmap(eg.acceleration)(r_c)
+            return (r_c + out * 1e-30, acc + jnp.sum(out)), None
+
+        (r_f, acc), _ = jax.lax.scan(
+            body, (rr, jnp.zeros((), rr.dtype)), None, length=reps
+        )
+        return acc
+
+    many_c = jax.jit(many).lower(r).compile()
+    _ = np.asarray(many_c(r))  # warm + true sync
+    t0 = time.perf_counter()
+    _ = np.asarray(many_c(r))
     dt = (time.perf_counter() - t0) / reps
     return {
         "evals_per_s": n / dt,

@@ -219,7 +219,9 @@ class BatchedCampaign:
                 hist_chunks.append({k: np.asarray(v) for k, v in hist.items()})
             if compiled_tail is not None:
                 cols = dict(compiled_tail(cols))
-            jax.block_until_ready(cols)
+            # host read = true sync (block_until_ready can return early
+            # through the axon tunnel and under-report wall time)
+            _ = np.asarray(cols[min(cols)])  # any output syncs the program
             wall = time.perf_counter() - t0
             history = {
                 k: np.concatenate([h[k] for h in hist_chunks], axis=0)
@@ -244,7 +246,8 @@ class BatchedCampaign:
             cols = dict(compiled(cols))
         if compiled_rem is not None:
             cols = dict(compiled_rem(cols))
-        jax.block_until_ready(cols)
+        # host read = true sync (see above re: axon tunnel)
+        _ = np.asarray(cols[min(cols)])  # any output syncs the program
         wall = time.perf_counter() - t0
         self.cols = cols
         return BatchedResult(self.meta, self.cols, self.n, wall, ticks)

@@ -42,14 +42,20 @@ def timed(fn, *args, reps: int):
     chain (outputs summed into the accumulator) timed around a host read —
     per-call dispatch over the axon tunnel measures RTT, not kernel time."""
 
-    def loop(*xs):
-        def body(_i, acc):
-            return acc + jnp.sum(fn(*xs))
+    def loop(x0, *rest):
+        # thread the accumulator back into the first argument: an
+        # invariant fn(*xs) body is legal for XLA's while-loop invariant
+        # code motion to hoist, which would time one eval + reps adds
+        def body(_i, carry):
+            x, acc = carry
+            out = jnp.sum(fn(x, *rest))
+            return x + out.astype(x.dtype) * 1e-30, acc + out
 
         acc0 = jnp.zeros(
-            (), jax.eval_shape(lambda *a: jnp.sum(fn(*a)), *xs).dtype
+            (), jax.eval_shape(lambda *a: jnp.sum(fn(*a)), x0, *rest).dtype
         )
-        return jax.lax.fori_loop(0, reps, body, acc0)
+        (_, acc), = (jax.lax.fori_loop(0, reps, body, (x0, acc0)),)
+        return acc
 
     compiled = jax.jit(loop).lower(*args).compile()
     _ = np.asarray(compiled(*args))  # warm + sync

@@ -62,10 +62,16 @@ def timed_pairs_per_sec(fn, pos, mass, reps: int) -> float:
     nothing is dead-code-eliminated), timed by wall clock around a host read."""
 
     def loop(p, m):
-        def body(_i, acc):
-            return acc + fn(p, m)
+        # thread the output back into the positions: an invariant fn(p, m)
+        # body is legal for XLA while-loop invariant code motion to hoist,
+        # which would time one eval + reps adds
+        def body(_i, carry):
+            pp, acc = carry
+            out = fn(pp, m)
+            return pp + out * 1e-30, acc + out
 
-        return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(p))
+        _, acc = jax.lax.fori_loop(0, reps, body, (p, jnp.zeros_like(p)))
+        return acc
 
     compiled = jax.jit(loop).lower(pos, mass).compile()
     out = compiled(pos, mass)
@@ -100,8 +106,11 @@ def main() -> None:
             p, m, G, precision=jax.lax.Precision.HIGHEST),
     }
 
-    out: dict = {"backend": jax.default_backend(),
-                 "device": str(jax.devices()[0]), "throughput": {}, "accuracy": {}}
+    # committed-array probe: jax.default_backend() initializes every
+    # registered plugin and hangs when the axon tunnel is wedged
+    dev = next(iter(jnp.zeros(1).devices()))
+    out: dict = {"backend": dev.platform,
+                 "device": str(dev), "throughput": {}, "accuracy": {}}
 
     # throughput on the larger scene sizes, f32
     for n in sizes:
