@@ -135,6 +135,9 @@ class Mekf:
         ):
             body = jnp.asarray(body, dtype=p.dtype)
             ref = jnp.asarray(ref, dtype=p.dtype)
+            # cast sigma too: a strongly-typed f64 sigma would otherwise
+            # promote var_r -> s_mat -> k -> p mid-update
+            sigma = jnp.asarray(sigma, dtype=p.dtype)
             var_r = jnp.eye(3, dtype=p.dtype) * (sigma**2)
             body_r = quat_rotate(quat_inverse(q_hat), ref)
             e = body - body_r

@@ -1388,6 +1388,10 @@ def _build_scene(schs: _Schematics, comps, comps_by_name, db, ts_ns,
              _scene_update_message(entity))
         )
 
+    # hoisted above the schematic loop (like model_id_counts): two
+    # schematics (primary + window) with the same line entity must still
+    # get distinct /scene topics
+    line_id_counts: dict = {}
     for sch in schs.all():
         for obj in sch.objects:
             entity, assets = _build_object_entity(
@@ -1402,7 +1406,6 @@ def _build_scene(schs: _Schematics, comps, comps_by_name, db, ts_ns,
             if hit is not None:
                 frame, prim = hit
                 arrow_groups.setdefault(frame, []).append(prim)
-        line_id_counts: dict = {}
         for line in sch.lines:
             entity = _build_line_entity(
                 line, comp_names, comps_by_name, ts_ns, geo_active, warnings

@@ -149,6 +149,14 @@ def register_routes(routes: dict, db) -> None:
         if raw is None:
             raw = db.assets.get("schematic.kdl")
         if raw is None:
+            # exporter-parity last resort: the first .kdl asset (covers a
+            # DB whose config.json was lost but schematics survive)
+            names = sorted(
+                n for n in db.assets.keys() if n.endswith(".kdl")
+            )
+            if names:
+                raw = db.assets.get(names[0])
+        if raw is None:
             return _json_resp({"components": [], "raw": None})
         from .. import schematic as _schematic
 

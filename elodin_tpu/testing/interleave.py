@@ -155,6 +155,10 @@ class Interleaver:
                         timeout=10 * self.block_timeout,
                     )
                     if not ok and self.alive:
+                        # a worker's own exception explains the stall far
+                        # better than the secondary deadlock it causes
+                        if self.errors:
+                            raise self.errors[0]
                         raise InterleaveError(
                             f"deadlock: no thread reached a yield point "
                             f"(seed={self.seed}, step={steps}, "
@@ -173,6 +177,10 @@ class Interleaver:
                     self.blocked.add(tid)
                 steps += 1
                 if steps > self.max_steps:
+                    if self.errors:
+                        # e.g. one thread died and its partner spins on a
+                        # flag it will never set — report the root cause
+                        raise self.errors[0]
                     raise InterleaveError(
                         f"step budget exhausted (seed={self.seed}, "
                         f"max_steps={self.max_steps}) — livelock or the "
@@ -196,12 +204,14 @@ def explore(make, seeds=range(64), **kw) -> int:
     n = 0
     for seed in seeds:
         fns, check = make()
-        Interleaver(*fns, seed=seed, **kw).run()
         try:
+            Interleaver(*fns, seed=seed, **kw).run()
             check()
         except AssertionError as e:
             raise AssertionError(
                 f"invariant failed under schedule seed={seed}: {e}"
             ) from e
+        except InterleaveError as e:
+            raise InterleaveError(f"seed={seed}: {e}") from e
         n += 1
     return n

@@ -110,7 +110,6 @@ LANDING_SPOOL_CHARGE_S = 2.5  # spool-up distance charged against altitude
 LANDING_KV_HIGH = 3.2  # hoverslam rate gain onto the suicide curve (1/s)
 LANDING_KV_LOW = 4.0  # tightened under 200 m for the <=2 m/s impact
 COMMIT_MISS_MAX_M = 25.0
-LANDING_VLAT_MAX_MPS = 60.0
 LANDING_KLAT_POST = 1.2  # 1/s, post-commit lateral-velocity damping
 
 # Attitude-loop bandwidth schedule (reference sim.py:677-681).
@@ -568,12 +567,10 @@ def guidance(
         # there); the conservative cap applies only near the deck.
         tilt_cap = jnp.where(h_e > 100.0, 0.35, zemzev.TILT_CAP_RAD)
         max_lat = jnp.maximum(a_up, G0) * jnp.tan(tilt_cap)
-        # Aim the lateral plan at the COMMIT point, not touchdown: commit
-        # freezes position-chasing ~5 s before the deck, and a plan aimed
-        # at touchdown still carries ~8 m/s there — which the post-commit
-        # damper can only remove with ~12 deg of tilt that a single
-        # engine's gimbal cannot level again in the time remaining.  The
-        # 4 s floor keeps the t_go^-2 gains bounded as t_go -> commit.
+        # ZEM/ZEV lateral on the hoverslam t_go (zemzev.py: waypoint
+        # above 150 m, rest-at-touchdown plan, tilt-capped); the residual
+        # lateral velocity still carried at commit is handled by the
+        # post-commit damper below.
         a_zem = zemzev.accel_cmd(p_rel, v_enu, up, t_go, committed)
         a_lat3 = a_zem - jnp.dot(a_zem, up) * up
 
@@ -619,10 +616,10 @@ def guidance(
         # Min-throttle lofting guard, near the deck only: a cut long enough
         # to cool the spool would need a 5th TEA-TEB charge that isn't there
         # (the spool survives sub-second cuts).
-        # Cut below 0.3 m/s of sink (not only when actually ascending):
+        # Cut below 0.5 m/s of sink (not only when actually ascending):
         # min throttle over-thrusts (T_min/W ~ 1.1), so during the
         # constant-V_TD tail the sink otherwise decays to a perpetual
-        # hover above the deck.  The band keeps sink in ~[0.3, V_TD].
+        # hover above the deck.  The band keeps sink in ~[0.5, V_TD].
         lofting = (phase == LANDING) & (h_e < 150.0) & (vdown < 0.5)
         # Terminal cutoff (reference main.rs: alt < 2 && speed < 1.5): kill
         # thrust at the deck so T_min/W > 1 cannot hold a skating hover.
@@ -1167,6 +1164,15 @@ def contact(
     # the 2-3 s spool-up and biases the early-ascent altitude datum
     pad_cg = jnp.asarray(_PAD_ECEF) + cg * jnp.asarray(_U_HAT)
     lin_out = jnp.where(hold, pad_cg, pos.linear())
+    # post-touchdown: pin the vertical so the landed booster doesn't keep
+    # sinking g*dt^2 per zero-velocity tick (~0.1 m/s of deck penetration
+    # corrupting post-landing trajectories); lateral position stays put
+    h_err = (jnp.asarray(_LZ1_ENU)[2] + cg * jnp.cos(tilt) + 0.4) - r_enu[2]
+    lin_out = jnp.where(
+        was_down | first,
+        lin_out + h_err * jnp.asarray(_U_HAT),
+        lin_out,
+    )
     return (
         el.SpatialTransform(angular=pos.angular(), linear=lin_out),
         vel_out,

@@ -302,7 +302,8 @@ def test_mekf_f32_policy_scan_carry():
     )
     body = jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32)
     ref = jnp.asarray([0.0, 0.0, 1.0], dtype=jnp.float32)
-    out = filt.estimate_attitude([body], [ref], [jnp.float32(0.01)])
+    # sigma deliberately f64: it must be cast down, not promote the filter
+    out = filt.estimate_attitude([body], [ref], [jnp.float64(0.01)])
     out = out.reset_if_invalid()
     assert out.q_hat.dtype == jnp.float32, f32
     assert out.b_hat.dtype == jnp.float32

@@ -396,6 +396,27 @@ def test_schematic_frame_props_accepted():
     assert sch.lines[0].props.get("frame") == "ENU"
 
 
+def test_mcap_duplicate_line_topics_across_window_schematics(tmp_path):
+    """The same line entity in the primary AND a window schematic must get
+    distinct /scene topics (the uniquifier counts across schematics)."""
+    db = build_fixture(tmp_path / "db")
+    db.assets.put(
+        "schematics/main.kdl",
+        (SCHEMATIC
+         + '\nline_3d drone.world_pos color=red'
+         + '\nwindow path="schematics/win.kdl"').encode(),
+    )
+    db.assets.put(
+        "schematics/win.kdl",
+        b'tabs {\n viewport name=W\n}\nline_3d drone.world_pos color=blue',
+    )
+    mcap_path, _ = _export(db, tmp_path)
+    f = read_mcap_full(str(mcap_path))
+    line_topics = [c["topic"] for c in f.channels.values()
+                   if "-line" in c["topic"]]
+    assert len(line_topics) == len(set(line_topics)) == 2, line_topics
+
+
 def test_mcap_duplicate_line_topics_uniquified(tmp_path):
     """Two line_3d nodes resolving to the same entity get distinct
     /scene topics (Foxglove backfills one message per topic)."""
