@@ -2280,3 +2280,81 @@ def export_mcap(db, path: str, *, pattern: str | None = None,
     for msg in warnings:
         print(f"  Warning: {msg}")
     return message_count
+
+
+def build_scene_json(db, ts_ns: int | None = None) -> dict:
+    """Live scene snapshot: the same SceneUpdate entities the MCAP export
+    writes (one per /scene topic), parsed to JSON for the webui's
+    ``/api/scene`` endpoint — model primitives/GLB references from
+    object_3d nodes, trajectory lines, static vector arrows, plus the
+    follow entity and dynamic-arrow descriptors so a live client can
+    animate them from ``/api/series``."""
+    from .export import _is_private
+
+    warnings: list[str] = []
+    comps: list[_ExportComponent] = []
+    for store in db.components.values():
+        if store.len == 0 or _is_private(store):
+            continue
+        name = store.name or f"{store.component_id:016x}"
+        pose_entity = None
+        if name.endswith(".world_pos") and store.elem_count == 7:
+            pose_entity = name[: -len(".world_pos")]
+        comps.append(_ExportComponent(
+            store=store, name=name, topic=_topic_for(name),
+            element_paths=_element_paths(store),
+            metadata=dict(store.metadata or {}), pose_entity=pose_entity,
+        ))
+    comps.sort(key=lambda c: c.name)
+    comps_by_name = {c.name: c for c in comps}
+    comp_names = set(comps_by_name)
+    schs = _load_schematics(db)
+
+    follow_entity = None
+    for sch in schs.all():
+        for obj in sch.objects:
+            follow_entity = _entity_for_eql(obj.eql, comp_names)
+            if follow_entity is not None:
+                break
+        if follow_entity is not None:
+            break
+
+    geo_map: dict[str, str] = {}
+    for sch in schs.all():
+        for obj in sch.objects:
+            frame = obj.props.get("frame")
+            if str(frame) in ("NED", "ENU"):
+                entity = _entity_for_eql(obj.eql, comp_names)
+                if entity is not None:
+                    geo_map.setdefault(entity, str(frame))
+    coord = schs.primary.coordinate if schs.primary is not None else None
+    geo_active = coord is not None and bool(geo_map)
+
+    if ts_ns is None:
+        stops = [int(c.store.timestamps[c.store.len - 1]) for c in comps]
+        ts_ns = _us_to_ns(max(stops) if stops else 0, 0)
+    # scene entities embed no assets in the live path: the webui serves
+    # GLBs over its own /assets route, so reference-only keeps it light
+    scene_msgs, referenced = _build_scene(
+        schs, comps, comps_by_name, db, ts_ns, 0, follow_entity,
+        geo_active, warnings,
+    )
+    entities = []
+    for topic, body in scene_msgs:
+        update = json.loads(body.decode())
+        for ent in update.get("entities", []):
+            ent["topic"] = topic
+            entities.append(ent)
+    arrows = [
+        {"vector": a.vector, "props": a.props}
+        for sch in schs.all()
+        for a in sch.arrows
+    ]
+    return {
+        "entities": entities,
+        "follow_entity": follow_entity,
+        "geo_active": geo_active,
+        "referenced_assets": referenced,
+        "arrows": arrows,
+        "warnings": warnings,
+    }

@@ -14,6 +14,9 @@ browser can attach to any running sim or recorded DB:
 - ``GET /api/series``        — LTTB-downsampled series (name, start_us,
   stop_us, max_points)
 - ``GET /api/latest``        — newest sample for one component
+- ``GET /api/scene``         — the MCAP exporter's SceneUpdate entities,
+  live (object_3d models, line_3d trajectories, vector arrows, follow
+  entity) for 3D clients
 
 Routes are registered into ``AssetHttpServer.routes`` (db/assets.py), so the
 viewer rides the same port the asset store already serves.
@@ -173,6 +176,18 @@ def register_routes(routes: dict, db) -> None:
         payload["raw"] = text
         return _json_resp(payload)
 
+    def api_scene(path, query):
+        """The MCAP exporter's SceneUpdate entities, live (editor 3D-scene
+        parity: object_3d models, line_3d trajectories, vector arrows)."""
+        from .export_mcap import build_scene_json
+
+        try:
+            with db.lock:
+                scene = build_scene_json(db)
+        except Exception as e:  # noqa: BLE001 — surface, don't 500
+            scene = {"entities": [], "error": str(e)}
+        return _json_resp(scene)
+
     def api_msg_logs(path, query):
         out = []
         with db.lock:
@@ -238,6 +253,7 @@ def register_routes(routes: dict, db) -> None:
     routes["/api/series"] = api_series
     routes["/api/latest"] = api_latest
     routes["/api/schematic"] = api_schematic
+    routes["/api/scene"] = api_scene
     routes["/api/msg-logs"] = api_msg_logs
     routes["/api/msgs"] = api_msgs
     routes["/api/sql"] = api_sql

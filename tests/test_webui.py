@@ -82,6 +82,38 @@ def test_webui_api_and_page(tmp_path):
         srv.stop()
 
 
+def test_webui_scene_endpoint(tmp_path):
+    """/api/scene serves the MCAP exporter's SceneUpdate entities live."""
+    from elodin_tpu.db import Client, Server
+
+    srv = Server.start(str(tmp_path / "db"))
+    try:
+        base = f"http://127.0.0.1:{srv.port + 1}"
+        c = Client.connect(srv.addr)
+        c.send("sat.world_pos", np.array([0, 0, 0, 1, 1.0, 2.0, 3.0]),
+               timestamp_us=1_000_000)
+        c.send("sat.world_pos", np.array([0, 0, 0, 1, 1.5, 2.0, 3.0]),
+               timestamp_us=1_010_000)
+        time.sleep(0.3)
+        srv.db.assets.put("schematic.kdl", b"""
+line_3d sat.world_pos color=yellow
+object_3d sat.world_pos {
+    sphere radius=0.5 { material base_color=red }
+}
+""")
+        s = json.loads(_get(base + "/api/scene")[2])
+        assert s.get("error") is None, s
+        topics = {e["topic"] for e in s["entities"]}
+        assert any(t.endswith("-line") for t in topics), topics
+        assert s["follow_entity"] == "sat"
+        line = next(e for e in s["entities"] if e["topic"].endswith("-line"))
+        pts = line["lines"][0]["points"]
+        assert pts[0] == {"x": 1.0, "y": 2.0, "z": 3.0}
+        c.close()
+    finally:
+        srv.stop()
+
+
 def test_webui_schematic_sql_msgs(tmp_path):
     """Schematic, SQL console, and msg-log endpoints (editor parity)."""
     import urllib.error
