@@ -308,3 +308,82 @@ def test_zem_zev_tilt_cap_respected():
         if a_up > 1.0:
             assert a_lat <= abs(a_up) * math.tan(zemzev.TILT_CAP_RAD) + 1e-6
         r, v = zemzev.step(r, v, up, 0.25)
+
+
+# ---- sensor gates (reference test_sensors.py behavioral port) --------------
+
+
+def _mission_probe(ticks):
+    S = _load("sim")
+
+    w, sysm = S.build()
+    ex = w.build(sysm, simulation_rate=S.SIM_RATE_HZ)
+    ex.record_history = False
+    ex.run(ticks, show_progress=False)
+
+    def get(name):
+        return np.asarray(ex.read_component(f"booster.{name}")).ravel()
+
+    return get
+
+
+def test_imu_earth_rate_gyro_and_specific_force_on_pad():
+    """Held on the pad, engines dark: the gyro reads exactly the Earth rate
+    in the body frame, and the accelerometer reads ~0 specific force (the
+    model excludes the hold-down normal force, like the reference's
+    freefall identity, test_sensors.py:77)."""
+    sn = _load("sensors")
+    OMEGA_EARTH_RADPS = constants.OMEGA_EARTH_RADPS
+
+    get = _mission_probe(3)  # 30 ms: spool barely begun, zero thrust
+    gyro = get("imu_gyro")
+    accel = get("imu_accel")
+    assert abs(np.linalg.norm(gyro) - OMEGA_EARTH_RADPS) < 5 * sn.IMU_GYRO_SIGMA
+    assert np.linalg.norm(accel) < 5 * sn.IMU_ACCEL_SIGMA + 1e-6
+
+
+def test_imu_reads_thrust_specific_force_in_ascent():
+    """Engines burning: f_B ~ T/m along body +X (aero still small at
+    t = 10 s; reference test_sensors.py:93)."""
+    get = _mission_probe(1000)  # t = 10 s
+    accel = get("imu_accel")
+    thrust = float(get("thrust_total")[0])
+    # total stack mass from the inertia component (SpatialInertia layout
+    # [ixx iyy izz, px py pz, m])
+    mass = float(get("inertia")[6])
+    assert thrust > 5e6
+    assert abs(accel[0] - thrust / mass) < 0.3
+    assert abs(accel[1]) < 0.3 and abs(accel[2]) < 0.3
+
+
+def test_gps_cadence_and_display_quantization():
+    """25 Hz GPS sample-and-hold: ~25 samples in the first second, held
+    position near truth; webcast display readouts quantized to their steps
+    (reference test_sensors.py:117)."""
+    sn = _load("sensors")
+    S = _load("sim")
+
+    get = _mission_probe(100)  # exactly 1 s
+    count = float(get("gps_count")[0])
+    assert abs(count - 25.0) <= 1.0, count
+    gps_pos = get("gps_pos")
+    truth_enu = np.asarray(S.to_enu(get("world_pos")[4:7]))
+    assert np.linalg.norm(gps_pos - truth_enu) < 25.0
+    dspeed = float(get("display_speed")[0])
+    dalt = float(get("display_alt")[0])
+    assert abs(dspeed / sn.DISPLAY_SPEED_STEP
+               - round(dspeed / sn.DISPLAY_SPEED_STEP)) < 1e-9
+    assert abs(dalt / sn.DISPLAY_ALT_STEP
+               - round(dalt / sn.DISPLAY_ALT_STEP)) < 1e-9
+
+
+def test_radar_sees_ground_nose_up_on_pad():
+    """Radar boresight is -X (out the engines): nose-up it looks straight
+    down, so on the pad it must report ~ the CG altitude, inside range and
+    FOV (reference test_sensors.py:138 geometry gates)."""
+    get = _mission_probe(100)
+    rng = float(get("radar_range")[0])
+    h_cg = float(np.asarray(_load("sim").to_enu(get("world_pos")[4:7]))[2])
+    assert rng > 0.0, "radar gated out despite looking at the deck"
+    assert abs(rng - h_cg) < 2.0, (rng, h_cg)
+    assert float(get("radar_count")[0]) > 0.0
