@@ -107,6 +107,9 @@ ENTRY_THROTTLE = 0.65
 LANDING_ARM_ALT_M = 6_000.0
 LANDING_IGNITION_MARGIN = 1.05
 LANDING_SPOOL_CHARGE_S = 2.5  # spool-up distance charged against altitude
+BUCKET_Q_ON_PA = 30_000.0  # Max-Q throttle-bucket threshold
+BUCKET_THROTTLE = 0.80
+ASCENT_G_LIMIT = 34.0  # m/s^2 (~3.6 g) thrust-accel cap toward MECO
 LANDING_KV_HIGH = 3.2  # hoverslam rate gain onto the suicide curve (1/s)
 LANDING_KV_LOW = 4.0  # tightened under 200 m for the <=2 m/s impact
 COMMIT_MISS_MAX_M = 25.0
@@ -641,9 +644,23 @@ def guidance(
             [ascent_dir, boostback_dir, boostback_dir, retro, entry_dir, descent_dir, landing_dir],
             jnp.asarray([0.0, 0.0, 1.0]),
         )
+        # Ascent throttle shaping (reference main.rs:508-517, matching the
+        # flown CRS-12 profile): the Max-Q bucket caps throttle while
+        # dynamic pressure is high and the vehicle is still subsonic-ish,
+        # and the 3.6 g acceleration limit throttles down toward MECO as
+        # the stack lightens.
+        qbar_now = 0.5 * atmosphere.density(jnp.maximum(h, 0.0)) * speed**2
+        bucket = (qbar_now > BUCKET_Q_ON_PA) & (speed < 500.0)
+        asc_throttle = jnp.where(bucket, BUCKET_THROTTLE, 1.0)
+        u_g_limit = ASCENT_G_LIMIT * m_now / jnp.maximum(
+            N_ENGINES * t_eng_max, 1.0
+        )
+        asc_throttle = jnp.clip(
+            jnp.minimum(asc_throttle, u_g_limit), THROTTLE_MIN, 1.0
+        )
         throttle = jnp.select(
             [phase == ASCENT, phase == BOOSTBACK, phase == ENTRY, phase == LANDING],
-            [1.0, BOOSTBACK_THROTTLE, ENTRY_THROTTLE, landing_throttle],
+            [asc_throttle, BOOSTBACK_THROTTLE, ENTRY_THROTTLE, landing_throttle],
             0.0,
         )
         mask_all = jnp.asarray(MASK_ALL)

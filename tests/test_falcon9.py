@@ -387,3 +387,54 @@ def test_radar_sees_ground_nose_up_on_pad():
     assert rng > 0.0, "radar gated out despite looking at the deck"
     assert abs(rng - h_cg) < 2.0, (rng, h_cg)
     assert float(get("radar_count")[0]) > 0.0
+
+
+# ---- mission realism vs recorded CRS-12 webcast telemetry ------------------
+
+
+def test_mission_matches_recorded_crs12_profile():
+    """Nominal mission vs the vendored public-domain CRS-12 stage-1 webcast
+    telemetry (reference.py cleans it; reference examples/falcon9
+    reference.py + hooks score the same channels).  Gates: early-ascent
+    speed/altitude tight, apogee/vmax/event-times at honest tolerances.
+    Known gap, recorded deliberately: the real vehicle's deep max-Q
+    throttle-down (t 51-90 s) is flown only shallowly here because the
+    boostback/entry targeting is calibrated against this ascent shape —
+    mid-ascent speed runs up to ~35% hot through that window."""
+    ref = _load("reference")
+    S = _load("sim")
+    import numpy.linalg as _la
+
+    world, system = S.build(None, sensors=False)
+    ex = world.build(system, simulation_rate=S.SIM_RATE_HZ)
+    ex.run(S.DEFAULT_MAX_TICKS)
+    h = ex.history(["booster.world_pos", "booster.world_vel",
+                    "booster.phase", "booster.meco_t"])
+    pos = np.asarray(h["booster.world_pos"])
+    vel = np.asarray(h["booster.world_vel"])
+    ph = np.asarray(h["booster.phase"]).ravel()
+    t = np.arange(len(ph)) / 100.0
+    alt = (pos[:, 4:7] - np.asarray(S._PAD_ECEF)) @ S._U_HAT
+    speed = _la.norm(vel[:, 3:6], axis=1)
+
+    p = ref.load_profile()
+    ev = ref.events()
+    ref.sanity_check()
+
+    # early ascent (pre-bucket) tracks the recording tightly
+    for tt in (20, 30, 40, 50):
+        i = int(tt * 100)
+        rv = ref.value_at(p, tt, "speed_mps")
+        ra = ref.value_at(p, tt, "altitude_m")
+        assert abs(speed[i] - rv) < 0.10 * rv + 5.0, (tt, speed[i], rv)
+        assert abs(alt[i] - ra) < 0.10 * ra + 100.0, (tt, alt[i], ra)
+
+    # mission invariants
+    meco_t = float(np.asarray(h["booster.meco_t"])[-1])
+    assert abs(meco_t - ev["meco"]) < 20.0, meco_t
+    assert abs(alt.max() - max(p["altitude_m"])) < 0.08 * max(p["altitude_m"])
+    vmax_ref = max(p["speed_mps"])
+    assert abs(speed.max() - vmax_ref) < 0.10 * vmax_ref, speed.max()
+    td = np.where(ph >= 7)[0]
+    assert len(td), "never touched down"
+    assert abs(t[td[0]] - ev["landing_end"]) < 60.0, t[td[0]]
