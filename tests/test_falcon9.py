@@ -438,3 +438,16 @@ def test_mission_matches_recorded_crs12_profile():
     td = np.where(ph >= 7)[0]
     assert len(td), "never touched down"
     assert abs(t[td[0]] - ev["landing_end"]) < 60.0, t[td[0]]
+
+
+def test_reference_profiles_both_missions():
+    """Both vendored mission recordings load and pass sanity (reference
+    test_sensors.py:72 test_reference_profiles)."""
+    ref = _load("reference")
+    for mission in ("crs12", "crs11"):
+        p = ref.load_profile(mission)
+        ev = ref.events(mission)
+        assert p["time_s"][-1] > 400.0
+        assert max(p["speed_mps"]) > 1500.0
+        assert max(p["altitude_m"]) > 100_000.0
+        assert 100.0 < ev["meco"] < 200.0
