@@ -1171,8 +1171,16 @@ def _build_object_entity(obj, comp_names, db, ts_ns, max_embed_bytes,
             warnings.append(f"object_3d {obj.eql}: GLB asset {key} not found")
             return None, []
         referenced.append(key)
-        force_embed = follow_entity is not None and follow_entity == frame
-        if not force_embed and len(data) > max_embed_bytes:
+        # max_embed_bytes=None = the LIVE path (/api/scene): models are
+        # referenced by URL through the assets HTTP route, never embedded
+        # and never dropped
+        live_ref = max_embed_bytes is None
+        force_embed = (
+            not live_ref
+            and follow_entity is not None
+            and follow_entity == frame
+        )
+        if not live_ref and not force_embed and len(data) > max_embed_bytes:
             warnings.append(
                 f"GLB {key} over embed limit; attached but not embedded"
             )
@@ -1213,9 +1221,9 @@ def _build_object_entity(obj, comp_names, db, ts_ns, max_embed_bytes,
             "scale": {"x": scale, "y": scale, "z": scale},
             "color": {"r": 1.0, "g": 1.0, "b": 1.0, "a": 1.0},
             "override_color": False,
-            "url": "",
+            "url": f"/assets/{key}" if live_ref else "",
             "media_type": "model/gltf-binary",
-            "data": _B64(data).decode(),
+            "data": "" if live_ref else _B64(data).decode(),
         }]
     elif kind == "sphere":
         color = _color_json(_mesh_color(mesh))
@@ -1973,25 +1981,12 @@ _MEDIA_TYPES = {
 }
 
 
-def export_mcap(db, path: str, *, pattern: str | None = None,
-                include_private: bool = False, all_assets: bool = False,
-                epoch_offset_us: int | None = None, max_embed_mb: int = 32,
-                layout_path: str | None = None) -> int:
-    """Export a Database to a Foxglove-compatible MCAP file at ``path``
-    (export_mcap.rs:2276 run), plus ``<path minus .mcap>
-    .foxglove-layout.json`` when the active schematic has panels.
-
-    Returns the total message count written.  ``pattern`` is a
-    case-insensitive glob over component names; ``epoch_offset_us`` shifts
-    all timestamps (auto-rebase keeps pre-1970 data ordered instead of
-    clamping it, export_mcap.rs:2610-2641)."""
+def _scene_inputs(db, pattern=None, include_private: bool = False):
+    """Shared snapshot for export_mcap() and the live /api/scene path:
+    export components (sorted, pose-entity tagged), loaded schematics,
+    follow entity, geo frame map and validated anchors."""
     from .export import _is_private
 
-    out = Path(path)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    warnings: list[str] = []
-
-    # ---- snapshot components -------------------------------------------
     comps: list[_ExportComponent] = []
     for store in db.components.values():
         if store.len == 0:
@@ -2019,9 +2014,52 @@ def export_mcap(db, path: str, *, pattern: str | None = None,
         ))
     comps.sort(key=lambda c: c.name)
     comps_by_name = {c.name: c for c in comps}
-
-    # ---- schematics + msg logs -----------------------------------------
+    comp_names = set(comps_by_name)
     schs = _load_schematics(db)
+
+    follow_entity = None
+    for sch in schs.all():
+        for obj in sch.objects:
+            follow_entity = _entity_for_eql(obj.eql, comp_names)
+            if follow_entity is not None:
+                break
+        if follow_entity is not None:
+            break
+
+    geo_map: dict[str, str] = {}
+    for sch in schs.all():
+        for obj in sch.objects:
+            frame = obj.props.get("frame")
+            if str(frame) in ("NED", "ENU"):
+                entity = _entity_for_eql(obj.eql, comp_names)
+                if entity is not None:
+                    geo_map.setdefault(entity, str(frame))
+    coord = schs.primary.coordinate if schs.primary is not None else None
+    geo_anchors = (
+        _geo_frame_anchors(coord) if (coord is not None and geo_map) else None
+    )
+    return comps, comps_by_name, schs, follow_entity, geo_map, coord, geo_anchors
+
+
+def export_mcap(db, path: str, *, pattern: str | None = None,
+                include_private: bool = False, all_assets: bool = False,
+                epoch_offset_us: int | None = None, max_embed_mb: int = 32,
+                layout_path: str | None = None) -> int:
+    """Export a Database to a Foxglove-compatible MCAP file at ``path``
+    (export_mcap.rs:2276 run), plus ``<path minus .mcap>
+    .foxglove-layout.json`` when the active schematic has panels.
+
+    Returns the total message count written.  ``pattern`` is a
+    case-insensitive glob over component names; ``epoch_offset_us`` shifts
+    all timestamps (auto-rebase keeps pre-1970 data ordered instead of
+    clamping it, export_mcap.rs:2610-2641)."""
+    out = Path(path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    warnings: list[str] = []
+
+    # ---- snapshot components / schematics (shared with /api/scene) ------
+    (comps, comps_by_name, schs, follow_entity, geo_map, coord,
+     geo_anchors) = _scene_inputs(db, pattern, include_private)
     video_names: set[str] = set()
     for sch in schs.all():
         for panel in sch.all_panels():
@@ -2061,30 +2099,7 @@ def export_mcap(db, path: str, *, pattern: str | None = None,
     start_ns = _us_to_ns(start_us, offset_us)
 
     max_embed_bytes = int(max_embed_mb) * 1024 * 1024
-    comp_names = set(comps_by_name)
 
-    follow_entity = None
-    for sch in schs.all():
-        for obj in sch.objects:
-            follow_entity = _entity_for_eql(obj.eql, comp_names)
-            if follow_entity is not None:
-                break
-        if follow_entity is not None:
-            break
-
-    # ---- geo frames (schematic `coordinate` node) ----------------------
-    geo_map: dict[str, str] = {}
-    for sch in schs.all():
-        for obj in sch.objects:
-            frame = obj.props.get("frame")
-            if str(frame) in ("NED", "ENU"):
-                entity = _entity_for_eql(obj.eql, comp_names)
-                if entity is not None:
-                    geo_map.setdefault(entity, str(frame))
-    coord = schs.primary.coordinate if schs.primary is not None else None
-    geo_anchors = (
-        _geo_frame_anchors(coord) if (coord is not None and geo_map) else None
-    )
     tf_parents = {
         c.pose_entity: (
             geo_map.get(c.pose_entity, "world")
@@ -2285,58 +2300,20 @@ def export_mcap(db, path: str, *, pattern: str | None = None,
 def build_scene_json(db, ts_ns: int | None = None) -> dict:
     """Live scene snapshot: the same SceneUpdate entities the MCAP export
     writes (one per /scene topic), parsed to JSON for the webui's
-    ``/api/scene`` endpoint — model primitives/GLB references from
-    object_3d nodes, trajectory lines, static vector arrows, plus the
-    follow entity and dynamic-arrow descriptors so a live client can
-    animate them from ``/api/series``."""
-    from .export import _is_private
-
+    ``/api/scene`` endpoint — model primitives from object_3d nodes (GLBs
+    referenced by their /assets URL, never embedded), trajectory lines,
+    static vector arrows, the follow entity, and DYNAMIC-arrow descriptors
+    so a live client can animate them from ``/api/series``."""
     warnings: list[str] = []
-    comps: list[_ExportComponent] = []
-    for store in db.components.values():
-        if store.len == 0 or _is_private(store):
-            continue
-        name = store.name or f"{store.component_id:016x}"
-        pose_entity = None
-        if name.endswith(".world_pos") and store.elem_count == 7:
-            pose_entity = name[: -len(".world_pos")]
-        comps.append(_ExportComponent(
-            store=store, name=name, topic=_topic_for(name),
-            element_paths=_element_paths(store),
-            metadata=dict(store.metadata or {}), pose_entity=pose_entity,
-        ))
-    comps.sort(key=lambda c: c.name)
-    comps_by_name = {c.name: c for c in comps}
-    comp_names = set(comps_by_name)
-    schs = _load_schematics(db)
-
-    follow_entity = None
-    for sch in schs.all():
-        for obj in sch.objects:
-            follow_entity = _entity_for_eql(obj.eql, comp_names)
-            if follow_entity is not None:
-                break
-        if follow_entity is not None:
-            break
-
-    geo_map: dict[str, str] = {}
-    for sch in schs.all():
-        for obj in sch.objects:
-            frame = obj.props.get("frame")
-            if str(frame) in ("NED", "ENU"):
-                entity = _entity_for_eql(obj.eql, comp_names)
-                if entity is not None:
-                    geo_map.setdefault(entity, str(frame))
-    coord = schs.primary.coordinate if schs.primary is not None else None
-    geo_active = coord is not None and bool(geo_map)
+    (comps, comps_by_name, schs, follow_entity, _geo_map, _coord,
+     geo_anchors) = _scene_inputs(db)
+    geo_active = geo_anchors is not None
 
     if ts_ns is None:
         stops = [int(c.store.timestamps[c.store.len - 1]) for c in comps]
         ts_ns = _us_to_ns(max(stops) if stops else 0, 0)
-    # scene entities embed no assets in the live path: the webui serves
-    # GLBs over its own /assets route, so reference-only keeps it light
     scene_msgs, referenced = _build_scene(
-        schs, comps, comps_by_name, db, ts_ns, 0, follow_entity,
+        schs, comps, comps_by_name, db, ts_ns, None, follow_entity,
         geo_active, warnings,
     )
     entities = []
@@ -2345,10 +2322,13 @@ def build_scene_json(db, ts_ns: int | None = None) -> dict:
         for ent in update.get("entities", []):
             ent["topic"] = topic
             entities.append(ent)
+    # only DYNAMIC (EQL-backed) arrows: literal-vector arrows are already
+    # baked into the static scene entities above
     arrows = [
         {"vector": a.vector, "props": a.props}
         for sch in schs.all()
         for a in sch.arrows
+        if _literal_tuple(str(a.vector)) is None
     ]
     return {
         "entities": entities,

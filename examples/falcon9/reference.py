@@ -52,11 +52,11 @@ def _median_despike(ys, window: int = 5):
 
 def _smooth(ys, window: int = 5):
     half = window // 2
-    return [
-        sum(ys[max(0, i - half):min(len(ys), i + half + 1)])
-        / len(ys[max(0, i - half):min(len(ys), i + half + 1)])
-        for i in range(len(ys))
-    ]
+    out = []
+    for i in range(len(ys)):
+        lo, hi = max(0, i - half), min(len(ys), i + half + 1)
+        out.append(sum(ys[lo:hi]) / (hi - lo))
+    return out
 
 
 def load_profile(mission: str = "crs12", grid_dt: float = GRID_DT_S) -> dict:

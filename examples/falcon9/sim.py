@@ -109,7 +109,7 @@ LANDING_IGNITION_MARGIN = 1.05
 LANDING_SPOOL_CHARGE_S = 2.5  # spool-up distance charged against altitude
 BUCKET_Q_ON_PA = 30_000.0  # Max-Q throttle-bucket threshold
 BUCKET_THROTTLE = 0.80
-ASCENT_G_LIMIT = 34.0  # m/s^2 (~3.6 g) thrust-accel cap toward MECO
+ASCENT_G_LIMIT = 34.0  # m/s^2 (~3.5 g; the reference FSW caps at the same 34.0, main.rs:516)
 LANDING_KV_HIGH = 3.2  # hoverslam rate gain onto the suicide curve (1/s)
 LANDING_KV_LOW = 4.0  # tightened under 200 m for the <=2 m/s impact
 COMMIT_MISS_MAX_M = 25.0

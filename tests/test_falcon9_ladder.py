@@ -18,16 +18,23 @@ import pytest
 import elodin_tpu as el
 from elodin_tpu import frames
 
-EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
-sys.path.insert(0, os.path.join(EXAMPLES, "falcon9"))
+# load falcon9's constants under a prefixed module key (same convention as
+# test_falcon9._load) so the bare name 'constants' is never registered in
+# sys.modules for other suites to trip over
+import importlib.util as _ilu
 
-from constants import (  # noqa: E402
-    MU_EARTH_M3S2,
-    OMEGA_EARTH_RADPS,
-    PAD_LAT_DEG,
-    PAD_LON_DEG,
-    WGS84_A_M,
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+_spec = _ilu.spec_from_file_location(
+    "f9_constants", os.path.join(EXAMPLES, "falcon9", "constants.py")
 )
+_constants = _ilu.module_from_spec(_spec)
+sys.modules.setdefault("f9_constants", _constants)
+_spec.loader.exec_module(_constants)
+MU_EARTH_M3S2 = _constants.MU_EARTH_M3S2
+OMEGA_EARTH_RADPS = _constants.OMEGA_EARTH_RADPS
+PAD_LAT_DEG = _constants.PAD_LAT_DEG
+PAD_LON_DEG = _constants.PAD_LON_DEG
+WGS84_A_M = _constants.WGS84_A_M
 
 LAT = math.radians(PAD_LAT_DEG)
 LON = math.radians(PAD_LON_DEG)
