@@ -358,7 +358,10 @@ class Exec:
             if comp in self._host_writes:
                 return np.atleast_1d(self._host_writes[comp][row])
         with self._cols_lock:
-            return np.atleast_1d(np.asarray(self.cols[comp][row]))
+            # transfer the column then index on the host: jnp indexing
+            # dispatches a device computation per call (~0.4 ms), which
+            # dominated the UDP-lockstep tick budget
+            return np.atleast_1d(np.asarray(self.cols[comp])[row])
 
     def _apply_host_writes(self) -> None:
         with self._host_writes_lock:
