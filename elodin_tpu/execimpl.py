@@ -285,6 +285,10 @@ class Exec:
         # holds this lock from launch until self.cols is swapped to the
         # program's output, and every cross-thread self.cols read takes it.
         self._cols_lock = threading.Lock()
+        # read_component memo: (device array identity, host COPY) per comp —
+        # a column only changes when a batch rebinds it, so repeat reads
+        # between batches skip the d2h transfer entirely
+        self._col_read_cache: dict[str, tuple] = {}
         self._pump: _TelemetryPump | None = None
 
     # -- compilation -------------------------------------------------------
@@ -356,12 +360,23 @@ class Exec:
         comp, row = self._history.resolve(qualified)
         with self._host_writes_lock:
             if comp in self._host_writes:
-                return np.atleast_1d(self._host_writes[comp][row])
+                # copy: the pending-write buffer is shared with writer
+                # threads and must not alias into the caller
+                return np.atleast_1d(np.array(self._host_writes[comp][row]))
+        # transfer the column then index on the host: jnp indexing
+        # dispatches a device computation per call (~0.4 ms), which
+        # dominated the UDP-lockstep tick budget.  The memo holds a host
+        # COPY (np.asarray of a CPU-backend jax array can be a zero-copy
+        # view of a buffer the donated batch programs later recycle),
+        # keyed on the device array's identity so a batch rebinding the
+        # column invalidates it automatically.
         with self._cols_lock:
-            # transfer the column then index on the host: jnp indexing
-            # dispatches a device computation per call (~0.4 ms), which
-            # dominated the UDP-lockstep tick budget
-            return np.atleast_1d(np.asarray(self.cols[comp])[row])
+            cur = self.cols[comp]
+            cached = self._col_read_cache.get(comp)
+            if cached is None or cached[0] is not cur:
+                cached = (cur, np.array(cur))
+                self._col_read_cache[comp] = cached
+        return np.atleast_1d(np.array(cached[1][row]))
 
     def _apply_host_writes(self) -> None:
         with self._host_writes_lock:
