@@ -31,6 +31,9 @@ Fuel = ty.Annotated[jax.Array, el.Component("fuel", el.ComponentType.F64)]
 Throttle = ty.Annotated[jax.Array, el.Component("throttle", el.ComponentType.F64)]
 TGo = ty.Annotated[jax.Array, el.Component("t_go", el.ComponentType.F64)]
 Landed = ty.Annotated[jax.Array, el.Component("landed_vz", el.ComponentType.F64)]
+LandedVlat = ty.Annotated[
+    jax.Array, el.Component("landed_vlat", el.ComponentType.F64)
+]
 
 
 @el.dataclass
@@ -39,6 +42,7 @@ class Lander(el.Archetype):
     throttle: Throttle = field(default_factory=lambda: jnp.float64(0.0))
     t_go: TGo = field(default_factory=lambda: jnp.float64(110.0))
     landed_vz: Landed = field(default_factory=lambda: jnp.float64(0.0))
+    landed_vlat: LandedVlat = field(default_factory=lambda: jnp.float64(0.0))
 
 
 @el.map
@@ -66,11 +70,32 @@ def zem_zev_guidance(
     # terminal phase: below 300 m track a feasibility-limited velocity
     # funnel vz = -0.09 z (decel demand k^2 z stays under the lunar T/W)
     z = r[2]
-    vz_target = -jnp.maximum(1.0, 0.09 * z)
-    a_term = (
-        jnp.array([0.0, 0.0, 1.0]) * (G_MOON + 1.5 * (vz_target - v[2]))
-        - jnp.array([0.04, 0.04, 0.0]) * r  # close residual position error
-        - jnp.array([0.35, 0.35, 0.0]) * v  # and damp drift
+    # lateral-cleanup hold (the falcon9 lesson): while the horizontal
+    # offset is still large below 80 m, slow the funnel so the lateral
+    # loop finishes closing before the fade levels the lander — fuel is
+    # plentiful, time near the deck is the scarce resource
+    hold = jnp.clip(1.0 - (la.norm(r[:2]) - 3.0) / 40.0, 0.25, 1.0)
+    funnel_scale = jnp.where(z < 80.0, hold, 1.0)
+    vz_target = -jnp.maximum(1.0, 0.09 * z * funnel_scale)
+    # Position-chase fades out below ~60 m: a first-order chase of k_p*r
+    # commands v_lat ~ (k_p/k_d)*r all the way down and lands carrying it
+    # (the falcon9 lesson) — near the deck only the damping term remains,
+    # so lateral velocity decays to ~0 before the legs touch.  Vertical
+    # gets thrust PRIORITY: the lateral demand is clipped to the budget
+    # left after the sink-rate loop, otherwise a large residual offset
+    # saturates the engine sideways and the vehicle falls through the
+    # funnel.
+    k_pos = 0.10 * jnp.clip((z - 4.0) / 45.0, 0.0, 1.0)
+    a_vert = G_MOON + 1.5 * (vz_target - v[2])
+    a_max = MAX_THRUST / m
+    lat_budget = 0.9 * jnp.sqrt(
+        jnp.maximum(a_max**2 - a_vert**2, 1e-6)
+    )
+    a_lat = -k_pos * r[:2] - 0.5 * v[:2]
+    lat_mag = la.norm(a_lat)
+    a_lat = a_lat * jnp.minimum(1.0, lat_budget / jnp.maximum(lat_mag, 1e-9))
+    a_term = jnp.concatenate([a_lat, jnp.array([0.0])]) + (
+        jnp.array([0.0, 0.0, 1.0]) * a_vert
     )
     terminal = z < 400.0
     a_total = jnp.where(terminal, a_term, a_cmd)
@@ -99,10 +124,14 @@ def burn_fuel(throttle: Throttle, fuel: Fuel, inertia: el.Inertia) -> tuple[Fuel
 
 
 @el.map
-def ground(pos: el.WorldPos, vel: el.WorldVel, landed: Landed) -> tuple[el.WorldPos, el.WorldVel, Landed]:
+def ground(
+    pos: el.WorldPos, vel: el.WorldVel, landed: Landed, vlat: LandedVlat
+) -> tuple[el.WorldPos, el.WorldVel, Landed, LandedVlat]:
     z = pos.linear()[2]
     hit = z <= 0.0
-    landed2 = jnp.where(jnp.logical_and(hit, landed == 0.0), vel.linear()[2], landed)
+    first = jnp.logical_and(hit, landed == 0.0)
+    landed2 = jnp.where(first, vel.linear()[2], landed)
+    vlat2 = jnp.where(first, jnp.linalg.norm(vel.linear()[:2]), vlat)
     new_pos = el.SpatialTransform(
         angular=pos.angular(),
         linear=jnp.where(hit, pos.linear() * jnp.array([1.0, 1.0, 0.0]), pos.linear()),
@@ -111,7 +140,7 @@ def ground(pos: el.WorldPos, vel: el.WorldVel, landed: Landed) -> tuple[el.World
         angular=vel.angular(),
         linear=jnp.where(hit, jnp.zeros(3), vel.linear()),
     )
-    return new_pos, new_vel, landed2
+    return new_pos, new_vel, landed2, vlat2
 
 
 def build_world(offset=(-450.0, 200.0), altitude=2_000.0, vel0=(60.0, -15.0, -35.0)):
@@ -184,10 +213,14 @@ def run_dispersed(n_samples: int = 1024, seed: int = 0, ticks=int(180 * SIM_RATE
     )
     result = campaign.run(ticks)
     td = result.component("eagle.landed_vz")
+    vlat = result.component("eagle.landed_vlat")
     final = result.component("eagle.world_pos")[:, 4:]
     fuel = result.component("eagle.fuel")
     landed = td < 0.0
-    soft = np.logical_and(landed, td > -3.0)
+    # the reference's full envelope (sim.py:35-37 + propellant > 0):
+    # vertical <= 3, horizontal <= 1, fuel remaining; upright is trivially
+    # satisfied in this translation-only model
+    soft = landed & (td > -3.0) & (vlat < 1.0) & (fuel > 0.0)
     miss = np.linalg.norm(final[:, :2], axis=1)
     return {
         "n_samples": n,
