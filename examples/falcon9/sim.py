@@ -584,7 +584,16 @@ def guidance(
         # from the full cap at 25 m to 1 degree at the deck so the final
         # attitude stays inside the touchdown envelope while still holding
         # wind-drag drift (~0.15 m/s^2 needs ~0.7 deg).
-        a_damp = -LANDING_KLAT_POST * v_enu * (1.0 - up)
+        # gentle position recovery inside the same tilt budget (the
+        # apollo lesson): during the cleanup hold there is TIME, so a
+        # small pad-ward chase — faded out below 12 m like the chase
+        # gains everywhere else — claws back tens of meters of miss
+        # without exceeding the leveling envelope
+        k_pos_post = 0.05 * jnp.clip((h_e - 12.0) / 30.0, 0.0, 1.0)
+        a_damp = (
+            -LANDING_KLAT_POST * v_enu * (1.0 - up)
+            - k_pos_post * p_rel * (1.0 - up)
+        )
         damp_cap = jnp.maximum(
             jnp.tan(jnp.deg2rad(1.0)) * jnp.maximum(a_up, G0),
             max_lat * jnp.clip((h_e - 4.0) / 21.0, 0.0, 1.0),

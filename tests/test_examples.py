@@ -438,11 +438,12 @@ def test_falcon9_dispersed_campaign():
     assert out["landed_frac"] == 1.0
     # soft now means the FULL declared envelope (vz/vlat/tilt, batched.py)
     assert out["soft_landing_frac"] >= 0.9
-    # The lateral-cleanup hold deliberately trades precision for envelope
-    # compliance on hard-wind samples (land softly 100-300 m off rather
-    # than on-pad at 8 m/s sideways) — the tail gate reflects that choice.
-    assert out["p95_miss_m"] < 400.0
-    assert out["median_miss_m"] < 35.0
+    # The cleanup hold + budget-limited post-commit position recovery
+    # land softly AND close most of the miss; the tail gate allows the
+    # occasional hard-wind sample that lands ~100 m off (soft) instead
+    # of on-pad at 8 m/s sideways.
+    assert out["p95_miss_m"] < 150.0
+    assert out["median_miss_m"] < 25.0
 
 
 def test_covariance_ellipsoids_agree():
