@@ -75,7 +75,10 @@ def zem_zev_guidance(
     # loop finishes closing before the fade levels the lander — fuel is
     # plentiful, time near the deck is the scarce resource
     hold = jnp.clip(1.0 - (la.norm(r[:2]) - 3.0) / 40.0, 0.25, 1.0)
-    funnel_scale = jnp.where(z < 80.0, hold, 1.0)
+    # blend the hold in over 80->60 m: a hard step in vz_target saturates
+    # the engine vertically and collapses the lateral budget to ~0 for the
+    # catch-up second, exactly on the high-offset samples the hold saves
+    funnel_scale = 1.0 + (hold - 1.0) * jnp.clip((80.0 - z) / 20.0, 0.0, 1.0)
     vz_target = -jnp.maximum(1.0, 0.09 * z * funnel_scale)
     # Position-chase fades out below ~60 m: a first-order chase of k_p*r
     # commands v_lat ~ (k_p/k_d)*r all the way down and lands carrying it
@@ -94,9 +97,7 @@ def zem_zev_guidance(
     a_lat = -k_pos * r[:2] - 0.5 * v[:2]
     lat_mag = la.norm(a_lat)
     a_lat = a_lat * jnp.minimum(1.0, lat_budget / jnp.maximum(lat_mag, 1e-9))
-    a_term = jnp.concatenate([a_lat, jnp.array([0.0])]) + (
-        jnp.array([0.0, 0.0, 1.0]) * a_vert
-    )
+    a_term = jnp.concatenate([a_lat, a_vert[None]])
     terminal = z < 400.0
     a_total = jnp.where(terminal, a_term, a_cmd)
 
@@ -131,7 +132,7 @@ def ground(
     hit = z <= 0.0
     first = jnp.logical_and(hit, landed == 0.0)
     landed2 = jnp.where(first, vel.linear()[2], landed)
-    vlat2 = jnp.where(first, jnp.linalg.norm(vel.linear()[:2]), vlat)
+    vlat2 = jnp.where(first, la.norm(vel.linear()[:2]), vlat)
     new_pos = el.SpatialTransform(
         angular=pos.angular(),
         linear=jnp.where(hit, pos.linear() * jnp.array([1.0, 1.0, 0.0]), pos.linear()),

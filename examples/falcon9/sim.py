@@ -584,16 +584,7 @@ def guidance(
         # from the full cap at 25 m to 1 degree at the deck so the final
         # attitude stays inside the touchdown envelope while still holding
         # wind-drag drift (~0.15 m/s^2 needs ~0.7 deg).
-        # gentle position recovery inside the same tilt budget (the
-        # apollo lesson): during the cleanup hold there is TIME, so a
-        # small pad-ward chase — faded out below 12 m like the chase
-        # gains everywhere else — claws back tens of meters of miss
-        # without exceeding the leveling envelope
-        k_pos_post = 0.05 * jnp.clip((h_e - 12.0) / 30.0, 0.0, 1.0)
-        a_damp = (
-            -LANDING_KLAT_POST * v_enu * (1.0 - up)
-            - k_pos_post * p_rel * (1.0 - up)
-        )
+        a_damp = -LANDING_KLAT_POST * v_enu * (1.0 - up)
         damp_cap = jnp.maximum(
             jnp.tan(jnp.deg2rad(1.0)) * jnp.maximum(a_up, G0),
             max_lat * jnp.clip((h_e - 4.0) / 21.0, 0.0, 1.0),
@@ -606,6 +597,21 @@ def guidance(
         a_damp = a_damp * jnp.minimum(
             1.0, damp_cap / jnp.maximum(la.norm(a_damp), 1e-6)
         )
+        # Post-commit position recovery (the apollo lesson): a gentle
+        # pad-ward chase claws back the divert shortfall — but ONLY with
+        # the budget LEFT OVER after velocity damping, so a large miss can
+        # never dilute the lateral-velocity cleanup that keeps the
+        # touchdown inside the envelope.  Faded out below 12 m like every
+        # other chase gain.
+        k_pos_post = 0.05 * jnp.clip((h_e - 12.0) / 30.0, 0.0, 1.0)
+        chase_budget = jnp.sqrt(jnp.maximum(
+            damp_cap**2 - la.norm(a_damp) ** 2, 0.0
+        ))
+        a_chase = -k_pos_post * p_rel * (1.0 - up)
+        a_chase = a_chase * jnp.minimum(
+            1.0, chase_budget / jnp.maximum(la.norm(a_chase), 1e-6)
+        )
+        a_damp = a_damp + a_chase
         a_lat3 = jnp.where(committed, a_damp, a_lat3)
         lat_mag = la.norm(a_lat3)
         a_lat = a_lat3 * jnp.minimum(1.0, max_lat / jnp.maximum(lat_mag, 1e-6))
