@@ -39,6 +39,8 @@ filt = _local("filter")
 sn = _local("sensors")
 mekf = _local("mekf")
 motors = _local("motors")
+shaping = _local("shaping")
+params = _local("params")
 ctl = _local("control")
 
 SIMULATION_RATE = 300.0  # control rate; the plant substeps at 900 Hz
@@ -129,7 +131,7 @@ def build_system(noise: bool = True, flight_plan: bool = False) -> el.System:
     """FSW at the control rate, then 3 fast-loop substeps of plant+sensors,
     then the MEKF measurement update (reference sim.py:179-208)."""
     sensor_sys = sn.make_systems(filt, noise=noise)
-    fsw = ctl.make_systems(sn, mekf, motors)
+    fsw = ctl.make_systems(sn, mekf, motors, filt, shaping, params)
     effectors = gravity | drag | motors.wrench
     inner = (
         el.six_dof(FAST_DT, motors.response | effectors, integrator=el.Integrator.SemiImplicit)
