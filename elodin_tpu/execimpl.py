@@ -227,6 +227,72 @@ class _TelemetryPump:
                 self.q.task_done()
 
 
+class _LockstepSession:
+    """Compiled one-tick step for kHz-rate external lockstep.
+
+    Program shape: (state_cols [donated], command_cols) -> (new state, the
+    send components gathered into one flat f64 vector, optional emit stack).
+    The caller owns the command buffers (numpy, written in place between
+    ticks); the output vector is fetched with a single host transfer per
+    tick.  Parity anchor: the reference's native betaflight-SITL lockstep
+    (4-8 kHz, docs changelog / feature catalog §19)."""
+
+    def __init__(self, exec_: "Exec", send: list[str], recv: list[str]):
+        self.exec = exec_
+        self.send_specs = [exec_._history.resolve(q) for q in send]
+        self.recv_comps = tuple(
+            sorted({exec_._history.resolve(q)[0] for q in recv})
+        )
+        self.cmd_bufs: dict[str, np.ndarray] = {
+            c: np.array(exec_.cols[c]) for c in self.recv_comps
+        }
+        emit = exec_.record_history
+        step = exec_._step
+        send_specs = self.send_specs
+        recv_comps = self.recv_comps
+
+        def run1(cols, cmds):
+            cols = dict(cols)
+            for c in recv_comps:
+                cols[c] = cmds[c]
+            new = step(cols)
+            out = jnp.concatenate(
+                [jnp.ravel(new[c][row]).astype(jnp.float64) for c, row in send_specs]
+            )
+            if emit:
+                return new, out, jax.tree_util.tree_map(lambda x: x[None], new)
+            return new, out, None
+
+        t0 = time.perf_counter()
+        fn = jax.jit(run1, donate_argnums=0)
+        self._fn = fn.lower(exec_.cols, dict(self.cmd_bufs)).compile()
+        exec_.profiler.build_s += time.perf_counter() - t0
+
+    def peek(self) -> np.ndarray:
+        """Current (pre-step) values of the send components, packed."""
+        with self.exec._cols_lock:
+            return np.concatenate(
+                [
+                    np.ravel(np.asarray(self.exec.cols[c], dtype=np.float64)[row])
+                    for c, row in self.send_specs
+                ]
+            )
+
+    def tick(self) -> np.ndarray:
+        """Advance one tick with the current command buffers; returns the
+        packed post-step send vector."""
+        ex = self.exec
+        with ex._cols_lock:
+            final, out, stacked = self._fn(ex.cols, dict(self.cmd_bufs))
+            ex.cols = dict(final)
+        ex._tick += 1
+        ex.profiler.ticks += 1
+        if stacked is not None:
+            ts = np.asarray([ex._tick * ex.sim_time_step])
+            ex._ensure_pump().submit(ts, dict(stacked))
+        return np.asarray(out)
+
+
 class Exec:
     """Compiled world executor (libs/nox-py/src/exec.rs)."""
 
@@ -384,6 +450,19 @@ class Exec:
                 self.cols[comp] = jnp.asarray(buf)
             self._host_writes.clear()
 
+    def lockstep_session(self, send: list[str], recv: list[str]):
+        """One-tick fast path for external lockstep bridges (SITL co-sims).
+
+        The generic per-tick path pays a jnp.asarray dispatch per written
+        command column plus a d2h transfer per read component; at multi-kHz
+        lockstep rates that overhead IS the budget.  The session compiles a
+        single program taking the command columns as ARGUMENTS (donating the
+        state) and returning the requested telemetry values packed into one
+        flat f64 vector — one h2d and one d2h per tick, both inside the
+        compiled call.  Telemetry still pumps off-thread when history
+        recording is on."""
+        return _LockstepSession(self, send, recv)
+
     # -- running -------------------------------------------------------------
 
     def run(self, ticks: int = 1, show_progress: bool = True, is_canceled=None):
@@ -422,18 +501,7 @@ class Exec:
             ) * self.sim_time_step
             # hand the DEVICE arrays to the writer thread: the d2h copy,
             # history append, and DB commit all happen off the step loop
-            if self._pump is None:
-                self._pump = _TelemetryPump(
-                    self._history,
-                    lambda ts_us, cols: (
-                        self.on_commit_batch(ts_us, cols)
-                        if self.on_commit_batch is not None
-                        else None
-                    ),
-                    self.profiler,
-                )
-                self._pump.commit_hist = getattr(self, "commit_hist", None)
-            self._pump.submit(ts, dict(stacked))
+            self._ensure_pump().submit(ts, dict(stacked))
         else:
             with self._cols_lock:
                 final, _ = fn(self.cols)
@@ -443,6 +511,20 @@ class Exec:
             self.profiler.kernel_s += time.perf_counter() - t0
         self._tick += n * stride
         self.profiler.ticks += n * stride
+
+    def _ensure_pump(self) -> "_TelemetryPump":
+        if self._pump is None:
+            self._pump = _TelemetryPump(
+                self._history,
+                lambda ts_us, cols: (
+                    self.on_commit_batch(ts_us, cols)
+                    if self.on_commit_batch is not None
+                    else None
+                ),
+                self.profiler,
+            )
+            self._pump.commit_hist = getattr(self, "commit_hist", None)
+        return self._pump
 
     def flush_telemetry(self) -> None:
         """Block until every submitted telemetry batch has been copied to

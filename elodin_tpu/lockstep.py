@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import socket
 import struct
+import time as _time
 
 import numpy as np
 
@@ -26,13 +27,14 @@ class UdpLockstep:
     def __init__(self, exec_, send: list[str], recv: list[str],
                  state_port: int, command_port: int,
                  host: str = "127.0.0.1", timeout: float = 0.02,
-                 mode: str = "binary"):
+                 mode: str = "binary", sync_timeout: float = 30.0):
         self.exec = exec_
         self.send_names = list(send)
         self.recv_names = list(recv)
         self.host = host
         self.state_port = state_port
         self.timeout = timeout
+        self.sync_timeout = sync_timeout
         self.mode = mode
         self._state_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._cmd_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -129,6 +131,90 @@ class UdpLockstep:
                 vals = np.frombuffer(raw, dtype="<f8", count=count, offset=off)
                 off += count * 8
                 self._last_cmd[n] = vals.copy()
+
+    # -- pipelined fast path ------------------------------------------------
+
+    def run_pipelined(self, ticks: int) -> None:
+        """Drive ``ticks`` exchanges overlapping the controller round-trip
+        with the device step (one-tick actuator transport delay — how real
+        SITL links behave; parity: the reference's native 4-8 kHz betaflight
+        lockstep).
+
+        Timeline per tick t: send state(t) (the controller starts computing
+        its reply), step the device with the reply to state(t-1), then
+        collect reply(t) — which usually arrived while the device was busy.
+        Strict same-tick semantics (wait_for_write) stay on ``step()``.
+        """
+        if any(self.blocking.values()):
+            raise RuntimeError(
+                "wait_for_write components need same-tick replies; "
+                "use step(), not run_pipelined()"
+            )
+        session = getattr(self, "_session", None)
+        if session is None:
+            session = self._session = self.exec.lockstep_session(
+                self.send_names, self.recv_names
+            )
+        recv_rows = [self.exec._history.resolve(q) for q in self.recv_names]
+        out = session.peek()
+        sock_cmd = self._cmd_sock
+        sock_cmd.setblocking(True)
+        sock_cmd.settimeout(self.timeout)
+
+        def parse_into_bufs(raw: bytes) -> None:
+            off = 8
+            for comp, row in recv_rows:
+                buf = session.cmd_bufs[comp]
+                n = int(np.prod(buf.shape[1:], dtype=np.int64)) or 1
+                vals = np.frombuffer(raw, dtype="<f8", count=n, offset=off)
+                off += n * 8
+                buf[row] = vals.reshape(buf.shape[1:]).astype(buf.dtype)
+
+        # Link sync: the co-process may still be booting (a cold Python
+        # interpreter takes seconds on a loaded box) — ping tick 0 until the
+        # first reply instead of charging its startup as missed deadlines.
+        if not getattr(self, "_synced", False):
+            payload = struct.pack("<Q", 0) + out.tobytes()
+            deadline = _time.monotonic() + self.sync_timeout
+            sock_cmd.settimeout(0.1)
+            while True:
+                self._state_sock.sendto(payload, (self.host, self.state_port))
+                try:
+                    raw, _addr = sock_cmd.recvfrom(65536)
+                except (TimeoutError, socket.timeout):
+                    if _time.monotonic() > deadline:
+                        raise RuntimeError(
+                            "lockstep peer never answered the sync ping"
+                        ) from None
+                    continue
+                if len(raw) >= 8:
+                    parse_into_bufs(raw)
+                    self._synced = True
+                    break
+            sock_cmd.settimeout(self.timeout)
+
+        for tick in range(1, ticks + 1):
+            self._state_sock.sendto(
+                struct.pack("<Q", tick) + out.tobytes(),
+                (self.host, self.state_port),
+            )
+            out = session.tick()
+            # reply(t) should have landed during the device step
+            got = False
+            while not got:
+                try:
+                    raw, _addr = sock_cmd.recvfrom(65536)
+                except (TimeoutError, socket.timeout):
+                    self.missed += 1
+                    break
+                if len(raw) < 8:
+                    continue
+                echoed = int(np.frombuffer(raw[:8], dtype="<u8")[0])
+                if echoed < tick:
+                    self.stale = getattr(self, "stale", 0) + 1
+                    continue  # late reply from an earlier tick: drop, rewait
+                parse_into_bufs(raw)
+                got = True
 
     def as_post_step(self):
         def post_step(tick: int, _ctx) -> None:

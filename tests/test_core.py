@@ -670,6 +670,83 @@ def test_udp_lockstep_bridge():
     assert x >= 4.0, f"lockstep commands not applied: x={x}"
 
 
+def test_lockstep_session_and_pipelined_bridge():
+    """The compiled lockstep fast path: session ticks match the generic
+    write_component+run path, and run_pipelined applies replies with
+    exactly one tick of actuator transport delay."""
+    import socket
+    import struct
+    import threading
+
+    Ctrl = ty.Annotated[
+        jax.Array,
+        el.Component("ctrl", el.ComponentType.F64,
+                     metadata={"external_control": "true"}),
+    ]
+
+    @el.map
+    def apply_ctrl(x: X, c: Ctrl) -> X:
+        return x + c
+
+    @dataclass
+    class T(el.Archetype):
+        x: X
+        ctrl: Ctrl
+
+    def fresh():
+        w = el.World()
+        w.spawn(T(numpy.float64(0.0), numpy.float64(0.0)), "v")
+        return w.build(apply_ctrl)
+
+    # session semantics == generic path semantics for the same commands
+    ex_a, ex_b = fresh(), fresh()
+    session = ex_a.lockstep_session(["v.x"], ["v.ctrl"])
+    for k in range(4):
+        cmd = float(k + 1)
+        session.cmd_bufs["ctrl"][0] = cmd
+        out = session.tick()
+        ex_b.write_component("v.ctrl", cmd)
+        ex_b.run(1, show_progress=False)
+        want = float(numpy.asarray(ex_b.cols["x"])[0])
+        assert abs(float(out[0]) - want) < 1e-12, (k, out, want)
+    assert ex_a.tick() == 4
+
+    # pipelined bridge: reply(t) rides into step t+1
+    from elodin_tpu.lockstep import UdpLockstep
+
+    ex = fresh()
+    state_port, cmd_port = 19311, 19312
+    bridge = UdpLockstep(
+        ex, send=["v.x"], recv=["v.ctrl"],
+        state_port=state_port, command_port=cmd_port, timeout=0.5,
+    )
+    ctrl_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    ctrl_sock.bind(("127.0.0.1", state_port))
+    ctrl_sock.settimeout(10.0)
+    seen = []
+
+    def controller():
+        # sync ping (tick 0) + 4 pipelined ticks
+        while True:
+            raw, _ = ctrl_sock.recvfrom(65536)
+            (tick,), x = struct.unpack_from("<Q", raw), struct.unpack_from("<d", raw, 8)[0]
+            seen.append((tick[0] if isinstance(tick, tuple) else tick, x))
+            ctrl_sock.sendto(struct.pack("<Qd", seen[-1][0], 10.0), ("127.0.0.1", cmd_port))
+            if seen[-1][0] >= 4:
+                return
+
+    t = threading.Thread(target=controller, daemon=True)
+    t.start()
+    bridge.run_pipelined(4)
+    t.join(timeout=10)
+    bridge.close()
+    ctrl_sock.close()
+    x = float(numpy.asarray(ex.cols["x"])[0])
+    # sync reply (10.0) lands before tick 1, so all 4 ticks add 10.0
+    assert abs(x - 40.0) < 1e-12, x
+    assert bridge.missed == 0
+
+
 def test_pairwise_gravity_kernel_interpret():
     """Tiled pallas all-pairs gravity vs the dense reference (interpret
     mode on the CPU mesh; the same kernel compiles on TPU)."""
