@@ -870,8 +870,10 @@ async function poll3d() {
       if (windowUs != null) params.set("start_us", String(stop - windowUs));
       return fetch("/api/series?" + params).then(r => r.json());
     });
-    if (view3d !== me) return;  // closed (or reopened) while fetching
-    view3d.data = (await Promise.all(reqs)).filter(d => d.t.length);
+    const results = await Promise.all(reqs);
+    if (view3d !== me) return;  // closed (or reopened) while fetching:
+                                // never write stale data into a new panel
+    me.data = results.filter(d => d.t.length);
     renderLegend3d();
     draw3d();
   } catch (e) { /* retry next poll */ }
