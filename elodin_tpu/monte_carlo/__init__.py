@@ -175,6 +175,7 @@ def result(**kwargs) -> None:
 
 from .batched import BatchedCampaign, run_batched, write_artifacts  # noqa: E402,F401
 from .campaign import run_campaign  # noqa: E402,F401
+from .calibrate import Calibrator, narrow_variables, rank_runs  # noqa: E402,F401
 
 __all__ = [
     "Param",
@@ -193,4 +194,7 @@ __all__ = [
     "run_batched",
     "write_artifacts",
     "run_campaign",
+    "Calibrator",
+    "rank_runs",
+    "narrow_variables",
 ]
