@@ -246,7 +246,9 @@ class _LockstepSession:
         self.cmd_bufs: dict[str, np.ndarray] = {
             c: np.array(exec_.cols[c]) for c in self.recv_comps
         }
-        emit = exec_.record_history
+        # record_history is compiled into the program; callers check .emit
+        # against exec.record_history and rebuild the session on mismatch
+        self.emit = emit = exec_.record_history
         step = exec_._step
         send_specs = self.send_specs
         recv_comps = self.recv_comps
@@ -283,6 +285,11 @@ class _LockstepSession:
         packed post-step send vector."""
         ex = self.exec
         with ex._cols_lock:
+            # flush pending write_component calls first: the compiled fn
+            # donates ex.cols, so a stale full-column snapshot left in
+            # _host_writes would otherwise be applied by the NEXT generic
+            # run() and silently revert every session-advanced value
+            ex._apply_host_writes()
             final, out, stacked = self._fn(ex.cols, dict(self.cmd_bufs))
             ex.cols = dict(final)
         ex._tick += 1
@@ -460,7 +467,11 @@ class Exec:
         state) and returning the requested telemetry values packed into one
         flat f64 vector — one h2d and one d2h per tick, both inside the
         compiled call.  Telemetry still pumps off-thread when history
-        recording is on."""
+        recording is on.
+
+        ``record_history`` is frozen into the compiled program at session
+        creation (exposed as ``session.emit``); toggle it on the exec and
+        create a new session to change telemetry behavior."""
         return _LockstepSession(self, send, recv)
 
     # -- running -------------------------------------------------------------

@@ -151,7 +151,9 @@ class UdpLockstep:
                 "use step(), not run_pipelined()"
             )
         session = getattr(self, "_session", None)
-        if session is None:
+        if session is None or session.emit != self.exec.record_history:
+            # record_history is frozen into the compiled session program;
+            # rebuild when the exec-level knob was toggled since creation
             session = self._session = self.exec.lockstep_session(
                 self.send_names, self.recv_names
             )
@@ -160,6 +162,15 @@ class UdpLockstep:
         sock_cmd = self._cmd_sock
         sock_cmd.setblocking(True)
         sock_cmd.settimeout(self.timeout)
+
+        # expected command-packet length: echoed tick + every recv value.
+        # UDP is unauthenticated and unreliable — a runt or stray datagram
+        # must be dropped, never handed to np.frombuffer (same guard as
+        # _parse's `len(raw) < need`).
+        need = 8 + sum(
+            (int(np.prod(session.cmd_bufs[comp].shape[1:], dtype=np.int64)) or 1) * 8
+            for comp, _row in recv_rows
+        )
 
         def parse_into_bufs(raw: bytes) -> None:
             off = 8
@@ -187,17 +198,25 @@ class UdpLockstep:
                             "lockstep peer never answered the sync ping"
                         ) from None
                     continue
-                if len(raw) >= 8:
+                if len(raw) >= need:
                     parse_into_bufs(raw)
                     self._synced = True
                     break
+                if len(raw) >= 8:
+                    self.stale = getattr(self, "stale", 0) + 1
             sock_cmd.settimeout(self.timeout)
 
-        for tick in range(1, ticks + 1):
+        # the wire tick persists across run_pipelined calls: restarting at 1
+        # would let a late reply from the previous call (echoed tick up to
+        # its final value) pass the `echoed < tick` stale filter, and the
+        # peer would see the tick sequence go backwards
+        start = getattr(self, "_wire_tick", 0)
+        for tick in range(start + 1, start + ticks + 1):
             self._state_sock.sendto(
                 struct.pack("<Q", tick) + out.tobytes(),
                 (self.host, self.state_port),
             )
+            self._wire_tick = tick
             out = session.tick()
             # reply(t) should have landed during the device step
             got = False
@@ -213,6 +232,9 @@ class UdpLockstep:
                 if echoed < tick:
                     self.stale = getattr(self, "stale", 0) + 1
                     continue  # late reply from an earlier tick: drop, rewait
+                if len(raw) < need:
+                    self.stale = getattr(self, "stale", 0) + 1
+                    continue  # runt with a current tick: drop, rewait
                 parse_into_bufs(raw)
                 got = True
 

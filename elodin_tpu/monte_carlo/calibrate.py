@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import csv
 import json
+import math
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable
@@ -44,9 +45,12 @@ def _score_of(row: dict, score: str) -> float | None:
     if raw in (None, ""):
         return None
     try:
-        return float(raw)
+        value = float(raw)
     except (TypeError, ValueError):
         return None
+    # NaN keys make list.sort() produce an arbitrary order — a NaN-scored
+    # run could rank "best" and become the narrowing center
+    return value if math.isfinite(value) else None
 
 
 def load_runs(out_dir: str | Path, score: str) -> list[tuple[str, float, dict]]:

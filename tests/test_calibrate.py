@@ -35,6 +35,20 @@ def test_load_runs_ranks_and_skips_invalid(tmp_path):
     assert runs[0][2] == {"k": 2.0}
 
 
+def test_load_runs_drops_non_finite_scores(tmp_path):
+    """NaN/inf scores must be treated like missing ones: sorting with NaN
+    keys produces an arbitrary order and a NaN run could rank 'best' and
+    become the narrowing center."""
+    _fake_campaign(tmp_path, [
+        {"run_id": "r0", "param.k": 1.0, "result.fit": "nan", "valid": "True"},
+        {"run_id": "r1", "param.k": 2.0, "result.fit": 3.0, "valid": "True"},
+        {"run_id": "r2", "param.k": 3.0, "result.fit": "inf", "valid": "True"},
+        {"run_id": "r3", "param.k": 4.0, "result.fit": 1.0, "valid": "True"},
+    ])
+    runs = load_runs(tmp_path, "fit")
+    assert [r[0] for r in runs] == ["r3", "r1"]
+
+
 def test_narrow_spec_round_trip(tmp_path):
     import tomllib
 

@@ -747,6 +747,111 @@ def test_lockstep_session_and_pipelined_bridge():
     assert bridge.missed == 0
 
 
+def test_lockstep_pipelined_runt_packets_and_wire_tick():
+    """Adversarial peer: runt datagrams (>=8 bytes but shorter than the
+    command payload) must be dropped, not crash run_pipelined; and the wire
+    tick must continue across run_pipelined calls so late replies from a
+    previous call can't pass the stale filter."""
+    import socket
+    import struct
+    import threading
+
+    Ctrl = ty.Annotated[
+        jax.Array,
+        el.Component("ctrl", el.ComponentType.F64,
+                     metadata={"external_control": "true"}),
+    ]
+
+    @el.map
+    def apply_ctrl(x: X, c: Ctrl) -> X:
+        return x + c
+
+    @dataclass
+    class T(el.Archetype):
+        x: X
+        ctrl: Ctrl
+
+    w = el.World()
+    w.spawn(T(numpy.float64(0.0), numpy.float64(0.0)), "v")
+    ex = w.build(apply_ctrl)
+
+    from elodin_tpu.lockstep import UdpLockstep
+
+    state_port, cmd_port = 19321, 19322
+    bridge = UdpLockstep(
+        ex, send=["v.x"], recv=["v.ctrl"],
+        state_port=state_port, command_port=cmd_port, timeout=0.5,
+    )
+    ctrl_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    ctrl_sock.bind(("127.0.0.1", state_port))
+    ctrl_sock.settimeout(10.0)
+    ticks_seen = []
+
+    def controller(stop_at):
+        while True:
+            raw, _ = ctrl_sock.recvfrom(65536)
+            (tick,) = struct.unpack_from("<Q", raw)
+            ticks_seen.append(tick)
+            # runt first (tick only, missing the payload) — must be dropped
+            ctrl_sock.sendto(struct.pack("<Q", tick), ("127.0.0.1", cmd_port))
+            ctrl_sock.sendto(struct.pack("<Qd", tick, 1.0), ("127.0.0.1", cmd_port))
+            if tick >= stop_at:
+                return
+
+    t = threading.Thread(target=controller, args=(3,), daemon=True)
+    t.start()
+    bridge.run_pipelined(3)
+    t.join(timeout=10)
+    assert bridge.missed == 0
+    assert getattr(bridge, "stale", 0) >= 3  # one runt per tick, all dropped
+
+    # second call: wire ticks continue from 4, not restart at 1
+    t = threading.Thread(target=controller, args=(6,), daemon=True)
+    t.start()
+    bridge.run_pipelined(3)
+    t.join(timeout=10)
+    bridge.close()
+    ctrl_sock.close()
+    data_ticks = [tk for tk in ticks_seen if tk > 0]
+    assert data_ticks == [1, 2, 3, 4, 5, 6], data_ticks
+
+
+def test_lockstep_session_applies_pending_host_writes():
+    """write_component calls made before session ticks must be applied by
+    the session (and must NOT be replayed by a later generic run(), which
+    would revert session-advanced state)."""
+    Ctrl = ty.Annotated[
+        jax.Array,
+        el.Component("ctrl", el.ComponentType.F64,
+                     metadata={"external_control": "true"}),
+    ]
+
+    @el.map
+    def apply_ctrl(x: X, c: Ctrl) -> X:
+        return x + c
+
+    @dataclass
+    class T(el.Archetype):
+        x: X
+        ctrl: Ctrl
+
+    w = el.World()
+    w.spawn(T(numpy.float64(5.0), numpy.float64(0.0)), "v")
+    ex = w.build(apply_ctrl)
+    ex.write_component("v.x", 100.0)  # pending host write, never run()
+    session = ex.lockstep_session(["v.x"], ["v.ctrl"])
+    session.cmd_bufs["ctrl"][0] = 1.0
+    out = session.tick()
+    assert abs(float(out[0]) - 101.0) < 1e-12, out  # write applied pre-step
+    session.cmd_bufs["ctrl"][0] = 0.0
+    session.tick()
+    ex.run(1, show_progress=False)  # must not revert to the stale snapshot
+    assert abs(float(numpy.asarray(ex.cols["x"])[0]) - 101.0) < 1e-12
+
+    # toggling record_history is honored by rebuilding (emit marker exposed)
+    assert session.emit == ex.record_history
+
+
 def test_pairwise_gravity_kernel_interpret():
     """Tiled pallas all-pairs gravity vs the dense reference (interpret
     mode on the CPU mesh; the same kernel compiles on TPU)."""
