@@ -216,7 +216,10 @@ _R_PAD_SURFACE = float(np.linalg.norm(_PAD_ECEF)) - PAD_ALT_M
 
 
 def to_enu(r_ecef):
-    d = r_ecef - jnp.asarray(_PAD_ECEF)
+    # el.const_pin: the 6.4e6-magnitude pad anchor must not be folded into
+    # the axon TPU's lossy fused-add path inside the tick loop (the fuser
+    # drops the f64 constant's low limb — elodin_tpu/ops/precise.py)
+    d = r_ecef - el.const_pin(_PAD_ECEF)
     return jnp.stack(
         [jnp.asarray(_E_HAT) @ d, jnp.asarray(_N_HAT) @ d, jnp.asarray(_U_HAT) @ d]
     )
@@ -1194,7 +1197,9 @@ def contact(
     # pad + cg·û every tick, otherwise the a·dt² residual of each
     # zero-velocity tick accumulates ~0.1-0.3 m of pad penetration over
     # the 2-3 s spool-up and biases the early-ascent altitude datum
-    pad_cg = jnp.asarray(_PAD_ECEF) + cg * jnp.asarray(_U_HAT)
+    # el.const_pin: without it the axon TPU fuser drops the pad anchor's
+    # f64 low limb inside the tick loop (0.2 m datum error — precise.py)
+    pad_cg = el.const_pin(_PAD_ECEF) + cg * jnp.asarray(_U_HAT)
     lin_out = jnp.where(hold, pad_cg, pos.linear())
     # post-touchdown: pin the vertical so the landed booster doesn't keep
     # sinking g*dt^2 per zero-velocity tick (~0.1 m/s of deck penetration
