@@ -1,7 +1,23 @@
 """Headline benchmark: batched 6-dof entity throughput on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+The LAST line printed is ONE merged JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Un-losable by construction (the round-3 bench timed out and captured
+NOTHING — BENCH_r03.json rc=124):
+
+* after EVERY stage the merged-so-far result is flushed as its own JSON
+  line, so a timeout or device fault still leaves the most recent snapshot
+  in the output tail;
+* a global wall-clock budget (``BENCH_BUDGET_S``, default 520 s) is checked
+  before each stage against its projected cost — stages that do not fit are
+  recorded as ``<stage>_skipped`` with the projection, mirroring the
+  reference's terminating machine-readable ``bench`` subcommand
+  (libs/nox-py/src/world_builder.rs:92-119);
+* long stages (RTF sweep, 100k MC, falcon9 campaigns, lockstep) run in
+  subprocesses with their own timeouts, so a wedged/faulted axon tunnel
+  kills the stage, not the process (a faulted TPU stays UNAVAILABLE for the
+  rest of the process — observed in round 3).
 
 Baseline: the reference's best single-process throughput, derived from its CI
 RTF numbers — three-body at RTF 3079.6 and 120 Hz = ~1.1M entity-steps/s
@@ -14,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,6 +41,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _plat = os.environ.get("JAX_PLATFORMS", "")
 if _plat and "cpu" not in _plat.split(","):
     os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+
+# import the framework BEFORE any jax backend init: the axon plugin ignores
+# the JAX_PLATFORMS env var, and only elodin_tpu._config's explicit
+# jax.config.update honors it — without this, a `--stage` subprocess pinned
+# to JAX_PLATFORMS=cpu would silently measure on the TPU
+import elodin_tpu  # noqa: E402,F401
 
 BASELINE_ENTITY_STEPS = 1.1e6  # three-body derived, BASELINE.md
 
@@ -49,24 +72,14 @@ def _bench_entity_steps_inner(n_bodies: int, ticks: int, dtype: str) -> dict:
     from elodin_tpu.six_dof import increment_sim_tick_system
     from elodin_tpu.system import Pipe, SystemBuilder, as_system
 
+    from elodin_tpu import _config
+
     world, system = build_batched_sixdof(n_bodies)
     meta, cols = world.snapshot()
-    if dtype == "f32":
-        cols = {
-            k: v.astype("float32") if v.dtype.kind == "f" else v
-            for k, v in cols.items()
-        }
-    elif dtype == "mixed":
-        # per-component policy: integrator state stays f64, everything the
-        # effector pipeline owns drops to f32 (SURVEY 7e)
-        cols = {
-            k: (
-                v
-                if k in ("world_pos", "world_vel") or v.dtype.kind != "f"
-                else v.astype("float32")
-            )
-            for k, v in cols.items()
-        }
+    # metadata-driven per-component policy (SURVEY 7e): the active policy
+    # supplies the default mapping (f32: everything; mixed: integrator
+    # state stays f64) and per-component precision= declarations override
+    cols = _config.apply_float_policy(meta, cols)
     full = Pipe(increment_sim_tick_system, as_system(system))
 
     def step(state):
@@ -93,24 +106,76 @@ def _bench_entity_steps_inner(n_bodies: int, ticks: int, dtype: str) -> dict:
     wall = time.perf_counter() - t0
 
     assert np.isfinite(pos).all(), "non-finite state after bench"
-    return {
+    out = {
         "entity_steps_per_sec": n_bodies * ticks / wall,
         "wall_s": wall,
         "n_bodies": n_bodies,
         "ticks": ticks,
     }
+    if dtype in ("f64", "f32"):
+        state_bytes = sum(int(v.nbytes) for v in state.values())
+        out.update(_cost_fields(fn, wall, f"sixdof_{dtype}", trips=ticks,
+                                state_bytes=state_bytes))
+    return out
 
 
-def main() -> None:
+# -- roofline peaks (TPU v5e / "v5 lite") -------------------------------------
+# HBM bandwidth and MXU peak from the public v5e spec sheet; the VPU f32
+# peak is the elementwise (non-matmul) ceiling: ~4 ALU ops x (8,128) lanes
+# x ~0.94 GHz.  The 6DOF pipeline and the pairwise sweep are elementwise
+# (no matmuls), so the VPU and HBM lines are the relevant roofs; f64 is
+# software-emulated on TPU and has no hardware peak.
+V5E_PEAK_HBM_GBPS = 819.0
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_F32_VPU_TFLOPS = 3.9
+
+
+def _cost_fields(compiled, wall_s: float, prefix: str, trips: int = 1,
+                 state_bytes: int | None = None) -> dict:
+    """Achieved-FLOP/s / HBM-roofline fields from XLA cost analysis of a
+    compiled program (reference analog: the FLOP/HLO analysis of
+    `bench --profile`, libs/cranelift-mlir/PERFORMANCE.md:1-50).
+
+    ``trips``: XLA's cost model counts a while/fori/scan body ONCE, so the
+    caller passes the trip count to scale flops to the whole run.
+    ``state_bytes``: size of the loop-carried state; 2x (read+write) per
+    trip is the MINIMAL HBM traffic — the honest roofline denominator
+    (cost-analysis "bytes accessed" counts logical pre-fusion bytes and
+    overstates real traffic ~20x)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) * trips
+    except Exception:  # noqa: BLE001
+        flops = 0.0
+    out = {}
+    if flops > 0:
+        gflops = flops / wall_s / 1e9
+        out[f"{prefix}_achieved_gflops"] = round(gflops, 1)
+        out[f"{prefix}_vpu_f32_util"] = round(
+            gflops / (V5E_PEAK_F32_VPU_TFLOPS * 1e3), 4
+        )
+    if state_bytes:
+        gbps = 2.0 * state_bytes * trips / wall_s / 1e9
+        out[f"{prefix}_min_hbm_gbps"] = round(gbps, 1)
+        out[f"{prefix}_hbm_util"] = round(gbps / V5E_PEAK_HBM_GBPS, 4)
+    return out
+
+
+# -- stage implementations -----------------------------------------------------
+# Each returns a flat dict merged into the final line.  Long/faulty stages
+# run in subprocesses (SUBPROC set) with `python bench.py --stage <name>`.
+
+
+def stage_value() -> dict:
     import jax
 
     n_bodies = int(os.environ.get("BENCH_BODIES", "8192"))
     ticks = int(os.environ.get("BENCH_TICKS", "1000"))
-
     f64 = bench_entity_steps(n_bodies, ticks, "f64")
     value = f64["entity_steps_per_sec"]
-
-    result = {
+    out = {
         "metric": "entity_steps_per_sec_batched_6dof_rk4_f64",
         "value": round(value, 1),
         "unit": "entity-steps/s",
@@ -120,166 +185,270 @@ def main() -> None:
         "wall_s": round(f64["wall_s"], 4),
         "device": str(jax.devices()[0]),
     }
+    out.update({k: v for k, v in f64.items() if k.startswith("sixdof_f64_")})
+    return out
 
-    if os.environ.get("BENCH_F32", "1") != "0":
-        try:
-            f32 = bench_entity_steps(
-                int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks, "f32"
-            )
-            result["f32_entity_steps_per_sec"] = round(
-                f32["entity_steps_per_sec"], 1
-            )
-            result["f32_vs_baseline"] = round(
-                f32["entity_steps_per_sec"] / BASELINE_ENTITY_STEPS, 3
-            )
-        except Exception as e:  # noqa: BLE001
-            result["f32_error"] = str(e)
 
-    if os.environ.get("BENCH_MIXED", "1") != "0":
-        try:
-            mx = bench_mixed(
-                int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks
-            )
-            result["mixed_entity_steps_per_sec"] = round(
-                mx["entity_steps_per_sec"], 1
-            )
-            result["mixed_vs_cpu_max_rel"] = float(
-                f"{mx['mixed_vs_cpu_max_rel']:.3g}"
-            )
-        except Exception as e:  # noqa: BLE001
-            result["mixed_error"] = str(e)
+def stage_verify() -> dict:
+    return bench_verify()
 
-    if os.environ.get("BENCH_MC", "1") != "0":
-        try:
-            mc = bench_monte_carlo()
-            result["mc_rollouts_per_sec"] = round(mc["rollouts_per_s"], 1)
-            result["mc_10k_wall_s"] = round(mc["wall_s"], 4)
-            result["mc_soft_landing_frac"] = mc["soft_landing_frac"]
-        except Exception as e:  # noqa: BLE001
-            result["mc_error"] = str(e)
-        try:
-            # the reference's headline scale claim is "up to 100,000
-            # simultaneous simulations" (cloud, process-per-sample); here
-            # that is one vmapped program on one chip
-            mc100 = bench_monte_carlo(100_000)
-            result["mc_100k_wall_s"] = round(mc100["wall_s"], 4)
-            result["mc_100k_soft_landing_frac"] = mc100["soft_landing_frac"]
-        except Exception as e:  # noqa: BLE001
-            result["mc_100k_error"] = str(e)
 
-    f9_share_wall = None
-    if os.environ.get("BENCH_F9", "1") != "0":
-        try:
-            # 1250 samples = the per-chip share of the BASELINE.json
-            # "10k falcon9 < 60 s on v5e-8" config; full missions (58k
-            # ticks each).
-            f9 = bench_falcon9(int(os.environ.get("BENCH_F9_SAMPLES", "1250")))
-            f9_share_wall = f9["wall_s"]
-            result["falcon9_rollouts_per_sec"] = round(f9["rollouts_per_s"], 1)
-            result["falcon9_10k_share_wall_s"] = round(f9["wall_s"], 4)
-            result["falcon9_samples"] = f9["n_samples"]
-            # soft = the FULL declared touchdown envelope (vz/vlat/tilt)
-            result["falcon9_soft_frac"] = f9["soft_landing_frac"]
-            result["falcon9_precision_frac"] = f9["precision_landing_frac"]
-            result["falcon9_median_miss_m"] = f9["median_miss_m"]
-        except Exception as e:  # noqa: BLE001
-            result["falcon9_error"] = str(e)
+def stage_f32() -> dict:
+    ticks = int(os.environ.get("BENCH_TICKS", "1000"))
+    f32 = bench_entity_steps(
+        int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks, "f32"
+    )
+    out = {
+        "f32_entity_steps_per_sec": round(f32["entity_steps_per_sec"], 1),
+        "f32_vs_baseline": round(
+            f32["entity_steps_per_sec"] / BASELINE_ENTITY_STEPS, 3
+        ),
+    }
+    out.update({k: v for k, v in f32.items() if k.startswith("sixdof_f32_")})
+    return out
 
-    if os.environ.get("BENCH_EGM", "1") != "0":
-        try:
-            eg = bench_egm08()
-            result["egm08_deg64_evals_per_sec"] = round(eg["evals_per_s"], 1)
-            result["egm08_field"] = eg["field_provenance"]
-        except Exception as e:  # noqa: BLE001
-            result["egm08_error"] = str(e)
 
-    if os.environ.get("BENCH_ROCKET", "1") != "0":
-        try:
-            rk = bench_batched_rocket()
-            result["rocket_entity_steps_per_sec"] = round(rk["entity_steps_per_sec"], 1)
-            result["rocket_vs_baseline"] = round(
-                rk["entity_steps_per_sec"] / 4.5e3, 1  # BASELINE.md rocket row
-            )
-        except Exception as e:  # noqa: BLE001
-            result["rocket_error"] = str(e)
+def stage_mixed() -> dict:
+    ticks = int(os.environ.get("BENCH_TICKS", "1000"))
+    mx = bench_mixed(int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks)
+    return {
+        "mixed_entity_steps_per_sec": round(mx["entity_steps_per_sec"], 1),
+        "mixed_vs_cpu_max_rel": float(f"{mx['mixed_vs_cpu_max_rel']:.3g}"),
+    }
 
-    if os.environ.get("BENCH_NBODY", "1") != "0":
-        try:
-            nb = bench_nbody(int(os.environ.get("BENCH_NBODY_BODIES", "16384")))
-            result["nbody_pairs_per_sec"] = round(nb["pairs_per_sec"], 1)
-            result["nbody_bodies"] = nb["n_bodies"]
-            nb_ef = bench_nbody(n_bodies=4096, ticks=50, use_kernel=False,
-                                dtype="f64")
-            result["nbody_edgefold4096_entity_steps_per_sec"] = round(
-                nb_ef["entity_steps_per_sec"], 1
-            )
-        except Exception as e:  # noqa: BLE001
-            result["nbody_error"] = str(e)
 
-    if os.environ.get("BENCH_DIFF", "1") != "0":
-        try:
-            df = bench_diff_rollout()
-            result["diff_grad_rollout_ms"] = round(df["grad_ms"], 3)
-            result["diff_grad_ticks"] = df["ticks"]
-        except Exception as e:  # noqa: BLE001
-            result["diff_error"] = str(e)
+def stage_f9() -> dict:
+    # 1250 samples = the per-chip share of the BASELINE.json "10k falcon9
+    # < 60 s on v5e-8" config; full missions (58k ticks each).
+    f9 = bench_falcon9(int(os.environ.get("BENCH_F9_SAMPLES", "1250")))
+    return {
+        "falcon9_rollouts_per_sec": round(f9["rollouts_per_s"], 1),
+        "falcon9_10k_share_wall_s": round(f9["wall_s"], 4),
+        "falcon9_samples": f9["n_samples"],
+        # soft = the FULL declared touchdown envelope (vz/vlat/tilt)
+        "falcon9_soft_frac": f9["soft_landing_frac"],
+        "falcon9_precision_frac": f9["precision_landing_frac"],
+        "falcon9_median_miss_m": f9["median_miss_m"],
+    }
 
-    if os.environ.get("BENCH_RTF", "1") != "0":
-        result.update(bench_rtf())
 
-    if os.environ.get("BENCH_VERIFY", "1") != "0":
-        try:
-            result.update(bench_verify())
-        except Exception as e:  # noqa: BLE001
-            result["verify_error"] = str(e)
+def stage_mc() -> dict:
+    mc = bench_monte_carlo()
+    return {
+        "mc_rollouts_per_sec": round(mc["rollouts_per_s"], 1),
+        "mc_10k_wall_s": round(mc["wall_s"], 4),
+        "mc_soft_landing_frac": mc["soft_landing_frac"],
+    }
 
-    # The real single-chip 10k falcon9 run goes LAST: it is the longest
-    # single workload, and a device/tunnel fault during it must not poison
-    # the other metrics (a faulted TPU stays UNAVAILABLE for the rest of
-    # the process — observed when this stage ran mid-bench).
-    if os.environ.get("BENCH_F9_10K", "1") != "0":
-        # BASELINE.json target is <60 s on a v5e-8 POD; one chip carries 8x
-        # the share.  Guarded by a budget projection from the 1250-sample
-        # share run.
-        budget_s = float(os.environ.get("BENCH_F9_10K_BUDGET_S", "1800"))
-        if f9_share_wall is None:
-            # No 1250-sample proxy to project from (BENCH_F9=0 or it
-            # failed): don't start an unguarded 10k-sample campaign.
-            result["falcon9_10k_skipped"] = (
+
+def stage_mc_100k() -> dict:
+    # the reference's headline scale claim is "up to 100,000 simultaneous
+    # simulations" (cloud, process-per-sample); here that is one vmapped
+    # program on one chip
+    mc100 = bench_monte_carlo(100_000)
+    return {
+        "mc_100k_wall_s": round(mc100["wall_s"], 4),
+        "mc_100k_soft_landing_frac": mc100["soft_landing_frac"],
+    }
+
+
+def stage_rtf() -> dict:
+    return bench_rtf()
+
+
+def stage_lockstep() -> dict:
+    return bench_lockstep()
+
+
+def stage_egm08() -> dict:
+    eg = bench_egm08()
+    out = {
+        "egm08_deg64_evals_per_sec": round(eg["evals_per_s"], 1),
+        "egm08_field": eg["field_provenance"],
+    }
+    out.update({k: v for k, v in eg.items() if k.startswith("egm08_achieved")
+                or k.startswith("egm08_hbm") or k.startswith("egm08_vpu")})
+    return out
+
+
+def stage_rocket() -> dict:
+    rk = bench_batched_rocket()
+    return {
+        "rocket_entity_steps_per_sec": round(rk["entity_steps_per_sec"], 1),
+        "rocket_vs_baseline": round(
+            rk["entity_steps_per_sec"] / 4.5e3, 1  # BASELINE.md rocket row
+        ),
+    }
+
+
+def stage_nbody() -> dict:
+    nb = bench_nbody(int(os.environ.get("BENCH_NBODY_BODIES", "16384")))
+    out = {
+        "nbody_pairs_per_sec": round(nb["pairs_per_sec"], 1),
+        "nbody_bodies": nb["n_bodies"],
+    }
+    out.update({k: v for k, v in nb.items() if k.startswith("pairwise_")})
+    nb_ef = bench_nbody(n_bodies=4096, ticks=50, use_kernel=False, dtype="f64")
+    out["nbody_edgefold4096_entity_steps_per_sec"] = round(
+        nb_ef["entity_steps_per_sec"], 1
+    )
+    return out
+
+
+def stage_diff() -> dict:
+    df = bench_diff_rollout()
+    return {
+        "diff_grad_rollout_ms": round(df["grad_ms"], 3),
+        "diff_grad_ticks": df["ticks"],
+    }
+
+
+def stage_f9_10k() -> dict:
+    """The real single-chip 10k falcon9 campaign (BASELINE.json: <60 s on a
+    v5e-8 pod; one chip carries the 8x share).  Runs LAST — longest single
+    workload — and only when the share-run projection fits the remaining
+    budget (set by the parent via BENCH_F9_SHARE_WALL)."""
+    share_wall = float(os.environ.get("BENCH_F9_SHARE_WALL", "0") or 0)
+    if share_wall <= 0:
+        return {
+            "falcon9_10k_skipped":
                 "no share-run projection available; skipping unguarded 10k run"
-            )
-        elif f9_share_wall * 8.0 > budget_s:
-            result["falcon9_10k_skipped"] = (
-                f"projected {f9_share_wall * 8.0:.0f}s exceeds {budget_s:.0f}s budget"
-            )
-        else:
-            # Bound each device launch to ~LAUNCH_S seconds: 8x the sample
-            # count at the default 20k-tick segments means ~3 min launches,
-            # which trips the tunnel watchdog and faults the device.
-            launch_s = float(os.environ.get("BENCH_F9_LAUNCH_S", "30"))
-            seg = max(500, int(58000 * launch_s / (f9_share_wall * 8.0)))
-            prev_seg = os.environ.get("ELODIN_MC_SEGMENT_TICKS")
-            os.environ["ELODIN_MC_SEGMENT_TICKS"] = str(seg)
-            try:
-                f9k = bench_falcon9(10000)
-                result["falcon9_10k_wall_s"] = round(f9k["wall_s"], 1)
-                result["falcon9_10k_soft_frac"] = f9k["soft_landing_frac"]
-                result["falcon9_10k_segment_ticks"] = seg
-            except Exception as e:  # noqa: BLE001
-                result["falcon9_10k_error"] = str(e)
-            finally:
-                if prev_seg is None:
-                    os.environ.pop("ELODIN_MC_SEGMENT_TICKS", None)
-                else:
-                    os.environ["ELODIN_MC_SEGMENT_TICKS"] = prev_seg
+        }
+    # Bound each device launch to ~LAUNCH_S seconds: 8x the sample count at
+    # the default 20k-tick segments means ~3 min launches, which trips the
+    # tunnel watchdog and faults the device.
+    launch_s = float(os.environ.get("BENCH_F9_LAUNCH_S", "30"))
+    seg = max(500, int(58000 * launch_s / (share_wall * 8.0)))
+    os.environ["ELODIN_MC_SEGMENT_TICKS"] = str(seg)
+    f9k = bench_falcon9(10000)
+    return {
+        "falcon9_10k_wall_s": round(f9k["wall_s"], 1),
+        "falcon9_10k_soft_frac": f9k["soft_landing_frac"],
+        "falcon9_10k_segment_ticks": seg,
+    }
 
+
+def stage_hbm() -> dict:
+    import jax
+
+    stats = jax.devices()[0].memory_stats() or {}
+    if "peak_bytes_in_use" in stats:
+        return {"hbm_peak_mb": round(stats["peak_bytes_in_use"] / 2**20, 1)}
+    return {}
+
+
+# (name, env gate, projected cost seconds, run in subprocess, extra env).
+# Projections are measured-warm-cache costs on the axon v5e with headroom;
+# the budget check uses them, the merged line records actuals per stage.
+STAGES: list[tuple] = [
+    ("value", "BENCH_VALUE", 60, False, None),
+    ("verify", "BENCH_VERIFY", 90, False, None),
+    ("f32", "BENCH_F32", 30, False, None),
+    ("mixed", "BENCH_MIXED", 60, False, None),
+    ("f9", "BENCH_F9", 130, True, None),
+    ("mc", "BENCH_MC", 30, False, None),
+    ("mc_100k", "BENCH_MC", 40, True, None),
+    ("rtf", "BENCH_RTF", 150, True, None),
+    ("lockstep", "BENCH_LOCKSTEP", 60, True, None),
+    ("lockstep_cpu", "BENCH_LOCKSTEP", 45, True, {"JAX_PLATFORMS": "cpu"}),
+    ("egm08", "BENCH_EGM", 40, False, None),
+    ("rocket", "BENCH_ROCKET", 40, False, None),
+    ("nbody", "BENCH_NBODY", 60, False, None),
+    ("diff", "BENCH_DIFF", 40, False, None),
+    ("hbm", "BENCH_HBM", 2, False, None),
+    ("f9_10k", "BENCH_F9_10K", None, True, None),  # projected from f9 share
+]
+
+STAGE_FNS = {
+    "value": stage_value, "verify": stage_verify, "f32": stage_f32,
+    "mixed": stage_mixed, "f9": stage_f9, "mc": stage_mc,
+    "mc_100k": stage_mc_100k, "rtf": stage_rtf, "lockstep": stage_lockstep,
+    "lockstep_cpu": stage_lockstep,
+    "egm08": stage_egm08, "rocket": stage_rocket, "nbody": stage_nbody,
+    "diff": stage_diff, "hbm": stage_hbm, "f9_10k": stage_f9_10k,
+}
+
+
+def _run_subprocess_stage(name: str, timeout_s: float, extra_env) -> dict:
+    env = dict(os.environ)
+    env.update(extra_env or {})
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stage", name],
+        capture_output=True, text=True, timeout=timeout_s, env=env,
+    )
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        tail = (proc.stderr or proc.stdout or "")[-300:]
+        raise RuntimeError(f"stage produced no JSON (rc={proc.returncode}): {tail}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "520"))
+    t0 = time.monotonic()
+    result: dict = {}
+    stages_done: list[str] = []
+
+    def remaining() -> float:
+        return budget_s - (time.monotonic() - t0)
+
+    def snapshot() -> None:
+        line = dict(result)
+        line["bench_elapsed_s"] = round(time.monotonic() - t0, 1)
+        line["bench_budget_s"] = budget_s
+        line["bench_stages"] = ",".join(stages_done)
+        print(json.dumps(line), flush=True)
+
+    for name, gate, est, in_subproc, extra_env in STAGES:
+        if os.environ.get(gate, "1") == "0":
+            continue
+        if name == "f9_10k":
+            share = result.get("falcon9_10k_share_wall_s")
+            est = share * 8.0 + 30 if share else None
+            if est is None:
+                result["falcon9_10k_skipped"] = (
+                    "no share-run projection available; "
+                    "skipping unguarded 10k run"
+                )
+                continue
+            extra_env = {"BENCH_F9_SHARE_WALL": str(share)}
+        if est is not None and est > remaining():
+            result[f"{name}_skipped"] = (
+                f"projected {est:.0f}s exceeds remaining "
+                f"{max(remaining(), 0):.0f}s of {budget_s:.0f}s budget"
+            )
+            snapshot()
+            continue
+        t_stage = time.monotonic()
+        try:
+            if in_subproc:
+                timeout_s = max(min((est or 60) * 3, remaining()), 10)
+                out = _run_subprocess_stage(name, timeout_s, extra_env)
+            else:
+                out = STAGE_FNS[name]()
+            result.update(out)
+            stages_done.append(name)
+        except subprocess.TimeoutExpired:
+            result[f"{name}_error"] = (
+                f"stage subprocess timed out after "
+                f"{time.monotonic() - t_stage:.0f}s"
+            )
+        except Exception as e:  # noqa: BLE001
+            result[f"{name}_error"] = str(e)[:300]
+        result[f"bench_{name}_s"] = round(time.monotonic() - t_stage, 1)
+        snapshot()
+
+    # final merged line LAST (the driver parses the tail)
+    result["bench_elapsed_s"] = round(time.monotonic() - t0, 1)
+    result["bench_budget_s"] = budget_s
+    result["bench_stages"] = ",".join(stages_done)
     try:
-        stats = jax.devices()[0].memory_stats() or {}
-        if "peak_bytes_in_use" in stats:
-            result["hbm_peak_mb"] = round(stats["peak_bytes_in_use"] / 2**20, 1)
+        os.makedirs("bench_out", exist_ok=True)
+        with open("bench_out/latest.json", "w") as f:
+            json.dump(result, f, indent=1)
     except Exception:  # noqa: BLE001
         pass
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 def _load_example(example: str, module: str):
@@ -314,57 +483,28 @@ def _load_example(example: str, module: str):
 def bench_mixed(n_bodies: int, ticks: int) -> dict:
     """Mixed-precision batched 6DOF: throughput plus its own TPU-vs-CPU
     trajectory gate (the SAME mixed program on both backends; the diff is
-    platform reassociation only, so the 1e-6 bar applies unchanged)."""
-    import jax
-    import numpy as np
+    platform reassociation only, so the 1e-6 bar applies unchanged).
 
-    out = bench_entity_steps(n_bodies, ticks, "mixed")
-
-    # verify on a small config: one mixed program, two backends
+    The gate runs on the FULL falcon9 mission sim — sensors, Mach-table
+    aero, RCS, guidance — not a toy: a mixed-policy effector-pipeline f32
+    pathology (catastrophic cancellation, table-interp precision loss)
+    shows up here or nowhere."""
     import elodin_tpu as el
     from elodin_tpu import _config
+    from elodin_tpu.verify import verify_trajectory
+
+    out = bench_entity_steps(n_bodies, ticks, "mixed")
 
     prev = _config._FLOAT_POLICY
     el.set_float_policy("mixed")
     try:
-        from elodin_tpu.models import build_batched_sixdof
-        from elodin_tpu.six_dof import increment_sim_tick_system
-        from elodin_tpu.system import Pipe, SystemBuilder, as_system
-
-        world, system = build_batched_sixdof(256)
-        meta, cols = world.snapshot()
-        cols = {
-            k: (
-                v
-                if k in ("world_pos", "world_vel") or v.dtype.kind != "f"
-                else v.astype("float32")
-            )
-            for k, v in cols.items()
-        }
-        full = Pipe(increment_sim_tick_system, as_system(system))
-
-        def step(state):
-            b = SystemBuilder(meta, dict(state))
-            full.call(b)
-            return b.cols
-
-        def run(state):
-            return jax.lax.fori_loop(0, 100, lambda _i, st: step(st), state)
-
-        def final_pos(device):
-            import jax.numpy as jnp
-
-            with jax.default_device(device):
-                state = {k: jnp.asarray(v) for k, v in cols.items()}
-                res = jax.jit(run)(state)
-                return np.asarray(res["world_pos"], dtype=np.float64)
-
-        tpu_pos = final_pos(jax.devices()[0])
-        cpu_pos = final_pos(jax.devices("cpu")[0])
-        scale = np.maximum(np.abs(cpu_pos), 1.0)
-        rel = float((np.abs(tpu_pos - cpu_pos) / scale).max())
+        f9 = _load_example("falcon9", "sim")
+        world, system = f9.build(None)
+        rep = verify_trajectory(world, system, ticks=100,
+                                simulation_rate=f9.SIM_RATE_HZ)
+        rel = rep["_summary"]["metric_rel"]
         out["mixed_vs_cpu_max_rel"] = rel
-        assert rel <= 1e-6, f"mixed TPU-vs-CPU mismatch: {rel}"
+        assert rel <= 1e-6, f"mixed TPU-vs-CPU falcon9 mismatch: {rel}"
     finally:
         el.set_float_policy(prev)
     return out
@@ -487,13 +627,49 @@ def bench_rtf() -> dict:
     return out
 
 
+def _const_fusion_canary() -> dict:
+    """Probe the axon-TPU emulated-f64 fusion bug (ops/precise.py): inside a
+    while loop, BIG_CONST + carry_scalar*CONST_VEC drops the constant's low
+    limb.  Reports the raw hazard magnitude (diagnostic — nonzero until the
+    platform fixes it) and asserts the const_pin workaround holds."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from elodin_tpu.ops.precise import const_pin
+
+    pad = jnp.asarray(
+        np.array([914824.9116658824, -5528602.179950087, 3035884.2983255223])
+    )
+    uhat = jnp.asarray(np.array([0.14, -0.86, 0.49]))
+
+    def diff(body):
+        loop = jax.jit(
+            lambda c: jax.lax.fori_loop(0, 1, lambda _i, x: body(x), c)
+        )
+        init = jnp.zeros((1, 3), jnp.float64)
+        a = np.asarray(loop(init))
+        b = np.asarray(jax.jit(body)(init))
+        return float(np.abs(a - b).max())
+
+    raw = diff(lambda c: pad[None] + (20.0 + 0.001 * c[:, :1]) * uhat[None])
+    pinned = diff(
+        lambda c: const_pin(pad)[None] + (20.0 + 0.001 * c[:, :1]) * uhat[None]
+    )
+    assert pinned < 1e-9, f"const_pin workaround broken: {pinned}"
+    return {
+        "f64_const_fusion_hazard_m": float(f"{raw:.3g}"),
+        "f64_const_fusion_pinned_m": float(f"{pinned:.3g}"),
+    }
+
+
 def bench_verify(ticks: int = 100) -> dict:
     """Prove the 1e-6 TPU-vs-CPU trajectory match on the BASELINE.json named
     configs (three-body, rocket, falcon9) — the cranelift checkpoint-verifier
     gate (libs/nox-py/src/cranelift_compile.rs:70-85) run on every bench."""
     from elodin_tpu.verify import verify_trajectory
 
-    out = {}
+    out = _const_fusion_canary()
     worst = 0.0
 
     tb = _load_example("three-body", "main")
@@ -637,13 +813,25 @@ def bench_nbody(n_bodies: int = 8192, ticks: int = 100,
     pos = np.asarray(state["world_pos"])
     wall = time.perf_counter() - t0
     assert np.isfinite(pos).all(), "non-finite n-body state"
-    return {
+    out = {
         "pairs_per_sec": n_bodies * n_bodies * ticks / wall,
         "entity_steps_per_sec": n_bodies * ticks / wall,
         "wall_s": wall,
         "n_bodies": n_bodies,
         "ticks": ticks,
     }
+    if use_kernel:
+        # XLA cost analysis cannot see inside the Pallas kernel body, so
+        # compute the sweep's FLOPs analytically: ~22 VPU ops per (i,j)
+        # pair per RK4-free tick (dx,dy,dz, r2=3 mul+3 add, rsqrt+2 mul,
+        # masked mul-add x3) — the count behind the r3 "VPU-bound" finding.
+        flops = 22.0 * n_bodies * n_bodies * ticks
+        gflops = flops / wall / 1e9
+        out["pairwise_achieved_gflops"] = round(gflops, 1)
+        out["pairwise_vpu_f32_util"] = round(
+            gflops / (V5E_PEAK_F32_VPU_TFLOPS * 1e3), 4
+        )
+    return out
 
 
 def bench_egm08(degree: int = 64, n: int = 65536) -> dict:
@@ -697,12 +885,35 @@ def bench_egm08(degree: int = 64, n: int = 65536) -> dict:
     _ = np.asarray(many_c(r))  # warm + true sync
     t0 = time.perf_counter()
     _ = np.asarray(many_c(r))
-    dt = (time.perf_counter() - t0) / reps
-    return {
+    wall = time.perf_counter() - t0
+    dt = wall / reps
+    out = {
         "evals_per_s": n / dt,
         "degree": degree,
         "n": n,
         "field_provenance": eg.field_provenance,
+    }
+    out.update(_cost_fields(many_c, wall / reps, "egm08"))
+    return out
+
+
+def bench_lockstep(ticks: int | None = None) -> dict:
+    """UDP-pipelined SITL lockstep rate against a REAL external controller
+    process (examples/betaflight-sitl), labeled with the device backend.
+    Reference claim being matched: native betaflight lockstep 4-8 kHz
+    (BASELINE.md scale claims).  Per-tick h2d+d2h through the axon tunnel
+    has a large fixed latency, so the TPU-resident number is structurally
+    lower than the CPU-resident one — docs/GUIDE.md documents the
+    deployment split (TPU for batched campaigns, CPU backend for SITL)."""
+    import jax
+
+    backend = jax.default_backend()
+    ticks = ticks or (4000 if backend == "cpu" else 400)
+    mod = _load_example("betaflight-sitl", "main")
+    rate = mod.run(ticks)
+    return {
+        f"lockstep_hz_{backend}": round(rate, 1),
+        f"lockstep_ticks_{backend}": ticks,
     }
 
 
@@ -720,4 +931,8 @@ def bench_monte_carlo(n: int = 10000, ticks: int = 2400) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        # subprocess-isolation entry: run ONE stage, print its JSON line
+        print(json.dumps(STAGE_FNS[sys.argv[2]]()), flush=True)
+    else:
+        main()

@@ -55,6 +55,52 @@ def set_float_policy(policy: str) -> None:
     _FLOAT_POLICY = policy
 
 
+# Components whose columns stay f64 under the 'mixed' policy DEFAULT
+# mapping: the integrator state (trajectory accumulation does not tolerate
+# f32) and the time step (an f32 dt puts a 6e-8 relative bias on EVERY
+# increment; SURVEY §7e).  Per-component ``precision=`` declarations
+# override.
+_MIXED_KEEP_F64 = ("world_pos", "world_vel", "simulation_time_step")
+
+
+def column_dtype(name: str, metadata: dict | None, declared):
+    """The dtype a FLOAT column should carry under the active policy.
+
+    Per-component ``Component(..., precision="f64"|"f32")`` declarations win
+    over the global policy; the policy supplies the default mapping
+    (SURVEY §7e): 'f64' keeps the declared dtype, 'f32' downcasts
+    everything, 'mixed' keeps the integrator state (world_pos/world_vel)
+    f64 and downcasts the rest."""
+    import jax.numpy as jnp
+
+    prec = (metadata or {}).get("precision")
+    if prec == "f64":
+        return jnp.float64
+    if prec == "f32":
+        return jnp.float32
+    if _FLOAT_POLICY == "f32":
+        return jnp.float32
+    if _FLOAT_POLICY == "mixed":
+        return jnp.float64 if name in _MIXED_KEEP_F64 else jnp.float32
+    return declared
+
+
+def apply_float_policy(meta, cols: dict) -> dict:
+    """Cast a column dict per the active policy + per-component metadata.
+    Non-float columns pass through untouched."""
+    import numpy as np
+
+    out = {}
+    for name, v in cols.items():
+        if np.dtype(v.dtype).kind != "f":
+            out[name] = v
+            continue
+        comp = meta.components.get(name)
+        dt = column_dtype(name, comp.metadata if comp else None, v.dtype)
+        out[name] = v if v.dtype == dt else v.astype(dt)
+    return out
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache (repeat `python sim.py run` builds
     drop from seconds to ~ms).  Default on; ELODIN_XLA_CACHE=0 disables,

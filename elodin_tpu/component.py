@@ -124,13 +124,21 @@ class Component:
     """Component descriptor used inside ``typing.Annotated`` metadata
     (libs/nox-py/src/component.rs:42-166)."""
 
-    def __init__(self, name: str, ty: ComponentType | None = None, metadata: dict | None = None):
+    def __init__(self, name: str, ty: ComponentType | None = None,
+                 metadata: dict | None = None, precision: str | None = None):
         self.name = name
         self.ty = ty
         self.metadata = {
             k: (v if isinstance(v, str) else _stringify(v))
             for k, v in (metadata or {}).items()
         }
+        if precision is not None:
+            # per-component float policy override (SURVEY §7e): this column
+            # keeps the declared precision under EVERY global float policy
+            # (e.g. precision="f64" survives set_float_policy("mixed"))
+            if precision not in ("f64", "f32"):
+                raise ValueError("precision must be 'f64' or 'f32'")
+            self.metadata["precision"] = precision
 
     def __repr__(self):
         return f"Component({self.name!r}, {self.ty!r})"

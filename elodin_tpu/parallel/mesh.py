@@ -15,20 +15,62 @@ small worlds) stay replicated; XLA inserts the broadcasts.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None,
+                   local_device_count: int | None = None) -> None:
+    """Join a multi-host (DCN) mesh via ``jax.distributed.initialize``.
+
+    Args fall back to the ``ELODIN_COORDINATOR`` / ``ELODIN_NUM_PROCESSES``
+    / ``ELODIN_PROCESS_ID`` env vars (and to jax's own cluster
+    auto-detection on TPU pods, where ``initialize()`` needs no args).
+    Idempotent: a second call is a no-op.  After it returns,
+    ``jax.devices()`` is the GLOBAL device list and ``make_mesh`` builds a
+    mesh spanning hosts — lay dp over DCN and ep over ICI (SCALING.md).
+    """
+    # idempotency check must not touch jax.process_count(): that would
+    # initialize the XLA backend, after which initialize() refuses to run
+    if jax.distributed.is_initialized():
+        return
+    coordinator_address = coordinator_address or os.environ.get(
+        "ELODIN_COORDINATOR"
+    )
+    if num_processes is None and os.environ.get("ELODIN_NUM_PROCESSES"):
+        num_processes = int(os.environ["ELODIN_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("ELODIN_PROCESS_ID"):
+        process_id = int(os.environ["ELODIN_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=(
+            list(range(local_device_count)) if local_device_count else None
+        ),
+    )
+
+
 def make_mesh(n_devices: int | None = None, dp: int | None = None,
               ep: int | None = None) -> Mesh:
+    """Build a (dp, ep) device mesh.
+
+    Default is dp-only (``ep=1``): sample parallelism is collective-free
+    and always load-balanced, while an unrequested entity slice silently
+    wastes half the mesh whenever the entity count doesn't divide it
+    (rows replicate and the ep dimension idles).  Pass ``ep=`` explicitly
+    when the per-sample world is large enough to shard.
+    """
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = np.asarray(devices[:n])
     if dp is None and ep is None:
-        # favor sample parallelism; give entities a 2-way slice when possible
-        ep = 2 if n % 2 == 0 and n >= 4 else 1
-        dp = n // ep
+        dp, ep = n, 1
     elif dp is None:
         dp = n // ep
     elif ep is None:
@@ -59,13 +101,26 @@ def entity_sharding(mesh: Mesh, rows: int, ndim: int,
     return NamedSharding(mesh, spec)
 
 
+def put_global(sharding: NamedSharding, arr) -> jax.Array:
+    """Place a GLOBAL (host-replicated) array onto a sharding that may span
+    processes.  Single-process this is a plain device_put; multi-host each
+    process materializes only its addressable shards (the callback slices
+    the global array per shard index)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def shard_cols(mesh: Mesh, cols: dict, sample_axis: bool = False) -> dict:
     """Place a column dict onto the mesh with per-column shardings."""
     out = {}
     for name, v in cols.items():
         rows = v.shape[1] if sample_axis else v.shape[0]
         s = entity_sharding(mesh, rows, v.ndim, sample_axis)
-        out[name] = jax.device_put(v, s)
+        out[name] = put_global(s, v)
     return out
 
 

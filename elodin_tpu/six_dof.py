@@ -110,11 +110,22 @@ class _SixDofSystem(System):
         if dt32 is None:
             self._pipe.call(builder)
             return
+        # per-component policy override: precision="f64" components are
+        # exempt from the mixed-policy downcast (SURVEY §7e)
+        comps = getattr(builder.world, "components", {})
+        keep64 = {
+            k for k, c in comps.items()
+            if c.metadata.get("precision") == "f64"
+        }
         saved = dict(builder.cols)
         cast = {}
         for k, v in saved.items():
             arr = jnp.asarray(v)
-            cast[k] = arr.astype(dt32) if arr.dtype == jnp.float64 else arr
+            cast[k] = (
+                arr.astype(dt32)
+                if arr.dtype == jnp.float64 and k not in keep64
+                else arr
+            )
         builder.cols = dict(cast)
         self._pipe.call(builder)
         out = builder.cols
@@ -123,6 +134,11 @@ class _SixDofSystem(System):
             # pipe only read (identity check) — effector OUTPUTS stay f32
             if k in (WORLD_POS, WORLD_VEL) or out.get(k) is cast.get(k):
                 out[k] = v
+        for k in keep64:
+            # a declared-f64 column the pipe WROTE keeps its new value but
+            # must come back up to f64 (its f32 operands may have demoted it)
+            if k in out and out[k].dtype != jnp.float64:
+                out[k] = out[k].astype(jnp.float64)
 
     def _semi_implicit(self, builder: SystemBuilder) -> None:
         """v' = v + dt*a; x' = x ⊕ dt*v'  (symplectic Euler,

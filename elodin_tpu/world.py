@@ -280,4 +280,12 @@ class WorldBuilder:
     def snapshot(self) -> tuple[WorldMeta, dict[str, np.ndarray]]:
         meta = WorldMeta(self)
         cols = {n: c.stacked() for n, c in self.columns.items()}
+        # Materialize columns at their policy dtype HERE so every consumer
+        # (build/verify/diff/bench) carries loop-stable dtypes: under the
+        # 'mixed' policy effector outputs come back f32, and a scan whose
+        # carry entered f64 would fail to typecheck.  Per-component
+        # precision= metadata overrides the global mapping (SURVEY 7e).
+        from . import _config
+
+        cols = _config.apply_float_policy(meta, cols)
         return meta, cols

@@ -1573,15 +1573,9 @@ def test_mixed_float_policy_sixdof():
         try:
             world, system = build_batched_sixdof(64)
             meta, cols = world.snapshot()
-            if policy == "mixed":
-                cols = {
-                    k: (
-                        v
-                        if k in ("world_pos", "world_vel") or v.dtype.kind != "f"
-                        else v.astype("float32")
-                    )
-                    for k, v in cols.items()
-                }
+            # the metadata-driven policy application (replaces the old
+            # name-keyed cast list; SURVEY 7e)
+            cols = _config.apply_float_policy(meta, cols)
             full = Pipe(increment_sim_tick_system, as_system(system))
             state = {k: jnp.asarray(v) for k, v in cols.items()}
             for _ in range(ticks):
@@ -1603,6 +1597,99 @@ def test_mixed_float_policy_sixdof():
     p_f = np.asarray(full64["world_pos"])[:, 4:]
     rel = np.abs(p_m - p_f).max() / np.abs(p_f).max()
     assert rel < 1e-5, rel
+
+
+def test_per_component_precision_overrides_policy():
+    """SURVEY 7e: a user component declared precision="f64" survives the
+    'mixed' (and 'f32') global policy — both in apply_float_policy's column
+    casting and through the six-dof effector pipe's downcast boundary."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import elodin_tpu as el
+    from elodin_tpu import _config
+
+    Sense64 = ty.Annotated[
+        jax.Array,
+        el.Component("sense64", el.ComponentType.F64, precision="f64"),
+    ]
+    SenseDef = ty.Annotated[
+        jax.Array, el.Component("sense_def", el.ComponentType.F64)
+    ]
+
+    @dataclass
+    class Payload(el.Archetype):
+        sense64: Sense64
+        sense_def: SenseDef
+
+    seen = {}
+
+    @el.map
+    def probe(f: el.Force, a: Sense64, b: SenseDef) -> el.Force:
+        # trace-time dtype capture inside the effector pipe
+        seen["sense64"] = a.dtype
+        seen["sense_def"] = b.dtype
+        return el.SpatialForce(linear=jnp.array([1.0, 0.0, 0.0], a.dtype))
+
+    prev = _config._FLOAT_POLICY
+    el.set_float_policy("mixed")
+    try:
+        w = el.World()
+        w.spawn(
+            [
+                el.Body(
+                    world_pos=el.SpatialTransform(linear=np.zeros(3)),
+                    inertia=el.SpatialInertia(1.0),
+                ),
+                Payload(numpy.float64(1.0), numpy.float64(1.0)),
+            ],
+            "e1",
+        )
+        ex = w.build(el.six_dof(1.0 / 120.0, probe))
+        ex.run(2, show_progress=False)
+        # inside the mixed effector pipe: declared-f64 stays f64, the
+        # default mapping downcasts the rest
+        assert seen["sense64"] == jnp.float64, seen
+        assert seen["sense_def"] == jnp.float32, seen
+
+        # column casting honors the override too
+        meta, cols = w.snapshot()
+        cast = _config.apply_float_policy(meta, cols)
+        assert cast["sense64"].dtype == np.float64
+        assert cast["sense_def"].dtype == np.float32
+        assert cast["world_pos"].dtype == np.float64  # default mapping
+
+        el.set_float_policy("f32")
+        cast = _config.apply_float_policy(meta, cols)
+        assert cast["sense64"].dtype == np.float64  # survives f32 policy
+        assert cast["world_pos"].dtype == np.float32
+    finally:
+        el.set_float_policy(prev)
+
+
+def test_const_pin_is_identity():
+    """const_pin (the axon emulated-f64 fusion-bug guard, ops/precise.py)
+    is semantically the identity on every backend, in and out of loops."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from elodin_tpu.ops.precise import const_pin
+
+    pad = np.array([914824.9116658824, -5528602.179950087, 3035884.2983255223])
+    out = np.asarray(const_pin(pad))
+    np.testing.assert_array_equal(out, pad)
+
+    def body(c):
+        return const_pin(pad)[None] + (20.0 + 0.001 * c[:, :1]) * jnp.asarray(
+            [0.14, -0.86, 0.49]
+        )
+
+    init = jnp.zeros((1, 3), jnp.float64)
+    looped = np.asarray(
+        jax.jit(lambda c: jax.lax.fori_loop(0, 1, lambda _i, x: body(x), c))(init)
+    )
+    direct = np.asarray(jax.jit(body)(init))
+    np.testing.assert_array_equal(looped, direct)
 
 
 def test_smallalg_matches_lapack():

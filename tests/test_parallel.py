@@ -17,7 +17,21 @@ from elodin_tpu.system import Pipe, SystemBuilder, as_system
 def mesh():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    return make_mesh(8)
+    # explicit ep=2: these tests exercise the entity-sharding collectives
+    return make_mesh(8, ep=2)
+
+
+def test_make_mesh_defaults_to_dp_only():
+    """Default mesh is pure sample-parallel: an unrequested ep slice wastes
+    half the mesh when the entity count doesn't divide it (VERDICT r3 w7)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = make_mesh(8)
+    assert m.shape["dp"] == 8 and m.shape["ep"] == 1
+    m = make_mesh(8, ep=2)
+    assert m.shape["dp"] == 4 and m.shape["ep"] == 2
+    m = make_mesh(8, dp=2)
+    assert m.shape["dp"] == 2 and m.shape["ep"] == 4
 
 
 def _step_fn(meta, system):

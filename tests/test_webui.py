@@ -72,9 +72,13 @@ def test_webui_api_and_page(tmp_path):
         assert status == 200 and ctype == "text/html"
         html = body.decode()
         assert "elodin-db viewer" in html
+        # the page logic is the static artifact, not an embedded string
+        assert 'src="/static/viewer.js"' in html
+        _, _, js_body = _get(base + "/static/viewer.js")
+        js = js_body.decode()
         # untrusted names must go through textContent, never innerHTML
-        assert "innerHTML" not in html
-        assert "textContent" in html
+        assert "innerHTML" not in js and "innerHTML" not in html
+        assert "textContent" in js
         status, _, body = _get(base + "/healthz")
         assert status == 200 and body == b"ok"
         c.close()
@@ -219,5 +223,54 @@ def test_webui_series_with_nan_parses(tmp_path):
         _, _, body = _get(base + "/api/latest?name=nan.x")
         assert json.loads(body)["v"] == [3.0]
         c.close()
+    finally:
+        srv.stop()
+
+
+def test_viewer_js_served_and_endpoint_contract(tmp_path):
+    """The viewer logic is a static artifact (/static/viewer.js).  Contract
+    checks that run without a JS engine (none exists in this image):
+    every endpoint the JS fetches must be a registered route, the page must
+    reference the script, and the poll3d stale-panel guard (regression
+    b6008dd: a close/reopen mid-fetch must not write a stale trajectory
+    batch into the new panel) must re-check panel identity after the await."""
+    import re
+
+    from elodin_tpu.db import Server
+    from elodin_tpu.db.webui import VIEWER_HTML, viewer_js
+
+    srv = Server.start(str(tmp_path / "db"))
+    try:
+        base = f"http://127.0.0.1:{srv.port + 1}"
+        status, ctype, body = _get(base + "/static/viewer.js")
+        assert status == 200 and "javascript" in ctype
+        js = body.decode()
+        assert '"use strict";' in js
+
+        status, _, page = _get(base + "/")
+        assert b'src="/static/viewer.js"' in page
+        assert "<script>" not in VIEWER_HTML  # no embedded JS remains
+
+        # endpoint contract: every fetch()ed /api path exists in the routes
+        from elodin_tpu.db.webui import register_routes
+
+        routes = {}
+
+        class _FakeDb:  # register_routes only stores closures
+            pass
+
+        register_routes(routes, _FakeDb())
+        fetched = set(re.findall(r'fetch\(["`]((?:/api|/static)[^"`?]*)', js))
+        assert fetched, "viewer.js fetches nothing? extraction broke"
+        for url in fetched:
+            assert url in routes, f"viewer.js fetches unregistered {url}"
+
+        # poll3d stale-panel guard: identity re-checked after the await
+        poll3d = js[js.index("async function poll3d"):]
+        poll3d = poll3d[:poll3d.index("\nfunction")]
+        awaits = poll3d.index("await")
+        assert "view3d === me" in poll3d[awaits:], (
+            "poll3d lost its post-await panel-identity re-check (b6008dd)"
+        )
     finally:
         srv.stop()
