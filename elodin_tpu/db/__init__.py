@@ -27,5 +27,6 @@ from .client import (  # noqa: F401
     u32,
     u64,
 )
+from .mirror import MirrorWorld, SeriesCache, TelemetryCache  # noqa: F401
 from .storage import Database  # noqa: F401
 from .vtable import component_id_of  # noqa: F401
