@@ -123,25 +123,39 @@ class BatchedCampaign:
         self._vstep = jax.vmap(build_step(self.meta, system))
         self._jit_cache: dict[int, Callable] = {}
 
-    def _runner(self, ticks: int) -> Callable:
+    def _runner(self, ticks: int, until: Callable | None = None) -> Callable:
         # caches the AOT-compiled executable, not just the jit wrapper:
         # run() calls lower().compile(), which bypasses jit's dispatch
         # cache and would re-trace + re-compile on every campaign.run()
-        fn = self._jit_cache.get(ticks)
+        key = (ticks, until)
+        fn = self._jit_cache.get(key)
         if fn is None:
             vstep = self._vstep
 
-            def run(cols):
-                return jax.lax.fori_loop(
-                    0, ticks, lambda _i, c: vstep(c), cols
-                )
+            if until is None:
+                def run(cols):
+                    return jax.lax.fori_loop(
+                        0, ticks, lambda _i, c: vstep(c), cols
+                    )
+            else:
+                # early-stop predicate: the segment also returns one scalar
+                # ("every sample terminal?") so the host loop can skip the
+                # remaining segments.  Computed in-graph — costs one
+                # all-reduce over the sample axis per launch, read by the
+                # host as a 1-byte transfer.
+                def run(cols):
+                    cols = jax.lax.fori_loop(
+                        0, ticks, lambda _i, c: vstep(c), cols
+                    )
+                    return cols, jnp.all(until(cols))
 
             fn = jax.jit(run, donate_argnums=0).lower(self.cols).compile()
-            self._jit_cache[ticks] = fn
+            self._jit_cache[key] = fn
         return fn
 
-    def _emit_runner(self, every: int, n_emits: int, selected: tuple):
-        key = ("emit", every, n_emits, selected)
+    def _emit_runner(self, every: int, n_emits: int, selected: tuple,
+                     until: Callable | None = None):
+        key = ("emit", every, n_emits, selected, until)
         fn = self._jit_cache.get(key)
         if fn is None:
             vstep = self._vstep
@@ -151,14 +165,18 @@ class BatchedCampaign:
                     c = jax.lax.fori_loop(0, every, lambda _i, cc: vstep(cc), c)
                     return c, {k: c[k] for k in selected}
 
-                return jax.lax.scan(seg, cols, None, length=n_emits)
+                cols, hist = jax.lax.scan(seg, cols, None, length=n_emits)
+                if until is None:
+                    return cols, hist
+                return cols, hist, jnp.all(until(cols))
 
             fn = jax.jit(run, donate_argnums=0).lower(self.cols).compile()
             self._jit_cache[key] = fn
         return fn
 
     def run(self, ticks: int, history_every: int = 0,
-            history_components: list[str] | None = None) -> BatchedResult:
+            history_components: list[str] | None = None,
+            until: Callable | None = None) -> BatchedResult:
         """Run the campaign, segmented into bounded-duration device
         launches.
 
@@ -167,7 +185,15 @@ class BatchedCampaign:
         health-checking favors shorter launches), so the tick loop is split
         into ELODIN_MC_SEGMENT_TICKS chunks (default 20000) with state
         staying on device between launches — same math, same result, one
-        extra dispatch per segment."""
+        extra dispatch per segment.
+
+        ``until``: optional in-graph predicate ``cols -> bool array``; when
+        EVERY sample satisfies it at a segment boundary the remaining
+        segments are skipped.  Sound only when the sim latches terminal
+        samples (scored state frozen once terminal, as the falcon9 DOWN
+        phase does) — then the skipped ticks are exact no-ops and the
+        result is bit-identical to the full run.  ``result.ticks`` reports
+        the ticks actually advanced."""
         import os
 
         seg = int(os.environ.get("ELODIN_MC_SEGMENT_TICKS", "20000"))
@@ -200,25 +226,35 @@ class BatchedCampaign:
             # bounded-duration launches as the no-history path.
             emits_per_launch = max(1, min(n_emits, seg // max(1, history_every)))
             n_full_l, rem_emits = divmod(n_emits, emits_per_launch)
-            compiled = self._emit_runner(history_every, emits_per_launch, selected)
+            compiled = self._emit_runner(
+                history_every, emits_per_launch, selected, until
+            )
             compiled_rem = (
-                self._emit_runner(history_every, rem_emits, selected)
+                self._emit_runner(history_every, rem_emits, selected, until)
                 if rem_emits else None
             )
             compiled_tail = self._runner(tail) if tail else None
             t0 = time.perf_counter()
             cols = self.cols
+            ticks_run = 0
+            stopped = False
             hist_chunks: list[dict] = []
             for _ in range(n_full_l):
-                cols, hist = compiled(cols)
-                cols = dict(cols)
+                out = compiled(cols)
+                cols, hist = dict(out[0]), out[1]
                 hist_chunks.append({k: np.asarray(v) for k, v in hist.items()})
-            if compiled_rem is not None:
-                cols, hist = compiled_rem(cols)
-                cols = dict(cols)
+                ticks_run += emits_per_launch * history_every
+                if until is not None and bool(np.asarray(out[2])):
+                    stopped = True
+                    break
+            if compiled_rem is not None and not stopped:
+                out = compiled_rem(cols)
+                cols, hist = dict(out[0]), out[1]
                 hist_chunks.append({k: np.asarray(v) for k, v in hist.items()})
-            if compiled_tail is not None:
+                ticks_run += rem_emits * history_every
+            if compiled_tail is not None and not stopped:
                 cols = dict(compiled_tail(cols))
+                ticks_run += tail
             # host read = true sync (block_until_ready can return early
             # through the axon tunnel and under-report wall time)
             _ = np.asarray(cols[min(cols)])  # any output syncs the program
@@ -228,29 +264,44 @@ class BatchedCampaign:
                 for k in selected
             }
             dt = float(np.asarray(cols["simulation_time_step"]).ravel()[0])
+            emits_done = next(iter(history.values())).shape[0] if history else 0
             history_times = (
-                np.arange(1, n_emits + 1, dtype=np.float64) * history_every * dt
+                np.arange(1, emits_done + 1, dtype=np.float64)
+                * history_every * dt
             )
             self.cols = cols
             return BatchedResult(
-                self.meta, self.cols, self.n, wall, ticks,
+                self.meta, self.cols, self.n, wall, ticks_run,
                 history=history, history_times=history_times,
             )
 
         n_full, rem = divmod(ticks, seg)
-        compiled = self._runner(seg)
-        compiled_rem = self._runner(rem) if rem else None
+        compiled = self._runner(seg, until)
+        compiled_rem = self._runner(rem, until) if rem else None
         t0 = time.perf_counter()
         cols = self.cols
+        ticks_run = 0
+        stopped = False
         for _ in range(n_full):
-            cols = dict(compiled(cols))
-        if compiled_rem is not None:
-            cols = dict(compiled_rem(cols))
+            if until is None:
+                cols = dict(compiled(cols))
+            else:
+                cols, done = compiled(cols)
+                cols = dict(cols)
+                if bool(np.asarray(done)):  # 1-byte d2h sync per segment
+                    stopped = True
+                    ticks_run += seg
+                    break
+            ticks_run += seg
+        if compiled_rem is not None and not stopped:
+            out = compiled_rem(cols)
+            cols = dict(out[0] if until is not None else out)
+            ticks_run += rem
         # host read = true sync (see above re: axon tunnel)
         _ = np.asarray(cols[min(cols)])  # any output syncs the program
         wall = time.perf_counter() - t0
         self.cols = cols
-        return BatchedResult(self.meta, self.cols, self.n, wall, ticks)
+        return BatchedResult(self.meta, self.cols, self.n, wall, ticks_run)
 
 
 def write_artifacts(result: BatchedResult, out_dir, draws=None, scores=None,

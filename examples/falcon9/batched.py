@@ -22,6 +22,7 @@ from constants import (
 )
 from sim import (
     DEFAULT_MAX_TICKS,
+    DOWN,
     PARAMS,
     SIM_RATE_HZ,
     build,
@@ -62,6 +63,12 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
             if history_every
             else None
         ),
+        # Terminal early-stop: once every sample has latched DOWN the
+        # booster is frozen (velocity zeroed, vertical pinned, thrust off —
+        # sim.py touchdown block), so the remaining segments are exact
+        # no-ops; skipping them is bit-identical and saves the post-landing
+        # tail (~15-20% of the 580 s envelope on a nominal dispersion).
+        until=lambda cols: cols["phase"] == DOWN,
     )
 
     vz = result.component("booster.touchdown_vz")
@@ -93,7 +100,8 @@ def run_campaign(n_samples: int, ticks: int = DEFAULT_MAX_TICKS, seed: int = 0,
         )
     return {
         "n_samples": n_samples,
-        "ticks": ticks,
+        "ticks": result.ticks,  # actual ticks advanced (early-stop aware)
+        "ticks_requested": ticks,
         "wall_s": result.wall_seconds,
         "rollouts_per_s": result.rollouts_per_second,
         "landed_frac": float(landed.mean()),

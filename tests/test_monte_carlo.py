@@ -100,3 +100,54 @@ def test_history_every_exceeding_ticks_rejected():
     c = BatchedCampaign(world, system, n_samples=2)
     with pytest.raises(ValueError, match="history_every"):
         c.run(ticks=5, history_every=10)
+
+
+def test_until_early_stop_both_paths(monkeypatch):
+    """Terminal early-stop (BatchedCampaign.run(until=...)): once every
+    sample satisfies the in-graph predicate at a segment boundary the
+    remaining segments are skipped.  The sim latches (min with 5), so the
+    early-stopped result is bit-identical to the full run — the soundness
+    condition documented on run().  Covers the no-history and history
+    paths plus ticks/history_times accounting."""
+    import typing as ty
+    from dataclasses import dataclass, field
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import elodin_tpu as el
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    Count = ty.Annotated[jax.Array, el.Component("count", el.ComponentType.F64)]
+
+    @dataclass
+    class A(el.Archetype):
+        count: Count = field(default_factory=lambda: jnp.float64(0.0))
+
+    @el.map
+    def inc(c: Count) -> Count:
+        return jnp.minimum(c + 1.0, 5.0)
+
+    def mk():
+        w = el.World()
+        w.spawn(A(), name="e")
+        return BatchedCampaign(w, inc, 4, {"e.count": np.zeros(4)},
+                               simulation_rate=10.0)
+
+    monkeypatch.setenv("ELODIN_MC_SEGMENT_TICKS", "3")
+    until = lambda cols: cols["count"] >= 5.0  # noqa: E731
+
+    r = mk().run(20, until=until)
+    assert r.ticks == 6  # latched at tick 5; first all-done boundary = 6
+    np.testing.assert_array_equal(r.component("e.count"), np.full(4, 5.0))
+    full = mk().run(20)
+    assert full.ticks == 20
+    np.testing.assert_array_equal(  # latching makes early-stop exact
+        np.asarray(r.final["count"]), np.asarray(full.final["count"]))
+
+    rh = mk().run(20, history_every=2, history_components=["e.count"],
+                  until=until)
+    assert rh.ticks == 6
+    assert rh.history["count"].shape[0] == 3  # emits actually recorded
+    np.testing.assert_allclose(rh.history_times, [0.2, 0.4, 0.6])
