@@ -225,10 +225,34 @@ def stage_f9() -> dict:
         "falcon9_rollouts_per_sec": round(f9["rollouts_per_s"], 1),
         "falcon9_10k_share_wall_s": round(f9["wall_s"], 4),
         "falcon9_samples": f9["n_samples"],
+        "falcon9_ticks_run": f9["ticks"],  # < requested when all-DOWN early
         # soft = the FULL declared touchdown envelope (vz/vlat/tilt)
         "falcon9_soft_frac": f9["soft_landing_frac"],
         "falcon9_precision_frac": f9["precision_landing_frac"],
         "falcon9_median_miss_m": f9["median_miss_m"],
+    }
+
+
+def stage_f9_mixed() -> dict:
+    """The falcon9 share campaign under the MIXED float policy (stage table
+    injects ELODIN_FLOAT_POLICY=mixed into this subprocess): f32 effectors
+    — aero tables, guidance, engine dynamics, the bulk of the tick — with
+    f64 integrator state.  The toy 6dof mixed number (stage_mixed) cannot
+    show the win because that model is effector-light (its pipe is one
+    gravity add; everything else IS the f64 integrator, so mixed there is
+    f64 plus cast overhead).  Outcome-gated: the mission envelope stats
+    must land in the f64 family (soft >= 0.9, sane miss), otherwise the
+    speedup would be meaningless."""
+    assert os.environ.get("ELODIN_FLOAT_POLICY") == "mixed"
+    f9 = bench_falcon9(int(os.environ.get("BENCH_F9_SAMPLES", "1250")))
+    soft = f9["soft_landing_frac"]
+    assert soft >= 0.9, f"mixed falcon9 envelope collapsed: soft={soft}"
+    assert f9["median_miss_m"] < 50.0, f9["median_miss_m"]
+    return {
+        "falcon9_mixed_rollouts_per_sec": round(f9["rollouts_per_s"], 1),
+        "falcon9_mixed_share_wall_s": round(f9["wall_s"], 4),
+        "falcon9_mixed_soft_frac": soft,
+        "falcon9_mixed_median_miss_m": f9["median_miss_m"],
     }
 
 
@@ -307,11 +331,15 @@ def stage_f9_10k() -> dict:
     """The real single-chip 10k falcon9 campaign (BASELINE.json: <60 s on a
     v5e-8 pod; one chip carries the 8x share).  Runs LAST — longest single
     workload — and only when the share-run projection fits the remaining
-    budget (set by the parent via BENCH_F9_SHARE_WALL)."""
+    budget (set by the parent via BENCH_F9_SHARE_WALL).  Under
+    ELODIN_FLOAT_POLICY=mixed the keys carry a _mixed suffix and the
+    envelope is outcome-gated like stage_f9_mixed."""
+    mixed = os.environ.get("ELODIN_FLOAT_POLICY") == "mixed"
+    pre = "falcon9_10k_mixed" if mixed else "falcon9_10k"
     share_wall = float(os.environ.get("BENCH_F9_SHARE_WALL", "0") or 0)
     if share_wall <= 0:
         return {
-            "falcon9_10k_skipped":
+            f"{pre}_skipped":
                 "no share-run projection available; skipping unguarded 10k run"
         }
     # Bound each device launch to ~LAUNCH_S seconds: 8x the sample count at
@@ -321,10 +349,13 @@ def stage_f9_10k() -> dict:
     seg = max(500, int(58000 * launch_s / (share_wall * 8.0)))
     os.environ["ELODIN_MC_SEGMENT_TICKS"] = str(seg)
     f9k = bench_falcon9(10000)
+    if mixed:
+        assert f9k["soft_landing_frac"] >= 0.9, f9k["soft_landing_frac"]
     return {
-        "falcon9_10k_wall_s": round(f9k["wall_s"], 1),
-        "falcon9_10k_soft_frac": f9k["soft_landing_frac"],
-        "falcon9_10k_segment_ticks": seg,
+        f"{pre}_wall_s": round(f9k["wall_s"], 1),
+        f"{pre}_soft_frac": f9k["soft_landing_frac"],
+        f"{pre}_segment_ticks": seg,
+        f"{pre}_ticks_run": f9k["ticks"],
     }
 
 
@@ -346,6 +377,7 @@ STAGES: list[tuple] = [
     ("f32", "BENCH_F32", 30, False, None),
     ("mixed", "BENCH_MIXED", 60, False, None),
     ("f9", "BENCH_F9", 130, True, None),
+    ("f9_mixed", "BENCH_F9", 100, True, {"ELODIN_FLOAT_POLICY": "mixed"}),
     ("mc", "BENCH_MC", 30, False, None),
     ("mc_100k", "BENCH_MC", 40, True, None),
     ("rtf", "BENCH_RTF", 150, True, None),
@@ -356,12 +388,16 @@ STAGES: list[tuple] = [
     ("nbody", "BENCH_NBODY", 60, False, None),
     ("diff", "BENCH_DIFF", 40, False, None),
     ("hbm", "BENCH_HBM", 2, False, None),
-    ("f9_10k", "BENCH_F9_10K", None, True, None),  # projected from f9 share
+    # projected from their share runs; mixed first — it is the cheaper of
+    # the two, so a tight budget captures at least one 10k number
+    ("f9_10k_mixed", "BENCH_F9_10K", None, True, None),
+    ("f9_10k", "BENCH_F9_10K", None, True, None),
 ]
 
 STAGE_FNS = {
     "value": stage_value, "verify": stage_verify, "f32": stage_f32,
-    "mixed": stage_mixed, "f9": stage_f9, "mc": stage_mc,
+    "mixed": stage_mixed, "f9": stage_f9, "f9_mixed": stage_f9_mixed,
+    "f9_10k_mixed": stage_f9_10k, "mc": stage_mc,
     "mc_100k": stage_mc_100k, "rtf": stage_rtf, "lockstep": stage_lockstep,
     "lockstep_cpu": stage_lockstep,
     "egm08": stage_egm08, "rocket": stage_rocket, "nbody": stage_nbody,
@@ -402,16 +438,20 @@ def main() -> None:
     for name, gate, est, in_subproc, extra_env in STAGES:
         if os.environ.get(gate, "1") == "0":
             continue
-        if name == "f9_10k":
-            share = result.get("falcon9_10k_share_wall_s")
+        if name in ("f9_10k", "f9_10k_mixed"):
+            share_key = ("falcon9_mixed_share_wall_s" if name.endswith("mixed")
+                         else "falcon9_10k_share_wall_s")
+            share = result.get(share_key)
             est = share * 8.0 + 30 if share else None
             if est is None:
-                result["falcon9_10k_skipped"] = (
+                result[f"{name}_skipped"] = (
                     "no share-run projection available; "
                     "skipping unguarded 10k run"
                 )
                 continue
             extra_env = {"BENCH_F9_SHARE_WALL": str(share)}
+            if name.endswith("mixed"):
+                extra_env["ELODIN_FLOAT_POLICY"] = "mixed"
         if est is not None and est > remaining():
             result[f"{name}_skipped"] = (
                 f"projected {est:.0f}s exceeds remaining "
