@@ -369,24 +369,32 @@ def stage_hbm() -> dict:
 
 
 # (name, env gate, projected cost seconds, run in subprocess, extra env).
-# Projections are measured-warm-cache costs on the axon v5e with headroom;
-# the budget check uses them, the merged line records actuals per stage.
+# Projections are WARM-compile-cache costs on the axon v5e with headroom
+# (the persistent XLA cache survives processes and rounds; the round-4
+# session pre-warms every stage's programs).  The budget check uses them;
+# the merged line records actuals per stage.  Cold compiles can overrun —
+# subprocess stages are then bounded by their deadline and salvage their
+# last flushed line; only the small stages run inline.
 STAGES: list[tuple] = [
-    ("value", "BENCH_VALUE", 60, False, None),
-    ("verify", "BENCH_VERIFY", 90, False, None),
-    ("f32", "BENCH_F32", 30, False, None),
-    ("mixed", "BENCH_MIXED", 60, False, None),
-    ("f9", "BENCH_F9", 130, True, None),
-    ("f9_mixed", "BENCH_F9", 100, True, {"ELODIN_FLOAT_POLICY": "mixed"}),
-    ("mc", "BENCH_MC", 30, False, None),
+    ("value", "BENCH_VALUE", 40, False, None),
+    ("verify", "BENCH_VERIFY", 90, True, None),
+    ("f32", "BENCH_F32", 15, False, None),
+    ("mixed", "BENCH_MIXED", 60, True, None),
+    # 4000-tick segments give the all-DOWN early-stop useful granularity
+    # (last dispersed landing ~52k of 58k ticks; the 20k default would only
+    # check at 20k/40k and run the full envelope) at ~14 cheap launches
+    ("f9", "BENCH_F9", 100, True, {"ELODIN_MC_SEGMENT_TICKS": "4000"}),
+    ("f9_mixed", "BENCH_F9", 60, True,
+     {"ELODIN_FLOAT_POLICY": "mixed", "ELODIN_MC_SEGMENT_TICKS": "4000"}),
+    ("mc", "BENCH_MC", 15, False, None),
     ("mc_100k", "BENCH_MC", 40, True, None),
-    ("rtf", "BENCH_RTF", 150, True, None),
+    ("rtf", "BENCH_RTF", 180, True, None),
     ("lockstep", "BENCH_LOCKSTEP", 60, True, None),
     ("lockstep_cpu", "BENCH_LOCKSTEP", 45, True, {"JAX_PLATFORMS": "cpu"}),
-    ("egm08", "BENCH_EGM", 40, False, None),
-    ("rocket", "BENCH_ROCKET", 40, False, None),
-    ("nbody", "BENCH_NBODY", 60, False, None),
-    ("diff", "BENCH_DIFF", 40, False, None),
+    ("egm08", "BENCH_EGM", 40, True, None),
+    ("rocket", "BENCH_ROCKET", 40, True, None),
+    ("nbody", "BENCH_NBODY", 60, True, None),
+    ("diff", "BENCH_DIFF", 40, True, None),
     ("hbm", "BENCH_HBM", 2, False, None),
     # projected from their share runs; mixed first — it is the cheaper of
     # the two, so a tight budget captures at least one 10k number
@@ -408,15 +416,35 @@ STAGE_FNS = {
 def _run_subprocess_stage(name: str, timeout_s: float, extra_env) -> dict:
     env = dict(os.environ)
     env.update(extra_env or {})
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--stage", name],
-        capture_output=True, text=True, timeout=timeout_s, env=env,
-    )
-    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+        stdout, rc = proc.stdout, proc.returncode
+        timed_out = False
+    except subprocess.TimeoutExpired as e:
+        # salvage whatever the stage flushed before the deadline (stages
+        # that loop — the RTF sweep — print a cumulative JSON line per
+        # item exactly so a timeout still yields the finished items)
+        stdout = e.stdout or b""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        rc, timed_out = "timeout", True
+    lines = [ln for ln in (stdout or "").strip().splitlines()
+             if ln.startswith("{")]
     if not lines:
-        tail = (proc.stderr or proc.stdout or "")[-300:]
-        raise RuntimeError(f"stage produced no JSON (rc={proc.returncode}): {tail}")
-    return json.loads(lines[-1])
+        if timed_out:
+            raise subprocess.TimeoutExpired([name], timeout_s)
+        tail = (stdout or "")[-300:]
+        raise RuntimeError(f"stage produced no JSON (rc={rc}): {tail}")
+    out = json.loads(lines[-1])
+    if timed_out:
+        out[f"{name}_partial"] = (
+            f"stage hit its {timeout_s:.0f}s deadline; metrics above are the "
+            "items that finished"
+        )
+    return out
 
 
 def main() -> None:
@@ -462,7 +490,9 @@ def main() -> None:
         t_stage = time.monotonic()
         try:
             if in_subproc:
-                timeout_s = max(min((est or 60) * 3, remaining()), 10)
+                # the -15 keeps the parent alive to print the final merged
+                # line before any external watchdog fires at ~budget
+                timeout_s = max(min((est or 60) * 3, remaining() - 15), 10)
                 out = _run_subprocess_stage(name, timeout_s, extra_env)
             else:
                 out = STAGE_FNS[name]()
@@ -482,6 +512,9 @@ def main() -> None:
     result["bench_elapsed_s"] = round(time.monotonic() - t0, 1)
     result["bench_budget_s"] = budget_s
     result["bench_stages"] = ",".join(stages_done)
+    result["bench_captured_utc"] = time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+    )
     try:
         os.makedirs("bench_out", exist_ok=True)
         with open("bench_out/latest.json", "w") as f:
@@ -664,6 +697,10 @@ def bench_rtf() -> dict:
             out[f"rtf_{example.replace('-', '_')}_vs_ref"] = round(rtf / ref, 2)
         except Exception as e:  # noqa: BLE001
             out[f"rtf_{example.replace('-', '_')}_error"] = str(e)[:200]
+        # cumulative flush: a cold-compile sweep can blow the stage
+        # deadline (round-4 capture: >450 s cold vs ~150 s warm); the
+        # parent salvages the last line, so finished examples survive
+        print(json.dumps(out), flush=True)
     return out
 
 
