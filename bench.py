@@ -235,13 +235,10 @@ def stage_f9() -> dict:
 
 def stage_f9_mixed() -> dict:
     """The falcon9 share campaign under the MIXED float policy (stage table
-    injects ELODIN_FLOAT_POLICY=mixed into this subprocess): f32 effectors
+    injects ELODIN_FLOAT_POLICY=mixed into this subprocess): the f32 pipe
     — aero tables, guidance, engine dynamics, the bulk of the tick — with
-    f64 integrator state.  The toy 6dof mixed number (stage_mixed) cannot
-    show the win because that model is effector-light (its pipe is one
-    gravity add; everything else IS the f64 integrator, so mixed there is
-    f64 plus cast overhead).  Outcome-gated: the mission envelope stats
-    must land in the f64 family (soft >= 0.9, sane miss), otherwise the
+    f64 integrator state.  Outcome-gated: the mission envelope stats must
+    land in the f64 family (soft >= 0.9, sane miss), otherwise the
     speedup would be meaningless."""
     assert os.environ.get("ELODIN_FLOAT_POLICY") == "mixed"
     f9 = bench_falcon9(int(os.environ.get("BENCH_F9_SAMPLES", "1250")))
@@ -384,7 +381,7 @@ STAGES: list[tuple] = [
     # (last dispersed landing ~52k of 58k ticks; the 20k default would only
     # check at 20k/40k and run the full envelope) at ~14 cheap launches
     ("f9", "BENCH_F9", 100, True, {"ELODIN_MC_SEGMENT_TICKS": "4000"}),
-    ("f9_mixed", "BENCH_F9", 60, True,
+    ("f9_mixed", "BENCH_F9", 90, True,
      {"ELODIN_FLOAT_POLICY": "mixed", "ELODIN_MC_SEGMENT_TICKS": "4000"}),
     ("mc", "BENCH_MC", 15, False, None),
     ("mc_100k", "BENCH_MC", 40, True, None),

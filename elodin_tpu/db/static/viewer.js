@@ -379,6 +379,7 @@ function initTimeline() {
   document.getElementById("view3d").onclick = toggle3d;
   document.getElementById("sqlbtn").onclick = toggleSql;
   document.getElementById("logsbtn").onclick = toggleLogs;
+  document.getElementById("videobtn").onclick = toggleVideo;
 }
 
 // -- 3D viewport ------------------------------------------------------------
@@ -554,6 +555,7 @@ async function applySchematic() {
     for (const name of want.slice(0, 6)) {
       if (!open.has(name)) openCard(components.find(c => c.name === name));
     }
+    if (schematicHasVideo(sch.panels) && !videoCard) toggleVideo();
   } catch (e) { /* no schematic: user picks manually */ }
 }
 
@@ -687,6 +689,63 @@ function toggleLogs() {
     if (st.open) setTimeout(poll, 1000);
   };
   poll();
+}
+
+// -- video pane ---------------------------------------------------------------
+
+let videoCard = null;
+
+function toggleVideo() {
+  if (videoCard) { videoCard.remove(); videoCard = null; return; }
+  if (document.querySelector(".empty")) document.querySelector(".empty").remove();
+  const card = document.createElement("div");
+  card.className = "card";
+  const head = document.createElement("div");
+  head.className = "head";
+  const h2 = document.createElement("h2");
+  h2.textContent = "video";
+  const sel = document.createElement("select");
+  sel.style.cssText = "font:12px system-ui;padding:3px 6px;border:1px solid " +
+    "var(--axis);border-radius:5px;background:var(--page);color:var(--ink-1)";
+  const tools = document.createElement("div");
+  tools.className = "tools";
+  const xbtn = document.createElement("button");
+  xbtn.textContent = "close";
+  xbtn.onclick = toggleVideo;
+  tools.append(xbtn);
+  head.append(h2, sel, tools);
+  const vid = document.createElement("video");
+  vid.controls = true;
+  vid.style.cssText = "width:100%;max-height:380px;background:#000;border-radius:6px";
+  const note = document.createElement("div");
+  note.style.cssText = "font-size:11px;color:var(--ink-3);margin:4px 0";
+  card.append(head, vid, note);
+  document.getElementById("cards").prepend(card);
+  videoCard = card;
+  const load = () => {
+    // MP4 is muxed server-side on demand; the <video> element decodes
+    if (sel.value) vid.src = "/api/video?id=" + sel.value;
+  };
+  sel.onchange = load;
+  fetch("/api/videos").then(r => r.json()).then(vs => {
+    if (videoCard !== card) return;  // closed while the fetch was in flight
+    sel.replaceChildren();
+    for (const v of vs) {
+      const o = document.createElement("option");
+      o.value = v.id;
+      o.textContent = `${v.name} (${v.frames} frames)`;
+      sel.append(o);
+    }
+    note.textContent = vs.length ? "" : "no H.264 message logs in this DB";
+    load();
+  }).catch(() => { note.textContent = "video list unavailable"; });
+}
+
+function schematicHasVideo(panels) {
+  for (const p of panels || []) {
+    if (p.kind === "video_stream" || schematicHasVideo(p.children)) return true;
+  }
+  return false;
 }
 
 function buildRanges() {

@@ -17,6 +17,10 @@ browser can attach to any running sim or recorded DB:
 - ``GET /api/scene``         — the MCAP exporter's SceneUpdate entities,
   live (object_3d models, line_3d trajectories, vector arrows, follow
   entity) for 3D clients
+- ``GET /api/videos``        — H.264 msg logs playable in the browser
+- ``GET /api/video?id=``     — one log muxed to MP4 on demand (the
+  browser's own hardware decoder replaces the reference's editor-side
+  video-toolbox decode path)
 
 Routes are registered into ``AssetHttpServer.routes`` (db/assets.py), so the
 viewer rides the same port the asset store already serves.
@@ -228,6 +232,57 @@ def register_routes(routes: dict, db) -> None:
             rows.append({"t": ts, "text": text, "bytes": len(data)})
         return _json_resp(rows)
 
+    _video_cache: dict = {}
+
+    def api_videos(path, query):
+        """H.264 msg logs the browser can play (SPS found in the head)."""
+        from .video import NAL_SPS, find_nal
+
+        out = []
+        with db.lock:
+            for mid, log in db.msg_logs.items():
+                head = log.entries[:20]
+                if not any(find_nal(p, NAL_SPS) for _, p in head):
+                    continue
+                name = getattr(log.metadata, "name", None) or mid.hex()
+                out.append({"id": mid.hex(), "name": name,
+                            "frames": len(log.entries)})
+        out.sort(key=lambda d: d["name"])
+        return _json_resp(out)
+
+    def api_video(path, query):
+        """Mux one recorded H.264 Annex-B msg log into an MP4 on demand —
+        the browser's <video> element does the decode, replacing the
+        reference's editor-side video-toolbox decoder
+        (libs/video-toolbox) with the client's own hardware decoder."""
+        import tempfile
+
+        from .video import export_h264_log
+
+        try:
+            mid = bytes.fromhex(query.get("id", ""))
+        except ValueError:
+            return 404, "text/plain", b"unknown video log"
+        with db.lock:
+            log = db.msg_logs.get(mid)
+            entries = list(log.entries) if log else []
+            name = (getattr(log.metadata, "name", None) or mid.hex()
+                    if log else "")
+        if not entries:
+            return 404, "text/plain", b"unknown video log"
+        key = (mid, len(entries))  # entries only append; length = version
+        mp4 = _video_cache.get(key)
+        if mp4 is None:
+            with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
+                stats = export_h264_log(entries, name, tmp.name)
+                if not stats:
+                    return 415, "text/plain", b"no decodable H.264 in log"
+                tmp.seek(0)
+                mp4 = tmp.read()
+            _video_cache.clear()  # hold one mux; stale versions never serve
+            _video_cache[key] = mp4
+        return 200, "video/mp4", mp4
+
     def api_sql(path, query):
         q = query.get("q", "").strip()
         if not q:
@@ -262,6 +317,8 @@ def register_routes(routes: dict, db) -> None:
     routes["/api/scene"] = api_scene
     routes["/api/msg-logs"] = api_msg_logs
     routes["/api/msgs"] = api_msgs
+    routes["/api/videos"] = api_videos
+    routes["/api/video"] = api_video
     routes["/api/sql"] = api_sql
     routes["/static/viewer.js"] = static_js
     routes["/"] = index
@@ -431,6 +488,7 @@ table.vals th { color:var(--ink-3); font-weight:500; }
       <button id="view3d">3D view</button>
       <button id="sqlbtn">SQL</button>
       <button id="logsbtn">logs</button>
+      <button id="videobtn">video</button>
     </div>
     <div id="cards"><div class="empty">select components on the left to plot them</div></div>
   </main>

@@ -274,3 +274,58 @@ def test_viewer_js_served_and_endpoint_contract(tmp_path):
         )
     finally:
         srv.stop()
+
+
+def test_webui_video_endpoints(tmp_path):
+    """/api/videos lists H.264 msg logs and /api/video muxes one to MP4 on
+    demand (browser-side decode replaces the reference's editor
+    video-toolbox decoder; mux path shared with export-videos)."""
+    from test_db import _golomb_sps, _walk_boxes
+
+    from elodin_tpu.db import Server, msgs as M
+    from elodin_tpu.db.storage import Database
+
+    path = str(tmp_path / "db")
+    db = Database(path)
+    sc = b"\x00\x00\x00\x01"
+    sps = _golomb_sps()
+    pps = b"\x68\xce\x38\x80"
+    idr = b"\x65" + bytes(range(1, 40))
+    log = db.msg_log(b"\xab\xcd")
+    log.set_metadata(M.MsgMetadata(0xABCD, "video.cam0", {}))
+    for i in range(8):
+        payload = (sc + sps + sc + pps + sc + idr) if i % 4 == 0 \
+            else (sc + b"\x41" + bytes(range(1, 24)))
+        log.append(1_000_000 + i * 33_333, payload)
+    # a non-video log must NOT appear in /api/videos
+    txt = db.msg_log(b"\x01\x02")
+    txt.set_metadata(M.MsgMetadata(0x0102, "log.text", {}))
+    txt.append(1_000_000, b"hello")
+    db.flush()
+    del db, log, txt
+
+    srv = Server.start(path)
+    try:
+        base = f"http://127.0.0.1:{srv.port + 1}"
+        status, _, body = _get(base + "/api/videos")
+        vids = json.loads(body)
+        assert status == 200
+        assert [v["name"] for v in vids] == ["video.cam0"]
+        assert vids[0]["frames"] == 8
+
+        status, ctype, mp4 = _get(base + f"/api/video?id={vids[0]['id']}")
+        assert status == 200 and ctype == "video/mp4"
+        boxes = {f: (a, b) for f, a, b in _walk_boxes(mp4)}
+        assert set(boxes) == {b"ftyp", b"mdat", b"moov"}
+        # second fetch serves the cached mux byte-identically
+        _, _, mp4b = _get(base + f"/api/video?id={vids[0]['id']}")
+        assert mp4b == mp4
+
+        import urllib.error
+        try:
+            _get(base + "/api/video?id=dead")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
