@@ -386,6 +386,9 @@ STAGES: list[tuple] = [
     ("mc", "BENCH_MC", 15, False, None),
     ("mc_100k", "BENCH_MC", 40, True, None),
     ("rtf", "BENCH_RTF", 180, True, None),
+    # the reference regime: single interactive sims on the CPU backend
+    # (tiny-shape fusion latency bounds the device rate; PERFORMANCE.md)
+    ("rtf_cpu", "BENCH_RTF", 120, True, {"JAX_PLATFORMS": "cpu"}),
     ("lockstep", "BENCH_LOCKSTEP", 60, True, None),
     ("lockstep_cpu", "BENCH_LOCKSTEP", 45, True, {"JAX_PLATFORMS": "cpu"}),
     ("egm08", "BENCH_EGM", 40, True, None),
@@ -403,8 +406,8 @@ STAGE_FNS = {
     "value": stage_value, "verify": stage_verify, "f32": stage_f32,
     "mixed": stage_mixed, "f9": stage_f9, "f9_mixed": stage_f9_mixed,
     "f9_10k_mixed": stage_f9_10k, "mc": stage_mc,
-    "mc_100k": stage_mc_100k, "rtf": stage_rtf, "lockstep": stage_lockstep,
-    "lockstep_cpu": stage_lockstep,
+    "mc_100k": stage_mc_100k, "rtf": stage_rtf, "rtf_cpu": stage_rtf,
+    "lockstep": stage_lockstep, "lockstep_cpu": stage_lockstep,
     "egm08": stage_egm08, "rocket": stage_rocket, "nbody": stage_nbody,
     "diff": stage_diff, "hbm": stage_hbm, "f9_10k": stage_f9_10k,
 }
@@ -660,12 +663,20 @@ def _build_example_exec(example: str):
 
 
 def bench_rtf() -> dict:
-    """Per-example real-time factor on the device — the reference's headline
-    interactive metric (BASELINE.md CI table), measured with a warmed
-    compile and a host read as the true sync (the axon tunnel makes
-    block_until_ready-based timing unreliable)."""
+    """Per-example real-time factor — the reference's headline interactive
+    metric (BASELINE.md CI table), measured with a warmed compile and a
+    host read as the true sync (the axon tunnel makes block_until_ready-
+    based timing unreliable).  Keys are backend-prefixed: a 1-entity tick
+    compiles to hundreds of tiny-shape fusions whose launch latency — not
+    FLOPs — bounds the device rate, so single small sims run interactively
+    on the CPU backend (rtf_cpu_*) while the TPU's regime is batches
+    (docs/PERFORMANCE.md); the heavy cube-sat sim is the crossover where
+    the device wins even at batch size 1."""
+    import jax
     import numpy as np
 
+    backend = jax.default_backend()
+    pre = "rtf_cpu" if backend == "cpu" else "rtf"
     out = {}
     for example, ref in REF_RTF.items():
         ticks = RTF_TICKS[example]
@@ -690,10 +701,10 @@ def bench_rtf() -> dict:
             t2 = timed(2)
             wall = max(t2 - t1, 1e-9)
             rtf = ticks / rate / wall
-            out[f"rtf_{example.replace('-', '_')}"] = round(rtf, 1)
-            out[f"rtf_{example.replace('-', '_')}_vs_ref"] = round(rtf / ref, 2)
+            out[f"{pre}_{example.replace('-', '_')}"] = round(rtf, 1)
+            out[f"{pre}_{example.replace('-', '_')}_vs_ref"] = round(rtf / ref, 2)
         except Exception as e:  # noqa: BLE001
-            out[f"rtf_{example.replace('-', '_')}_error"] = str(e)[:200]
+            out[f"{pre}_{example.replace('-', '_')}_error"] = str(e)[:200]
         # cumulative flush: a cold-compile sweep can blow the stage
         # deadline (round-4 capture: >450 s cold vs ~150 s warm); the
         # parent salvages the last line, so finished examples survive
