@@ -44,8 +44,10 @@ from .system import (  # noqa: F401
     GraphQuery,
     Pipe,
     Query,
+    RateGroup,
     System,
     SystemBuilder,
+    every,
     map,
     map_seq,
     system,

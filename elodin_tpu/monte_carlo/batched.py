@@ -120,8 +120,57 @@ class BatchedCampaign:
         else:
             self.cols = {k: jnp.asarray(v) for k, v in batched.items()}
 
-        self._vstep = jax.vmap(build_step(self.meta, system))
+        self._vstep = self._build_vstep(system)
         self._jit_cache: dict[int, Callable] = {}
+
+    def _build_vstep(self, system) -> Callable:
+        """One batched tick.  When the pipeline carries RateGroup stages
+        (el.every), the rate gates are lifted OUTSIDE the sample vmap: the
+        tick column is sample-uniform, so the scalar ``lax.cond`` truly
+        skips the gated subsystem's compute on inactive ticks — traced
+        under vmap the cond would degrade to select and run both branches,
+        wasting exactly the work the schedule is meant to save."""
+        from ..six_dof import increment_sim_tick_system
+        from ..system import Pipe, RateGroup, SystemBuilder, as_system
+
+        sys_ = as_system(system)
+        items = sys_.systems if isinstance(sys_, Pipe) else [sys_]
+        if not any(isinstance(s, RateGroup) for s in items):
+            return jax.vmap(build_step(self.meta, system))
+
+        meta = self.meta
+
+        def stage_fn(target):
+            def stepfn(state):
+                b = SystemBuilder(meta, dict(state))
+                target.call(b)
+                return b.cols
+
+            return jax.vmap(stepfn)
+
+        stages: list[tuple] = [(None, stage_fn(increment_sim_tick_system))]
+        for s in items:
+            if isinstance(s, RateGroup) and s.every > 1:
+                stages.append((s, stage_fn(s.system)))
+            else:
+                target = s.system if isinstance(s, RateGroup) else s
+                stages.append((None, stage_fn(target)))
+
+        def vstep(cols):
+            out = dict(cols)
+            for rg, f in stages:
+                if rg is None:
+                    out = dict(f(out))
+                else:
+                    tick = out["tick"].reshape(-1)[0]  # sample-uniform
+                    # rg._pred any()-reduces full_rate_when over the batch,
+                    # so the cond predicate stays scalar
+                    out = dict(jax.lax.cond(
+                        rg._pred(tick, out), f, lambda c: dict(c), out
+                    ))
+            return out
+
+        return vstep
 
     def _runner(self, ticks: int, until: Callable | None = None) -> Callable:
         # caches the AOT-compiled executable, not just the jit wrapper:

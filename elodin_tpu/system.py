@@ -205,6 +205,73 @@ class LambdaSystem(System):
         return f"<system {self.name}>"
 
 
+class RateGroup(System):
+    """In-graph multi-rate scheduling: run the wrapped system only on every
+    ``every``-th tick, holding its outputs (zero-order hold) in between —
+    the real FSW split (guidance/navigation at 10-50 Hz against a 100+ Hz
+    plant; the reference runs the same split host-side with Hz drivers,
+    fsw/roci).  The gate predicate is the SCALAR simulation tick, so under
+    jit the device executes the wrapped ops only on active ticks via
+    ``lax.cond``; BatchedCampaign lifts the gate OUTSIDE its sample vmap
+    (a cond traced under vmap degrades to select and computes both
+    branches — the batched tick is sample-uniform, so lifting is exact).
+    Active ticks are 1, 1+every, 1+2*every, ... (the tick increments
+    before user systems, and the first tick must produce commands)."""
+
+    def __init__(self, every: int, sys_obj, full_rate_when=None):
+        if int(every) < 1:
+            raise ValueError(f"every must be >= 1, got {every}")
+        self.every = int(every)
+        self.system = as_system(sys_obj)
+        # cols -> bool array: when ANY entity/sample satisfies it, the
+        # schedule escalates to full rate (mission phases where command
+        # staleness costs accuracy — e.g. a landing burn's ignition timing
+        # — while the cruise phases keep the savings).  The any() makes the
+        # predicate sample-uniform, which is what lets BatchedCampaign keep
+        # the gate outside the vmap.
+        self.full_rate_when = full_rate_when
+
+    def _pred(self, tick, cols):
+        import jax.numpy as jnp
+
+        p = (tick - 1) % self.every == 0
+        if self.full_rate_when is not None:
+            p = p | jnp.any(self.full_rate_when(cols))
+        return p
+
+    def call(self, builder: SystemBuilder) -> None:
+        if self.every == 1:
+            self.system.call(builder)
+            return
+        import jax
+
+        tick = builder.column("tick")[0]
+        cols = dict(builder.cols)
+
+        def run(c):
+            b = SystemBuilder(builder.world, dict(c))
+            self.system.call(b)
+            # cond branches must return identical pytrees: keep the carry's
+            # key set (a rate-gated system cannot INTRODUCE columns, they
+            # would only exist on active ticks)
+            return {k: b.cols[k] for k in c}
+
+        builder.cols = jax.lax.cond(
+            self._pred(tick, cols), run, lambda c: dict(c), cols
+        )
+
+    def __repr__(self):
+        return f"<every {self.every} {self.system!r}>"
+
+
+def every(every_n: int, sys_obj, full_rate_when=None) -> System:
+    """``el.every(5, guidance)``: schedule a system at 1/N of the sim rate
+    with zero-order hold; ``full_rate_when=lambda cols: ...`` escalates to
+    full rate while any entity/sample satisfies the predicate — see
+    RateGroup."""
+    return RateGroup(every_n, sys_obj, full_rate_when)
+
+
 def as_system(obj) -> System:
     if isinstance(obj, System):
         return obj

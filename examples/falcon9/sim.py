@@ -84,6 +84,7 @@ from constants import (
 
 # --- rates -------------------------------------------------------------------
 SIM_RATE_HZ = 100.0
+GUIDANCE_EVERY_TICKS = 5  # GNC at 20 Hz against the 100 Hz plant (build())
 SIM_TIME_STEP = 1.0 / SIM_RATE_HZ
 DEFAULT_MAX_TICKS = 58_000  # 580 s with dispersion margin
 
@@ -1268,7 +1269,18 @@ def build(params=None, sensors: bool = True) -> tuple[el.World, el.System]:
     w.spawn(spawn, name="Booster")
 
     sys = (
-        guidance
+        # GNC at 20 Hz against the 100 Hz plant (el.every zero-order-holds
+        # phase/throttle/engine pattern/thrust_dir between updates): the
+        # real FSW rate split — F9-class guidance loops run well below the
+        # plant rate — and the campaign's hottest compute (the 24-step IIP
+        # scan inside guidance) runs on 1 of 5 ticks through ascent,
+        # boostback, and entry.  From DESCENT on, guidance escalates to
+        # full rate: the suicide-burn ignition altitude and the terminal
+        # throttle loop cannot tolerate 50 ms command staleness (dispersed
+        # tails lost the soft-landing envelope when they did).  Attitude
+        # control and engine/actuator dynamics stay at full rate always.
+        el.every(GUIDANCE_EVERY_TICKS, guidance,
+                 full_rate_when=lambda cols: cols["phase"] >= DESCENT)
         | engine_dynamics
         | tank_dynamics
         | mass_props

@@ -1760,3 +1760,104 @@ def test_pairwise_gravity_mxu_matches_reference():
     )
     assert numpy.isfinite(out2).all()
     numpy.testing.assert_allclose(out2, ref2, rtol=1e-9)
+
+
+def test_every_rate_group_schedules_and_holds():
+    """el.every(K, sys): in-graph multi-rate FSW scheduling — the wrapped
+    system runs on ticks 1, 1+K, 1+2K (zero-order hold in between), in both
+    the single-exec path (scalar lax.cond) and the batched campaign, where
+    the gate is lifted outside the sample vmap so the skipped ticks truly
+    skip the compute."""
+    import typing as ty
+    from dataclasses import dataclass, field
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import elodin_tpu as el
+
+    Runs = ty.Annotated[jax.Array, el.Component("gnc_runs", el.ComponentType.F64)]
+    Fast = ty.Annotated[jax.Array, el.Component("fast_runs", el.ComponentType.F64)]
+
+    @dataclass
+    class A(el.Archetype):
+        gnc_runs: Runs = field(default_factory=lambda: jnp.float64(0.0))
+        fast_runs: Fast = field(default_factory=lambda: jnp.float64(0.0))
+
+    @el.map
+    def gnc(r: Runs) -> Runs:
+        return r + 1.0
+
+    @el.map
+    def fast(f: Fast) -> Fast:
+        return f + 1.0
+
+    def mk_world():
+        w = el.World()
+        w.spawn(A(), name="e")
+        return w
+
+    # single-exec path: 9 ticks -> gnc active on ticks 1,4,7 = 3 runs
+    w = mk_world()
+    ex = w.build(el.every(3, gnc) | fast, simulation_rate=10.0)
+    ex.run(9)
+    assert float(ex.read_component("e.gnc_runs")[0]) == 3.0
+    assert float(ex.read_component("e.fast_runs")[0]) == 9.0
+
+    # batched path: the lifted gate gives the same schedule for every sample
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    camp = BatchedCampaign(mk_world(), el.every(3, gnc) | fast, 4,
+                           {"e.gnc_runs": np.zeros(4)}, simulation_rate=10.0)
+    r = camp.run(9)
+    np.testing.assert_array_equal(r.component("e.gnc_runs"), np.full(4, 3.0))
+    np.testing.assert_array_equal(r.component("e.fast_runs"), np.full(4, 9.0))
+
+    # every(1) is the identity schedule
+    camp1 = BatchedCampaign(mk_world(), el.every(1, gnc), 2, {},
+                            simulation_rate=10.0)
+    assert float(camp1.run(5).component("e.gnc_runs")[0]) == 5.0
+
+
+def test_every_full_rate_escalation():
+    """el.every(K, sys, full_rate_when=...): the schedule escalates to full
+    rate while ANY entity/sample satisfies the predicate (mission phases
+    where command staleness costs accuracy), in both execution paths."""
+    import typing as ty
+    from dataclasses import dataclass, field
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import elodin_tpu as el
+
+    Runs = ty.Annotated[jax.Array, el.Component("esc_runs", el.ComponentType.F64)]
+
+    @dataclass
+    class A(el.Archetype):
+        esc_runs: Runs = field(default_factory=lambda: jnp.float64(0.0))
+
+    @el.map
+    def gnc(r: Runs) -> Runs:
+        return r + 1.0
+
+    # escalate once the count itself reaches 2: ticks 1,4 run on schedule
+    # (count 1,2), then every tick after -> 9 ticks = 2 + (ticks 5..9) = 7
+    sched = el.every(3, gnc, full_rate_when=lambda c: c["esc_runs"] >= 2.0)
+
+    w = el.World()
+    w.spawn(A(), name="e")
+    ex = w.build(sched, simulation_rate=10.0)
+    ex.run(9)
+    assert float(ex.read_component("e.esc_runs")[0]) == 7.0
+
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    w2 = el.World()
+    w2.spawn(A(), name="e")
+    camp = BatchedCampaign(w2, sched, 3, {"e.esc_runs": np.zeros(3)},
+                           simulation_rate=10.0)
+    np.testing.assert_array_equal(
+        camp.run(9).component("e.esc_runs"), np.full(3, 7.0))
