@@ -490,9 +490,14 @@ def main() -> None:
         t_stage = time.monotonic()
         try:
             if in_subproc:
+                # deadline = warm projection x3, but never less than
+                # projection + a cold-compile allowance (a first-ever
+                # compile through the tunnel runs minutes; round-4 runs
+                # lost f9_mixed/lockstep/rocket/nbody to est*3 alone);
                 # the -15 keeps the parent alive to print the final merged
                 # line before any external watchdog fires at ~budget
-                timeout_s = max(min((est or 60) * 3, remaining() - 15), 10)
+                e = est or 60
+                timeout_s = max(min(max(e * 3, e + 360), remaining() - 15), 10)
                 out = _run_subprocess_stage(name, timeout_s, extra_env)
             else:
                 out = STAGE_FNS[name]()
