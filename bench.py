@@ -72,14 +72,10 @@ def _bench_entity_steps_inner(n_bodies: int, ticks: int, dtype: str) -> dict:
     from elodin_tpu.six_dof import increment_sim_tick_system
     from elodin_tpu.system import Pipe, SystemBuilder, as_system
 
-    from elodin_tpu import _config
-
     world, system = build_batched_sixdof(n_bodies)
+    # snapshot() already materializes columns at the active policy's dtype
+    # (world.py applies the metadata-driven per-component mapping)
     meta, cols = world.snapshot()
-    # metadata-driven per-component policy (SURVEY 7e): the active policy
-    # supplies the default mapping (f32: everything; mixed: integrator
-    # state stays f64) and per-component precision= declarations override
-    cols = _config.apply_float_policy(meta, cols)
     full = Pipe(increment_sim_tick_system, as_system(system))
 
     def step(state):
@@ -361,7 +357,12 @@ def stage_hbm() -> dict:
 
     stats = jax.devices()[0].memory_stats() or {}
     if "peak_bytes_in_use" in stats:
-        return {"hbm_peak_mb": round(stats["peak_bytes_in_use"] / 2**20, 1)}
+        # scope label: heavy stages run in SUBPROCESSES, so the parent's
+        # peak covers only the inline stages (value/f32/mc) — without the
+        # label this reads as the whole bench's peak and silently
+        # understates the campaigns vs the pre-subprocess rounds
+        return {"hbm_peak_mb": round(stats["peak_bytes_in_use"] / 2**20, 1),
+                "hbm_peak_scope": "inline stages only (value/f32/mc)"}
     return {}
 
 

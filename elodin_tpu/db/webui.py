@@ -235,14 +235,18 @@ def register_routes(routes: dict, db) -> None:
     _video_cache: dict = {}
 
     def api_videos(path, query):
-        """H.264 msg logs the browser can play (SPS found in the head)."""
-        from .video import NAL_SPS, find_nal
+        """H.264 msg logs the browser can play.  Requires BOTH an SPS and a
+        PPS in the head — the mux needs both, so listing SPS-only logs
+        would offer streams that always 415."""
+        from .video import NAL_PPS, NAL_SPS, find_nal
 
         out = []
         with db.lock:
             for mid, log in db.msg_logs.items():
                 head = log.entries[:20]
                 if not any(find_nal(p, NAL_SPS) for _, p in head):
+                    continue
+                if not any(find_nal(p, NAL_PPS) for _, p in head):
                     continue
                 name = getattr(log.metadata, "name", None) or mid.hex()
                 out.append({"id": mid.hex(), "name": name,

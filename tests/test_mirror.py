@@ -136,3 +136,72 @@ def test_mirror_on_update_callback(server):
     assert any(name == "imu.gyro" for name, _ in seen)
     writer.close()
     writer_client.close()
+
+
+def test_query_miss_creates_no_phantom_series(server):
+    """Probing a nonexistent name (typo) through latest/value_at/wait_for
+    must not pollute the mirror's component set with empty series."""
+    with MirrorWorld.connect(server.addr) as m:
+        assert m.latest("ball.world_poss") is None
+        assert m.value_at("ball.world_poss", 10_000_000) is None
+        assert not m.wait_for("ball.world_poss", timeout=0.05)
+        assert "ball.world_poss" not in m.cache.component_names()
+
+
+def test_concurrent_insert_and_scrub_stay_consistent():
+    """The sink thread and a backfilling caller insert into the SAME
+    SeriesCache concurrently (the documented contract): under the per-
+    series lock, timestamps stay sorted and paired with their values."""
+    import threading
+
+    import numpy as np
+
+    from elodin_tpu.db.mirror import SeriesCache
+
+    s = SeriesCache()
+    N = 4000
+
+    def live():  # ascending inserts (the sink)
+        for i in range(0, N, 2):
+            s.insert(i, np.asarray([float(i)]))
+
+    def backfill():  # out-of-order inserts (history fetch)
+        for i in range(N - 1, 0, -2):
+            s.insert(i, np.asarray([float(i)]))
+
+    ts = [threading.Thread(target=live), threading.Thread(target=backfill)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(s) == N
+    assert s._ts == sorted(s._ts)
+    for k in (0, 1, N // 2, N - 1):
+        got = s.get_at_or_before(k)
+        assert got is not None and got[0] == k and float(got[1][0]) == float(k)
+
+
+def test_live_contiguous_coverage_stays_compact(server):
+    """The real-time stream delivers every ingested row, so the sink grows
+    ONE coverage interval per component instead of one per sample — the
+    O(n^2) coverage rebuild and the per-gap backfill RPC storm both hinge
+    on this."""
+    import time
+
+    import numpy as np
+
+    writer = edb.Client.connect(server.addr)
+    spec = edb.f64[1].labeled("v")
+    with MirrorWorld.connect(server.addr) as m:
+        with writer.table_writer({"craft.x": spec}) as w:
+            for i in range(50):
+                w.write(1_000_000 + i * 10_000, {"craft.x": np.asarray([float(i)])})
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline:
+            s = m.cache.peek("craft.x")
+            if s is not None and len(s) >= 50:
+                break
+            time.sleep(0.02)
+        s = m.cache.peek("craft.x")
+        assert s is not None and len(s) >= 50
+        assert len(s._covered) <= 3, s._covered[:5]
