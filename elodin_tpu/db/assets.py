@@ -65,9 +65,13 @@ class AssetHttpServer:
     (assets_http.rs assets_http_addr)."""
 
     def __init__(self, store: AssetStore, port: int = 0,
-                 host: str = "127.0.0.1", db=None):
+                 host: str = "127.0.0.1", db=None, ws_tcp_port=None):
         self.store = store
         self.db = db  # optional Database for /healthz and /metrics
+        # GET /ws upgrades to a WebSocket carrying the FULL DB wire
+        # protocol, bridged to the TCP server at this loopback port
+        # (reference: the impeller2 ws transport, libs/db/src/lib.rs)
+        self.ws_tcp_port = ws_tcp_port
         # extensible GET routes: prefix -> fn(path, query) -> (status, ctype,
         # body); the web UI (db/webui.py) registers /api/* and / here
         self.routes: dict[str, object] = {}
@@ -93,6 +97,27 @@ class AssetHttpServer:
                 from urllib.parse import parse_qs, urlparse
 
                 parsed = urlparse(self.path)
+                if parsed.path == "/ws" and outer.ws_tcp_port is not None:
+                    from . import ws as _ws
+
+                    fields = _ws.handshake_fields(self.headers)
+                    if fields is None:
+                        self.send_response(400)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    self.send_response(101)
+                    for k, v in fields.items():
+                        self.send_header(k, v)
+                    self.end_headers()
+                    self.wfile.flush()
+                    try:
+                        # occupies this handler thread for the connection
+                        _ws.serve_bridge(self.rfile, self.connection,
+                                         outer.ws_tcp_port)
+                    finally:
+                        self.close_connection = True
+                    return
                 route = None
                 for prefix in sorted(outer.routes, key=len, reverse=True):
                     if parsed.path == prefix or (

@@ -1090,7 +1090,8 @@ class Server:
 
             if self.port is not None:
                 self.assets_http = AssetHttpServer(
-                    self.db.assets, port=self.port + 1, db=self.db
+                    self.db.assets, port=self.port + 1, db=self.db,
+                    ws_tcp_port=self.port,
                 )
         except OSError:
             self.assets_http = None
