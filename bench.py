@@ -374,29 +374,32 @@ def stage_hbm() -> dict:
 # subprocess stages are then bounded by their deadline and salvage their
 # last flushed line; only the small stages run inline.
 STAGES: list[tuple] = [
+    # ordered by value-per-second under a tight budget: the headline and
+    # the near-free stages land before the compile-heavy campaigns (the
+    # driver's default 520 s budget must at minimum capture
+    # value/verify/f32/mixed plus the cheap table rows)
     ("value", "BENCH_VALUE", 40, False, None),
-    ("verify", "BENCH_VERIFY", 90, True, None),
     ("f32", "BENCH_F32", 15, False, None),
+    ("mc", "BENCH_MC", 15, False, None),
+    ("verify", "BENCH_VERIFY", 90, True, None),
     ("mixed", "BENCH_MIXED", 60, True, None),
-    # 4000-tick segments give the all-DOWN early-stop useful granularity
-    # (last dispersed landing ~52k of 58k ticks; the 20k default would only
-    # check at 20k/40k and run the full envelope) at ~14 cheap launches
+    ("mc_100k", "BENCH_MC", 40, True, None),
+    ("egm08", "BENCH_EGM", 40, True, None),
+    ("lockstep_cpu", "BENCH_LOCKSTEP", 45, True, {"JAX_PLATFORMS": "cpu"}),
     # ~200-400 s first-ever compile per process: the campaign tick's
     # 24-step IIP scan unrolls inside XLA (observed 4.7k stablehlo ops ->
     # ~100k optimized HLO), and the big executables do not persist through
-    # the tunnel cache, so the deadline floor must cover a full compile
+    # the tunnel cache, so the deadline floor must cover a full compile.
+    # 4000-tick segments give the all-DOWN early-stop useful granularity
+    # (last dispersed landing ~52k of 58k ticks).
     ("f9", "BENCH_F9", 140, True, {"ELODIN_MC_SEGMENT_TICKS": "4000"}),
     ("f9_mixed", "BENCH_F9", 110, True,
      {"ELODIN_FLOAT_POLICY": "mixed", "ELODIN_MC_SEGMENT_TICKS": "4000"}),
-    ("mc", "BENCH_MC", 15, False, None),
-    ("mc_100k", "BENCH_MC", 40, True, None),
-    ("rtf", "BENCH_RTF", 180, True, None),
     # the reference regime: single interactive sims on the CPU backend
     # (tiny-shape fusion latency bounds the device rate; PERFORMANCE.md)
     ("rtf_cpu", "BENCH_RTF", 120, True, {"JAX_PLATFORMS": "cpu"}),
+    ("rtf", "BENCH_RTF", 180, True, None),
     ("lockstep", "BENCH_LOCKSTEP", 60, True, None),
-    ("lockstep_cpu", "BENCH_LOCKSTEP", 45, True, {"JAX_PLATFORMS": "cpu"}),
-    ("egm08", "BENCH_EGM", 40, True, None),
     ("rocket", "BENCH_ROCKET", 40, True, None),
     ("nbody", "BENCH_NBODY", 60, True, None),
     ("diff", "BENCH_DIFF", 40, True, None),
