@@ -455,11 +455,54 @@ def _run_subprocess_stage(name: str, timeout_s: float, extra_env) -> dict:
     return out
 
 
+def _tunnel_probe(timeout_s: float = 150.0) -> bool:
+    """One tiny device op in a bounded subprocess.  The axon tunnel
+    sometimes wedges so that EVERY backend init hangs (observed round 3
+    and 2026-08-19); an unprobed bench would then hang at its first stage
+    and the driver's capture would be empty."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jnp.zeros(4).block_until_ready();"
+             "print('probe-ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "probe-ok" in (proc.stdout or "")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "520"))
     t0 = time.monotonic()
     result: dict = {}
     stages_done: list[str] = []
+
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and not _tunnel_probe():
+        # Wedged tunnel: report the LAST COMMITTED capture with explicit
+        # provenance instead of hanging until an external watchdog kills
+        # us with nothing on stdout.  Prefer the last FULL capture over a
+        # fresher-but-partial one (a partial run overwrites latest.json).
+        # The reused line keeps its own bench_captured_utc, so the
+        # staleness is visible, and bench_wedged names what happened.
+        here = os.path.dirname(os.path.abspath(__file__))
+        stale: dict = {}
+        for fname in ("latest.json", "last_full.json"):
+            try:
+                with open(os.path.join(here, "bench_out", fname)) as f:
+                    cand = json.load(f)
+            except Exception:  # noqa: BLE001
+                continue
+            if (len(cand.get("bench_stages", "").split(","))
+                    > len(stale.get("bench_stages", "").split(","))):
+                stale = cand
+        stale["bench_wedged"] = (
+            "device tunnel probe timed out (every backend init hangs); "
+            "metrics above are the last committed capture, NOT fresh — "
+            "see bench_captured_utc for when they were measured"
+        )
+        print(json.dumps(stale), flush=True)
+        return
 
     def remaining() -> float:
         return budget_s - (time.monotonic() - t0)
@@ -532,6 +575,11 @@ def main() -> None:
         os.makedirs("bench_out", exist_ok=True)
         with open("bench_out/latest.json", "w") as f:
             json.dump(result, f, indent=1)
+        # Preserve full captures separately so a later partial/wedged run
+        # overwriting latest.json can't destroy the wedge-fallback data.
+        if len(stages_done) >= 10:
+            with open("bench_out/last_full.json", "w") as f:
+                json.dump(result, f, indent=1)
     except Exception:  # noqa: BLE001
         pass
     print(json.dumps(result), flush=True)
