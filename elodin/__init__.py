@@ -13,6 +13,7 @@ from elodin_tpu import (  # noqa: F401
 from elodin_tpu import db as db  # noqa: F401
 from elodin_tpu.gravity import egm08 as egm08, j2 as j2  # noqa: F401
 from elodin_tpu import frames as frames, wmm as wmm  # noqa: F401
+from elodin_tpu import linalg as linalg  # noqa: F401
 from elodin_tpu import adcs as adcs  # noqa: F401
 from elodin_tpu._config import _get_cache_dir  # noqa: F401
 

@@ -59,6 +59,7 @@ from .world import DEFAULT_TIME_STEP, WorldBuilder  # noqa: F401
 from .jaxsim import JaxSim  # noqa: F401
 from .diff import rollout  # noqa: F401
 from .ops.precise import const_pin  # noqa: F401
+from . import linalg as linalg  # noqa: F401
 from . import monte_carlo as monte_carlo  # noqa: F401
 from . import s10 as s10  # noqa: F401
 

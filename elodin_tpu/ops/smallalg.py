@@ -93,6 +93,67 @@ def psd_inv(a, jitter: float = 0.0):
     return psd_solve(a, eye, jitter)
 
 
+def lu_factor(a):
+    """Partial-pivot LU of a general (..., n, n) matrix, unrolled over the
+    static n into plain arithmetic + gathers (no LAPACK custom call — the
+    TPU remote compiler rejects f64 ``lax.linalg.lu``; see module docstring).
+
+    Returns ``(lu, perm, sign)``: ``lu`` packs unit-lower L below the
+    diagonal and U on/above it (LAPACK convention); ``perm`` is the row
+    permutation applied to the INPUT (``a[perm] = L @ U``, batched shape
+    ``(..., n)``, int32); ``sign`` is the permutation parity (+1/-1,
+    a.dtype) for determinants.  Batched leading dims work throughout.
+    """
+    n = a.shape[-1]
+    batch = a.shape[:-2]
+    sign = jnp.ones(batch, dtype=a.dtype)
+    perm = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), batch + (n,))
+    for k in range(n):
+        # pivot row = argmax |column k| over rows k..n-1
+        col = jnp.abs(a[..., k:, k])
+        p = (jnp.argmax(col, axis=-1) + k).astype(jnp.int32)  # (...,)
+        row_k = a[..., k, :]
+        row_p = jnp.take_along_axis(
+            a, jnp.broadcast_to(p[..., None, None], batch + (1, n)), axis=-2
+        )[..., 0, :]
+        # swap rows k<->p: write the old row k into position p first (a
+        # masked where), then overwrite row k; p==k degenerates correctly.
+        is_p = (jnp.arange(n, dtype=jnp.int32) == p[..., None])[..., None]
+        a = jnp.where(is_p, row_k[..., None, :], a)
+        a = a.at[..., k, :].set(row_p)
+        perm_k = perm[..., k]
+        perm_p = jnp.take_along_axis(
+            perm, jnp.broadcast_to(p[..., None], batch + (1,)), axis=-1
+        )[..., 0]
+        perm = jnp.where(is_p[..., 0], perm_k[..., None], perm)
+        perm = perm.at[..., k].set(perm_p)
+        sign = sign * jnp.where(p == k, 1.0, -1.0).astype(a.dtype)
+        if k + 1 < n:
+            factors = a[..., k + 1 :, k] / a[..., k, k][..., None]
+            a = a.at[..., k + 1 :, k].set(factors)
+            a = a.at[..., k + 1 :, k + 1 :].add(
+                -factors[..., None] * a[..., k, k + 1 :][..., None, :]
+            )
+    return a, perm, sign
+
+
+def lu_solve(lu, perm, b):
+    """Solve ``a x = b`` from ``lu_factor(a)`` output; b is (..., n, m)."""
+    n = lu.shape[-1]
+    bp = jnp.take_along_axis(
+        b, jnp.broadcast_to(perm[..., None], b.shape[:-2] + (n, b.shape[-1])),
+        axis=-2,
+    )
+    low = jnp.tril(lu, -1) + jnp.eye(n, dtype=lu.dtype)
+    return solve_tri_upper(jnp.triu(lu), solve_tri_lower(low, bp))
+
+
+def lu_det(lu, sign):
+    """Determinant from ``lu_factor`` output."""
+    diag = jnp.diagonal(lu, axis1=-2, axis2=-1)
+    return sign * jnp.prod(diag, axis=-1)
+
+
 def inv_3x3(a):
     """Closed-form adjugate inverse for general (..., 3, 3) matrices."""
     m = a

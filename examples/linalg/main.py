@@ -67,11 +67,13 @@ def decompose(a: MatA) -> tuple[CholOut, QrQ, SvdS, InvOut, SolveOut, EigVals, D
     chol = la.cholesky(a)
     q, _r = jnp.linalg.qr(a)
     s = la.svd(a, compute_uv=False)
-    inv = la.inv(a)
+    # el.linalg == jnp.linalg off-TPU; on TPU it routes f64 inv/solve/det
+    # around the remote compiler's broken f64 LU custom call.
+    inv = el.linalg.inv(a)
     b = jnp.arange(4.0) + 1.0
-    x = la.solve(a, b)
+    x = el.linalg.solve(a, b)
     w = la.eigvalsh(a)
-    d = la.det(a)
+    d = el.linalg.det(a)
     return chol, q, s, inv, x, w, d
 
 
