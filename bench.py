@@ -381,11 +381,15 @@ STAGES: list[tuple] = [
     ("value", "BENCH_VALUE", 40, False, None),
     ("f32", "BENCH_F32", 15, False, None),
     ("mc", "BENCH_MC", 15, False, None),
+    ("hbm", "BENCH_HBM", 2, False, None),
+    # cheap, headline-adjacent rows land BEFORE the compile-heavy verify:
+    # a cold-tunnel verify can eat 350+ s (observed 2026-08-19) and must
+    # not starve 6-18 s stages of their slot under the driver's 520 s
+    ("lockstep_cpu", "BENCH_LOCKSTEP", 45, True, {"JAX_PLATFORMS": "cpu"}),
+    ("egm08", "BENCH_EGM", 40, True, None),
+    ("mc_100k", "BENCH_MC", 40, True, None),
     ("verify", "BENCH_VERIFY", 90, True, None),
     ("mixed", "BENCH_MIXED", 60, True, None),
-    ("mc_100k", "BENCH_MC", 40, True, None),
-    ("egm08", "BENCH_EGM", 40, True, None),
-    ("lockstep_cpu", "BENCH_LOCKSTEP", 45, True, {"JAX_PLATFORMS": "cpu"}),
     # ~200-400 s first-ever compile per process: the campaign tick's
     # 24-step IIP scan unrolls inside XLA (observed 4.7k stablehlo ops ->
     # ~100k optimized HLO), and the big executables do not persist through
@@ -403,7 +407,6 @@ STAGES: list[tuple] = [
     ("rocket", "BENCH_ROCKET", 40, True, None),
     ("nbody", "BENCH_NBODY", 60, True, None),
     ("diff", "BENCH_DIFF", 40, True, None),
-    ("hbm", "BENCH_HBM", 2, False, None),
     # projected from their share runs; mixed first — it is the cheaper of
     # the two, so a tight budget captures at least one 10k number
     ("f9_10k_mixed", "BENCH_F9_10K", None, True, None),
@@ -563,6 +566,35 @@ def main() -> None:
             result[f"{name}_error"] = str(e)[:300]
         result[f"bench_{name}_s"] = round(time.monotonic() - t_stage, 1)
         snapshot()
+
+    # stages that did not run live still get their metrics reported — from
+    # the last committed FULL capture, with explicit provenance (the
+    # driver's tight budget physically cannot fit ~40 min of cold-tunnel
+    # stages; per-stage *_skipped keys above say which rows are not fresh)
+    not_live = [n for n, *_ in STAGES if n not in stages_done]
+    if not_live and os.environ.get("BENCH_NO_MERGE", "0") != "1":
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_out", "last_full.json")) as f:
+                full = json.load(f)
+        except Exception:  # noqa: BLE001
+            full = None
+        if full:
+            merged = [
+                k for k in full
+                if k not in result and not k.startswith("bench_")
+                and not k.endswith(("_skipped", "_error", "_partial"))
+            ]
+            for k in merged:
+                result[k] = full[k]
+            result["bench_merged_from_full_utc"] = full.get(
+                "bench_captured_utc")
+            result["bench_merged_note"] = (
+                f"{len(merged)} metrics for non-live stages "
+                f"({','.join(not_live)}) are reported from the committed "
+                "full capture at bench_merged_from_full_utc; bench_stages "
+                "lists what ran fresh in THIS run"
+            )
 
     # final merged line LAST (the driver parses the tail)
     result["bench_elapsed_s"] = round(time.monotonic() - t0, 1)
