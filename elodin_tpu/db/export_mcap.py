@@ -2330,11 +2330,35 @@ def build_scene_json(db, ts_ns: int | None = None) -> dict:
         for a in sch.arrows
         if _literal_tuple(str(a.vector)) is None
     ]
+    # live frame poses at ts: the MCAP export carries these on /tf
+    # (frame_locked entities move with their frame); the JSON endpoint
+    # must bake them in or a live consumer would render everything at
+    # identity.  [qx,qy,qz,qw, x,y,z] rows, last-sample-at-or-before hold.
+    transforms: dict[str, dict] = {}
+    ts_us = ts_ns // 1000
+    for ent in entities:
+        fid = ent.get("frame_id", "world")
+        if fid in transforms or fid == "world" or fid.startswith("literal-"):
+            continue
+        store = _pose_store(fid, comps_by_name)
+        if store is None:
+            continue
+        n = store.len
+        idx = max(0, int(np.searchsorted(
+            store.timestamps[:n], ts_us, side="right")) - 1)
+        row = [float(v) for v in store.values[idx][:7]]
+        transforms[fid] = {
+            "position": {"x": row[4], "y": row[5], "z": row[6]},
+            "orientation": {
+                "x": row[0], "y": row[1], "z": row[2], "w": row[3],
+            },
+        }
     return {
         "entities": entities,
         "follow_entity": follow_entity,
         "geo_active": geo_active,
         "referenced_assets": referenced,
         "arrows": arrows,
+        "transforms": transforms,
         "warnings": warnings,
     }

@@ -182,13 +182,17 @@ def register_routes(routes: dict, db) -> None:
         return _json_resp(payload)
 
     def api_scene(path, query):
-        """The MCAP exporter's SceneUpdate entities, live (editor 3D-scene
-        parity: object_3d models, line_3d trajectories, vector arrows)."""
+        """The MCAP exporter's SceneUpdate entities (editor 3D-scene
+        parity: object_3d models, line_3d trajectories, vector arrows,
+        live frame transforms).  ``?ts_us=`` renders the scene at a
+        scrubbed timeline position instead of the latest sample."""
         from .export_mcap import build_scene_json
 
+        ts_us = _qint(query, "ts_us", 0)
         try:
             with db.lock:
-                scene = build_scene_json(db)
+                scene = build_scene_json(
+                    db, ts_ns=ts_us * 1000 if ts_us > 0 else None)
         except Exception as e:  # noqa: BLE001 — surface, don't 500
             scene = {"entities": [], "error": str(e)}
         return _json_resp(scene)
@@ -309,9 +313,11 @@ def register_routes(routes: dict, db) -> None:
         return 200, "text/html; charset=utf-8", VIEWER_HTML.encode()
 
     def static_js(path, query):
-        # the viewer logic lives in static/viewer.js (a reviewable,
-        # testable artifact rather than an embedded string)
-        return 200, "application/javascript; charset=utf-8", viewer_js()
+        # the viewer logic lives in static/*.js (reviewable, testable
+        # artifacts rather than embedded strings)
+        name = path.rsplit("/", 1)[-1]
+        return (200, "application/javascript; charset=utf-8",
+                _static_file(name))
 
     routes["/api/info"] = api_info
     routes["/api/components"] = api_components
@@ -325,14 +331,23 @@ def register_routes(routes: dict, db) -> None:
     routes["/api/video"] = api_video
     routes["/api/sql"] = api_sql
     routes["/static/viewer.js"] = static_js
+    routes["/static/scene3d.js"] = static_js
     routes["/"] = index
 
 
-def viewer_js() -> bytes:
+def _static_file(name: str) -> bytes:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "static", "viewer.js")
+                        "static", name)
     with open(path, "rb") as f:
         return f.read()
+
+
+def viewer_js() -> bytes:
+    return _static_file("viewer.js")
+
+
+def scene3d_js() -> bytes:
+    return _static_file("scene3d.js")
 
 
 def _jsonable(v):
@@ -490,6 +505,7 @@ table.vals th { color:var(--ink-3); font-weight:500; }
         font-variant-numeric:tabular-nums;min-width:90px"></span>
       <button id="livebtn" class="on">live</button>
       <button id="view3d">3D view</button>
+      <button id="scenebtn">scene</button>
       <button id="sqlbtn">SQL</button>
       <button id="logsbtn">logs</button>
       <button id="videobtn">video</button>
@@ -498,6 +514,7 @@ table.vals th { color:var(--ink-3); font-weight:500; }
   </main>
 </div>
 <script src="/static/viewer.js"></script>
+<script src="/static/scene3d.js"></script>
 </body>
 </html>
 """

@@ -113,6 +113,16 @@ object_3d sat.world_pos {
         line = next(e for e in s["entities"] if e["topic"].endswith("-line"))
         pts = line["lines"][0]["points"]
         assert pts[0] == {"x": 1.0, "y": 2.0, "z": 3.0}
+
+        # live frame transform baked in (frame-locked entities would
+        # otherwise render at identity in a JSON consumer)
+        tf = s["transforms"]["sat"]
+        assert tf["position"] == {"x": 1.5, "y": 2.0, "z": 3.0}
+        assert tf["orientation"]["w"] == 1.0
+
+        # scrubbed scene: ?ts_us renders the pose at/before that time
+        s0 = json.loads(_get(base + "/api/scene?ts_us=1000000")[2])
+        assert s0["transforms"]["sat"]["position"]["x"] == 1.0
         c.close()
     finally:
         srv.stop()
@@ -327,5 +337,57 @@ def test_webui_video_endpoints(tmp_path):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+    finally:
+        srv.stop()
+
+
+def test_scene3d_js_served_and_contract(tmp_path):
+    """The WebGL scene viewer (/static/scene3d.js).  Contract checks that
+    run without a JS engine: served, referenced by the page, every fetched
+    endpoint registered, the pure S3D math/parse section touches no DOM/GL,
+    and the poll loop re-checks panel identity after its await (the same
+    stale-write hazard regression-tested for viewer.js's poll3d)."""
+    import re
+
+    from elodin_tpu.db import Server
+    from elodin_tpu.db.webui import register_routes, scene3d_js
+
+    srv = Server.start(str(tmp_path / "db"))
+    try:
+        base = f"http://127.0.0.1:{srv.port + 1}"
+        status, ctype, body = _get(base + "/static/scene3d.js")
+        assert status == 200 and "javascript" in ctype
+        js = body.decode()
+        assert js == scene3d_js().decode()
+        assert '"use strict";' in js
+        assert "innerHTML" not in js
+
+        status, _, page = _get(base + "/")
+        assert b'src="/static/scene3d.js"' in page
+        assert b'id="scenebtn"' in page
+
+        routes = {}
+
+        class _FakeDb:
+            pass
+
+        register_routes(routes, _FakeDb())
+        fetched = set(re.findall(r'fetch\(["`]((?:/api|/static)[^"`?]*)', js))
+        assert "/api/scene" in fetched
+        for url in fetched:
+            assert url in routes, f"scene3d.js fetches unregistered {url}"
+        # GLB fetches go to /assets/<key> (dynamic) — via fetch(md.url)
+        assert "fetch(md.url)" in js
+
+        # pure section boundary: no DOM/WebGL below the banner until the
+        # renderer section starts
+        pure = js[: js.index("// Renderer + poll loop")]
+        for token in ("document.", "window.", "getContext", "gl."):
+            assert token not in pure, f"S3D pure section uses {token}"
+
+        # poll loop stale-guard after the await
+        poll = js[js.index("async function pollScene3d"):]
+        poll = poll[: poll.index("\nfunction")]
+        assert "sceneView !== me" in poll[poll.index("await"):]
     finally:
         srv.stop()
