@@ -14,10 +14,18 @@ NOTHING — BENCH_r03.json rc=124):
   recorded as ``<stage>_skipped`` with the projection, mirroring the
   reference's terminating machine-readable ``bench`` subcommand
   (libs/nox-py/src/world_builder.rs:92-119);
-* long stages (RTF sweep, 100k MC, falcon9 campaigns, lockstep) run in
-  subprocesses with their own timeouts, so a wedged/faulted axon tunnel
-  kills the stage, not the process (a faulted TPU stays UNAVAILABLE for the
-  rest of the process — observed in round 3).
+* EVERY stage runs in its own subprocess with a deadline (round 4 proved
+  one inline fault kills every later inline stage; a faulted TPU stays
+  UNAVAILABLE for the rest of the process);
+* the first two stages (``value_small``, ``verify_small``) are micro-sized
+  to compile COLD through the axon tunnel in tens of seconds, so even a
+  run that loses everything afterwards lands one fresh TPU headline and
+  one fresh correctness gate;
+* after any TPU stage failure the device is re-probed; if it is gone, all
+  remaining TPU stages are skipped and the budget reroutes to the
+  CPU-backend stages (fresh data either way);
+* stage-failure diagnostics carry the subprocess's stderr tail (round 4
+  lost three diagnoses to empty stdout).
 
 Baseline: the reference's best single-process throughput, derived from its CI
 RTF numbers — three-body at RTF 3079.6 and 120 Hz = ~1.1M entity-steps/s
@@ -182,6 +190,49 @@ def stage_value() -> dict:
         "device": str(jax.devices()[0]),
     }
     out.update({k: v for k, v in f64.items() if k.startswith("sixdof_f64_")})
+    out.update(_hbm_peak("value stage (8192-body f64 6dof)"))
+    return out
+
+
+def stage_value_small() -> dict:
+    """Micro-headline sized to compile COLD through the axon tunnel in tens
+    of seconds (the full 8192-body value stage compiled 207 s cold in the
+    round-4 driver run and faulted the chip).  Runs FIRST: its success is
+    the strongest possible tunnel probe, and its number is a fresh
+    driver-verified TPU measurement even when everything after it dies."""
+    import jax
+
+    n_bodies = int(os.environ.get("BENCH_BODIES_SMALL", "1024"))
+    ticks = int(os.environ.get("BENCH_TICKS_SMALL", "200"))
+    f64 = bench_entity_steps(n_bodies, ticks, "f64")
+    value = f64["entity_steps_per_sec"]
+    out = {
+        "small_entity_steps_per_sec": round(value, 1),
+        "small_vs_baseline": round(value / BASELINE_ENTITY_STEPS, 3),
+        "small_n_bodies": n_bodies,
+        "small_ticks": ticks,
+        "small_wall_s": round(f64["wall_s"], 4),
+        "device": str(jax.devices()[0]),
+    }
+    out.update(_hbm_peak("value_small stage (1024-body f64 6dof)"))
+    return out
+
+
+def stage_verify_small() -> dict:
+    """Three-body-only TPU-vs-CPU trajectory gate + the f64 const-fusion
+    canary: the cheapest-to-compile fresh CORRECTNESS evidence, ordered
+    right after value_small so a driver run on a cold tunnel still lands
+    one live verify row (round-4 postmortem: the full verify needs 350+ s
+    cold and never ran live)."""
+    from elodin_tpu.verify import verify_trajectory
+
+    out = _const_fusion_canary()
+    tb = _load_example("three-body", "main")
+    rep = verify_trajectory(tb.w, tb.sys, ticks=100,
+                            simulation_rate=1.0 / tb.SIM_TIME_STEP)
+    rel = rep["_summary"]["metric_rel"]
+    out["f64_vs_cpu_max_rel_three_body"] = rel
+    assert rel <= 1e-6, f"TPU-vs-CPU three-body mismatch: {rel}"
     return out
 
 
@@ -352,75 +403,83 @@ def stage_f9_10k() -> dict:
     }
 
 
-def stage_hbm() -> dict:
+def _hbm_peak(scope: str) -> dict:
+    """Per-stage HBM peak.  Every TPU stage now runs in its own subprocess,
+    so the peak is reported from INSIDE the stage that owns the program —
+    the parent process never touches the device."""
     import jax
 
-    stats = jax.devices()[0].memory_stats() or {}
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+    except Exception:  # noqa: BLE001
+        return {}
     if "peak_bytes_in_use" in stats:
-        # scope label: heavy stages run in SUBPROCESSES, so the parent's
-        # peak covers only the inline stages (value/f32/mc) — without the
-        # label this reads as the whole bench's peak and silently
-        # understates the campaigns vs the pre-subprocess rounds
         return {"hbm_peak_mb": round(stats["peak_bytes_in_use"] / 2**20, 1),
-                "hbm_peak_scope": "inline stages only (value/f32/mc)"}
+                "hbm_peak_scope": scope}
     return {}
 
 
-# (name, env gate, projected cost seconds, run in subprocess, extra env).
-# Projections are WARM-compile-cache costs on the axon v5e with headroom
-# (the persistent XLA cache survives processes and rounds; the round-4
-# session pre-warms every stage's programs).  The budget check uses them;
-# the merged line records actuals per stage.  Cold compiles can overrun —
-# subprocess stages are then bounded by their deadline and salvage their
-# last flushed line; only the small stages run inline.
+# (name, env gate, projected cost seconds, extra env, touches-the-TPU).
+# EVERY stage runs in its own subprocess (the round-4 driver run proved the
+# inline path is fatal: one faulted stage killed every later inline stage,
+# libs/nox-py/src/cranelift_compile.rs:70-85 is the reference's per-stage
+# isolation analog).  Projections are WARM-compile-cache costs on the axon
+# v5e with headroom; the budget check uses them; the merged line records
+# actuals per stage.  Cold compiles can overrun — stages are then bounded
+# by their deadline and salvage their last flushed line.  The `tpu` flag
+# drives the post-fault reroute: once the device is known dead, TPU stages
+# are skipped immediately and the budget flows to the CPU-backend stages.
 STAGES: list[tuple] = [
-    # ordered by value-per-second under a tight budget: the headline and
-    # the near-free stages land before the compile-heavy campaigns (the
-    # driver's default 520 s budget must at minimum capture
-    # value/verify/f32/mixed plus the cheap table rows)
-    ("value", "BENCH_VALUE", 40, False, None),
-    ("f32", "BENCH_F32", 15, False, None),
-    ("mc", "BENCH_MC", 15, False, None),
-    ("hbm", "BENCH_HBM", 2, False, None),
+    # micro-stages first: sized to compile COLD through the tunnel in tens
+    # of seconds, so even a driver run that loses everything afterwards
+    # still captures one fresh TPU headline + one fresh correctness gate
+    ("value_small", "BENCH_VALUE", 60, None, True),
+    ("verify_small", "BENCH_VERIFY", 45, None, True),
+    ("value", "BENCH_VALUE", 40, None, True),
+    ("f32", "BENCH_F32", 15, None, True),
+    ("mc", "BENCH_MC", 15, None, True),
     # cheap, headline-adjacent rows land BEFORE the compile-heavy verify:
     # a cold-tunnel verify can eat 350+ s (observed 2026-08-19) and must
     # not starve 6-18 s stages of their slot under the driver's 520 s
-    ("lockstep_cpu", "BENCH_LOCKSTEP", 45, True, {"JAX_PLATFORMS": "cpu"}),
-    ("egm08", "BENCH_EGM", 40, True, None),
-    ("mc_100k", "BENCH_MC", 40, True, None),
-    ("verify", "BENCH_VERIFY", 90, True, None),
-    ("mixed", "BENCH_MIXED", 60, True, None),
+    ("lockstep_cpu", "BENCH_LOCKSTEP", 45, {"JAX_PLATFORMS": "cpu"}, False),
+    ("egm08", "BENCH_EGM", 40, None, True),
+    ("mc_100k", "BENCH_MC", 40, None, True),
+    ("verify", "BENCH_VERIFY", 90, None, True),
+    ("mixed", "BENCH_MIXED", 60, None, True),
     # ~200-400 s first-ever compile per process: the campaign tick's
     # 24-step IIP scan unrolls inside XLA (observed 4.7k stablehlo ops ->
     # ~100k optimized HLO), and the big executables do not persist through
     # the tunnel cache, so the deadline floor must cover a full compile.
     # 4000-tick segments give the all-DOWN early-stop useful granularity
     # (last dispersed landing ~52k of 58k ticks).
-    ("f9", "BENCH_F9", 140, True, {"ELODIN_MC_SEGMENT_TICKS": "4000"}),
-    ("f9_mixed", "BENCH_F9", 110, True,
-     {"ELODIN_FLOAT_POLICY": "mixed", "ELODIN_MC_SEGMENT_TICKS": "4000"}),
+    ("f9", "BENCH_F9", 140, {"ELODIN_MC_SEGMENT_TICKS": "4000"}, True),
+    ("f9_mixed", "BENCH_F9", 110,
+     {"ELODIN_FLOAT_POLICY": "mixed", "ELODIN_MC_SEGMENT_TICKS": "4000"},
+     True),
     # the reference regime: single interactive sims on the CPU backend
     # (tiny-shape fusion latency bounds the device rate; PERFORMANCE.md)
-    ("rtf_cpu", "BENCH_RTF", 120, True, {"JAX_PLATFORMS": "cpu"}),
-    ("rtf", "BENCH_RTF", 180, True, None),
-    ("lockstep", "BENCH_LOCKSTEP", 60, True, None),
-    ("rocket", "BENCH_ROCKET", 40, True, None),
-    ("nbody", "BENCH_NBODY", 60, True, None),
-    ("diff", "BENCH_DIFF", 40, True, None),
+    ("rtf_cpu", "BENCH_RTF", 120, {"JAX_PLATFORMS": "cpu"}, False),
+    ("rtf", "BENCH_RTF", 180, None, True),
+    ("lockstep", "BENCH_LOCKSTEP", 60, None, True),
+    ("rocket", "BENCH_ROCKET", 40, None, True),
+    ("nbody", "BENCH_NBODY", 60, None, True),
+    ("diff", "BENCH_DIFF", 40, None, True),
     # projected from their share runs; mixed first — it is the cheaper of
     # the two, so a tight budget captures at least one 10k number
-    ("f9_10k_mixed", "BENCH_F9_10K", None, True, None),
-    ("f9_10k", "BENCH_F9_10K", None, True, None),
+    ("f9_10k_mixed", "BENCH_F9_10K", None, None, True),
+    ("f9_10k", "BENCH_F9_10K", None, None, True),
 ]
 
 STAGE_FNS = {
-    "value": stage_value, "verify": stage_verify, "f32": stage_f32,
+    "value": stage_value, "value_small": stage_value_small,
+    "verify": stage_verify, "verify_small": stage_verify_small,
+    "f32": stage_f32,
     "mixed": stage_mixed, "f9": stage_f9, "f9_mixed": stage_f9_mixed,
     "f9_10k_mixed": stage_f9_10k, "mc": stage_mc,
     "mc_100k": stage_mc_100k, "rtf": stage_rtf, "rtf_cpu": stage_rtf,
     "lockstep": stage_lockstep, "lockstep_cpu": stage_lockstep,
     "egm08": stage_egm08, "rocket": stage_rocket, "nbody": stage_nbody,
-    "diff": stage_diff, "hbm": stage_hbm, "f9_10k": stage_f9_10k,
+    "diff": stage_diff, "f9_10k": stage_f9_10k,
 }
 
 
@@ -432,22 +491,26 @@ def _run_subprocess_stage(name: str, timeout_s: float, extra_env) -> dict:
             [sys.executable, os.path.abspath(__file__), "--stage", name],
             capture_output=True, text=True, timeout=timeout_s, env=env,
         )
-        stdout, rc = proc.stdout, proc.returncode
+        stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
         timed_out = False
     except subprocess.TimeoutExpired as e:
         # salvage whatever the stage flushed before the deadline (stages
         # that loop — the RTF sweep — print a cumulative JSON line per
         # item exactly so a timeout still yields the finished items)
-        stdout = e.stdout or b""
+        stdout, stderr = e.stdout or b"", e.stderr or b""
         if isinstance(stdout, bytes):
             stdout = stdout.decode(errors="replace")
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode(errors="replace")
         rc, timed_out = "timeout", True
     lines = [ln for ln in (stdout or "").strip().splitlines()
              if ln.startswith("{")]
     if not lines:
         if timed_out:
             raise subprocess.TimeoutExpired([name], timeout_s)
-        tail = (stdout or "")[-300:]
+        # the round-4 capture lost three stage diagnoses to an empty
+        # stdout tail — the actual tracebacks were on the discarded stderr
+        tail = (stdout or "")[-120:] + " | stderr: " + _errtail(stderr)
         raise RuntimeError(f"stage produced no JSON (rc={rc}): {tail}")
     out = json.loads(lines[-1])
     if timed_out:
@@ -458,11 +521,22 @@ def _run_subprocess_stage(name: str, timeout_s: float, extra_env) -> dict:
     return out
 
 
-def _tunnel_probe(timeout_s: float = 150.0) -> bool:
+def _errtail(stderr: str, limit: int = 400) -> str:
+    """Last meaningful stderr lines (skip the jax platform warnings that
+    pad every subprocess's stderr)."""
+    lines = [ln for ln in (stderr or "").strip().splitlines()
+             if ln.strip() and "Platform 'axon' is experimental" not in ln]
+    return " // ".join(lines[-4:])[-limit:]
+
+
+def _tunnel_probe(timeout_s: float = 90.0) -> bool:
     """One tiny device op in a bounded subprocess.  The axon tunnel
     sometimes wedges so that EVERY backend init hangs (observed round 3
     and 2026-08-19); an unprobed bench would then hang at its first stage
-    and the driver's capture would be empty."""
+    and the driver's capture would be empty.  This zeros-probe only proves
+    the backend INITIALIZES — value_small (the first stage) is the real
+    compile-and-run predictor; this one exists to detect total wedges
+    cheaply and to re-check device health after a stage fault."""
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
@@ -480,32 +554,24 @@ def main() -> None:
     t0 = time.monotonic()
     result: dict = {}
     stages_done: list[str] = []
+    device_dead = False
 
-    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and not _tunnel_probe():
-        # Wedged tunnel: report the LAST COMMITTED capture with explicit
-        # provenance instead of hanging until an external watchdog kills
-        # us with nothing on stdout.  Prefer the last FULL capture over a
-        # fresher-but-partial one (a partial run overwrites latest.json).
-        # The reused line keeps its own bench_captured_utc, so the
-        # staleness is visible, and bench_wedged names what happened.
-        here = os.path.dirname(os.path.abspath(__file__))
-        stale: dict = {}
-        for fname in ("latest.json", "last_full.json"):
-            try:
-                with open(os.path.join(here, "bench_out", fname)) as f:
-                    cand = json.load(f)
-            except Exception:  # noqa: BLE001
-                continue
-            if (len(cand.get("bench_stages", "").split(","))
-                    > len(stale.get("bench_stages", "").split(","))):
-                stale = cand
-        stale["bench_wedged"] = (
-            "device tunnel probe timed out (every backend init hangs); "
-            "metrics above are the last committed capture, NOT fresh — "
-            "see bench_captured_utc for when they were measured"
-        )
-        print(json.dumps(stale), flush=True)
-        return
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
+        t_probe = time.monotonic()
+        if not _tunnel_probe():
+            # Wedged tunnel: do NOT bail out (the round-4 wedge path only
+            # reprinted the stale capture) — skip every TPU stage and spend
+            # the whole budget on the CPU-backend stages so the driver
+            # still gets fresh data; non-live TPU metrics merge from the
+            # committed full capture with provenance at the end.
+            device_dead = True
+            result["bench_wedged"] = (
+                "device tunnel probe timed out before any stage ran; all "
+                "TPU stages skipped, CPU-backend stages ran fresh; TPU "
+                "metrics below are merged from the committed capture at "
+                "bench_merged_from_full_utc"
+            )
+        result["bench_probe_s"] = round(time.monotonic() - t_probe, 1)
 
     def remaining() -> float:
         return budget_s - (time.monotonic() - t0)
@@ -517,8 +583,14 @@ def main() -> None:
         line["bench_stages"] = ",".join(stages_done)
         print(json.dumps(line), flush=True)
 
-    for name, gate, est, in_subproc, extra_env in STAGES:
+    for name, gate, est, extra_env, is_tpu in STAGES:
         if os.environ.get(gate, "1") == "0":
+            continue
+        if is_tpu and device_dead:
+            result[f"{name}_skipped"] = (
+                "device tunnel wedged/faulted; budget rerouted to "
+                "CPU-backend stages"
+            )
             continue
         if name in ("f9_10k", "f9_10k_mixed"):
             share_key = ("falcon9_mixed_share_wall_s" if name.endswith("mixed")
@@ -542,29 +614,40 @@ def main() -> None:
             snapshot()
             continue
         t_stage = time.monotonic()
+        failed = False
         try:
-            if in_subproc:
-                # deadline = warm projection x3, but never less than
-                # projection + a cold-compile allowance (a first-ever
-                # compile through the tunnel runs minutes; round-4 runs
-                # lost f9_mixed/lockstep/rocket/nbody to est*3 alone);
-                # the -15 keeps the parent alive to print the final merged
-                # line before any external watchdog fires at ~budget
-                e = est or 60
-                timeout_s = max(min(max(e * 3, e + 360), remaining() - 15), 10)
-                out = _run_subprocess_stage(name, timeout_s, extra_env)
-            else:
-                out = STAGE_FNS[name]()
+            # deadline = warm projection x3, but never less than
+            # projection + a cold-compile allowance (a first-ever
+            # compile through the tunnel runs minutes; round-4 runs
+            # lost f9_mixed/lockstep/rocket/nbody to est*3 alone);
+            # the -15 keeps the parent alive to print the final merged
+            # line before any external watchdog fires at ~budget
+            e = est or 60
+            timeout_s = max(min(max(e * 3, e + 360), remaining() - 15), 10)
+            out = _run_subprocess_stage(name, timeout_s, extra_env)
             result.update(out)
             stages_done.append(name)
         except subprocess.TimeoutExpired:
+            failed = True
             result[f"{name}_error"] = (
                 f"stage subprocess timed out after "
                 f"{time.monotonic() - t_stage:.0f}s"
             )
         except Exception as e:  # noqa: BLE001
-            result[f"{name}_error"] = str(e)[:300]
+            failed = True
+            result[f"{name}_error"] = str(e)[:400]
         result[f"bench_{name}_s"] = round(time.monotonic() - t_stage, 1)
+        if failed and is_tpu and not device_dead:
+            # post-fault re-probe: a faulted chip stays UNAVAILABLE for
+            # every later process (round-4: value's fault took out all
+            # four following TPU stages and 268 s burned on a doomed
+            # mixed).  If the device is gone, reroute the remaining
+            # budget to the CPU-backend stages immediately.
+            t_rp = time.monotonic()
+            if not _tunnel_probe(min(60.0, max(remaining() - 10, 10))):
+                device_dead = True
+                result["bench_device_faulted_after"] = name
+            result["bench_reprobe_s"] = round(time.monotonic() - t_rp, 1)
         snapshot()
 
     # stages that did not run live still get their metrics reported — from
