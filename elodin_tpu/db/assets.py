@@ -90,6 +90,12 @@ class AssetHttpServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # RFC 6455 requires the 101 upgrade on HTTP/1.1 — browsers
+            # reject an 'HTTP/1.0 101' status line outright (the default
+            # protocol_version here is 1.0).  Every handler path sets
+            # Content-Length (or replies 204), so 1.1 keep-alive is safe.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *args):
                 pass
 

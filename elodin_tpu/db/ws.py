@@ -68,9 +68,8 @@ def _read_exact(rfile, n: int) -> bytes:
     return buf
 
 
-def read_frame(rfile) -> tuple[int, bytes]:
-    """One frame -> (opcode, unmasked payload).  Raises ConnectionError on
-    EOF.  Fragmentation (FIN=0) is reassembled by the caller via OP_CONT."""
+def _read_one_frame(rfile) -> tuple[bool, int, bytes]:
+    """One raw frame -> (fin, opcode, unmasked payload)."""
     b0, b1 = _read_exact(rfile, 2)
     opcode = b0 & 0x0F
     fin = bool(b0 & 0x80)
@@ -84,13 +83,33 @@ def read_frame(rfile) -> tuple[int, bytes]:
     payload = _read_exact(rfile, n) if n else b""
     if key:
         payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
-    if not fin:
-        # reassemble continuation frames into one logical message
-        op2, rest = read_frame(rfile)
+    return fin, opcode, payload
+
+
+def read_frame(rfile, on_control=None) -> tuple[int, bytes]:
+    """One MESSAGE -> (opcode, unmasked payload).  Raises ConnectionError
+    on EOF.  Fragmentation (FIN=0) is reassembled across OP_CONT frames;
+    control frames (PING/PONG) interjected between fragments — explicitly
+    allowed by RFC 6455 §5.4, and browsers do ping mid-send — are handed
+    to ``on_control(opcode, payload)`` (dropped if None); an interjected
+    CLOSE ends the message and is returned as-is."""
+    fin, opcode, payload = _read_one_frame(rfile)
+    if fin:
+        return opcode, payload
+    parts = [payload]
+    while True:
+        fin2, op2, p2 = _read_one_frame(rfile)
+        if op2 >= OP_CLOSE:  # control frames are never fragmented
+            if op2 == OP_CLOSE:
+                return op2, p2
+            if on_control is not None:
+                on_control(op2, p2)
+            continue
         if op2 != OP_CONT:
             raise ConnectionError("interleaved websocket fragments")
-        payload += rest
-    return opcode, payload
+        parts.append(p2)
+        if fin2:
+            return opcode, b"".join(parts)
 
 
 def handshake_fields(headers) -> dict | None:
@@ -138,10 +157,17 @@ def serve_bridge(ws_rfile, ws_sock, tcp_port: int,
 
     pump = threading.Thread(target=tcp_to_ws, daemon=True)
     pump.start()
+
+    def pong(op: int, p: bytes) -> None:
+        if op != OP_PING:  # an interjected PONG needs no reply
+            return
+        with send_lock:
+            ws_sock.sendall(encode_frame(p, OP_PONG))
+
     try:
         while not tcp_closed.is_set():
             try:
-                opcode, payload = read_frame(ws_rfile)
+                opcode, payload = read_frame(ws_rfile, on_control=pong)
             except ConnectionError:
                 break
             if opcode == OP_CLOSE:
@@ -194,8 +220,12 @@ class WsClient:
         self.sock.sendall(encode_frame(data, OP_BINARY, mask=True))
 
     def recv_bytes(self) -> bytes:
+        def pong(op: int, p: bytes) -> None:
+            if op == OP_PING:
+                self.sock.sendall(encode_frame(p, OP_PONG, mask=True))
+
         while True:
-            opcode, payload = read_frame(self._rfile)
+            opcode, payload = read_frame(self._rfile, on_control=pong)
             if opcode == OP_CLOSE:
                 raise ConnectionError("websocket closed")
             if opcode == OP_PING:

@@ -80,16 +80,21 @@ def unmount_all(disk: dict) -> None:
 
 
 def _open_image(path: str):
-    """(stream, total_compressed_bytes) with decompression by extension."""
+    """(stream, total_compressed_bytes, proc_or_None) with decompression by
+    extension.  The zstd path decompresses through a subprocess whose exit
+    code MUST be checked after draining: a corrupt/truncated archive ends
+    the pipe early with no exception, which would otherwise half-flash the
+    destination and still pass --verify (the digest covers only the bytes
+    actually written)."""
     total = os.path.getsize(path)
     if path.endswith(".gz"):
         import gzip
 
-        return gzip.open(path, "rb"), total
+        return gzip.open(path, "rb"), total, None
     if path.endswith(".xz"):
         import lzma
 
-        return lzma.open(path, "rb"), total
+        return lzma.open(path, "rb"), total, None
     if path.endswith(".zst"):
         if shutil.which("zstd") is None:
             raise InscribeError(
@@ -98,14 +103,14 @@ def _open_image(path: str):
             )
         proc = subprocess.Popen(["zstd", "-dcq", path],
                                 stdout=subprocess.PIPE)
-        return proc.stdout, total
-    return open(path, "rb"), total
+        return proc.stdout, total, proc
+    return open(path, "rb"), total, None
 
 
 def flash(image: str, dest: str, progress=None) -> dict:
     """Stream `image` onto `dest` (a block device or file opened for
     write-in-place).  Returns {written, sha256, wall_s}."""
-    stream, _ = _open_image(image)
+    stream, _, proc = _open_image(image)
     sha = hashlib.sha256()
     written = 0
     t0 = time.perf_counter()
@@ -124,9 +129,17 @@ def flash(image: str, dest: str, progress=None) -> dict:
                 written += len(chunk)
                 if progress:
                     progress(written)
+        if proc is not None and proc.wait() != 0:
+            raise InscribeError(
+                f"decompressor exited {proc.returncode}: the archive is "
+                f"corrupt/truncated and only {written} bytes were flashed"
+            )
         os.fsync(fd)
     finally:
         os.close(fd)
+        if proc is not None and proc.poll() is None:
+            proc.kill()
+            proc.wait()
     return {
         "written": written,
         "sha256": sha.hexdigest(),

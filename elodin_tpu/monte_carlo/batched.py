@@ -172,11 +172,27 @@ class BatchedCampaign:
 
         return vstep
 
+    @staticmethod
+    def _until_key(until: Callable | None):
+        """Cache key for an early-stop predicate.  Keyed on the CODE object
+        plus (hashable) closure values, not callable identity: the natural
+        usage passes a fresh lambda to every run() call, and an
+        identity-keyed cache would re-lower + re-compile each time —
+        exactly the cost the AOT cache exists to avoid."""
+        if until is None:
+            return None
+        try:
+            cells = tuple(c.cell_contents for c in (until.__closure__ or ()))
+            hash(cells)
+        except Exception:  # noqa: BLE001 — unhashable closure: identity
+            return until
+        return (until.__code__, cells)
+
     def _runner(self, ticks: int, until: Callable | None = None) -> Callable:
         # caches the AOT-compiled executable, not just the jit wrapper:
         # run() calls lower().compile(), which bypasses jit's dispatch
         # cache and would re-trace + re-compile on every campaign.run()
-        key = (ticks, until)
+        key = (ticks, self._until_key(until))
         fn = self._jit_cache.get(key)
         if fn is None:
             vstep = self._vstep
@@ -204,7 +220,7 @@ class BatchedCampaign:
 
     def _emit_runner(self, every: int, n_emits: int, selected: tuple,
                      until: Callable | None = None):
-        key = ("emit", every, n_emits, selected, until)
+        key = ("emit", every, n_emits, selected, self._until_key(until))
         fn = self._jit_cache.get(key)
         if fn is None:
             vstep = self._vstep

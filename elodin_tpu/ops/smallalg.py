@@ -129,7 +129,13 @@ def lu_factor(a):
         perm = perm.at[..., k].set(perm_p)
         sign = sign * jnp.where(p == k, 1.0, -1.0).astype(a.dtype)
         if k + 1 < n:
-            factors = a[..., k + 1 :, k] / a[..., k, k][..., None]
+            # zero-pivot guard: a singular matrix must factor to a finite
+            # L with a 0 on U's diagonal so det comes out 0 (matching
+            # jnp.linalg.det) instead of 0/0 = NaN poisoning the product;
+            # solves against a singular factorization stay undefined.
+            pivot = a[..., k, k][..., None]
+            safe = jnp.where(pivot == 0, jnp.ones_like(pivot), pivot)
+            factors = a[..., k + 1 :, k] / safe
             a = a.at[..., k + 1 :, k].set(factors)
             a = a.at[..., k + 1 :, k + 1 :].add(
                 -factors[..., None] * a[..., k, k + 1 :][..., None, :]

@@ -107,3 +107,47 @@ def test_cli_refuses_non_external_target_without_force(tmp_path):
     img.write_bytes(b"x")
     with pytest.raises(SystemExit):
         inscribe.main([str(img), "--disk", str(tmp_path / "dev"), "--yes"])
+
+
+def test_zst_corrupt_archive_raises(tmp_path, monkeypatch):
+    """A decompressor that dies mid-stream must FAIL the flash: its pipe
+    just ends early, so without checking the exit code a truncated image
+    would be written and --verify would still pass (it hashes only the
+    bytes actually written)."""
+    # fake `zstd` that emits some bytes then exits nonzero (corrupt archive)
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = bindir / "zstd"
+    fake.write_text("#!/bin/sh\nhead -c 100000 /dev/zero\nexit 1\n")
+    fake.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    img = tmp_path / "image.img.zst"
+    img.write_bytes(b"not really zstd")
+    dest = tmp_path / "device"
+    dest.write_bytes(b"")
+    with pytest.raises(inscribe.InscribeError, match="corrupt/truncated"):
+        inscribe.flash(str(img), str(dest))
+
+
+def test_zst_clean_archive_flashes(tmp_path, monkeypatch):
+    """Happy path through the subprocess decompressor (exit 0)."""
+    payload = b"A" * 300_000
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = bindir / "zstd"
+    # fake decompressor: emits the 'decompressed' payload from a side file
+    src = tmp_path / "payload.bin"
+    src.write_bytes(payload)
+    fake.write_text(f"#!/bin/sh\ncat {src}\n")
+    fake.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    img = tmp_path / "image.img.zst"
+    img.write_bytes(b"opaque")
+    dest = tmp_path / "device"
+    dest.write_bytes(b"")
+    out = inscribe.flash(str(img), str(dest))
+    assert out["written"] == len(payload)
+    assert dest.read_bytes() == payload
+    assert out["sha256"] == hashlib.sha256(payload).hexdigest()

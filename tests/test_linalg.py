@@ -88,3 +88,22 @@ def test_solve_matrix_rhs_and_f32():
     assert x.dtype == jnp.float32
     np.testing.assert_allclose(
         np.asarray(a @ x), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_det_singular_is_zero_not_nan():
+    """A zero pivot in the unrolled LU must yield det == 0 (matching
+    jnp.linalg.det) — not 0/0 = NaN propagating into the diagonal product
+    (backend-divergent behavior on the TPU f64 fallback path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from elodin_tpu.ops import smallalg as sa
+
+    for a in (
+        jnp.zeros((4, 4), dtype=jnp.float64),
+        jnp.asarray(np.array([[1.0, 2.0], [2.0, 4.0]])),  # rank 1
+        jnp.asarray(np.outer(np.arange(1.0, 6.0), np.arange(1.0, 6.0))),
+    ):
+        lu, _, sign = sa.lu_factor(a)
+        d = float(sa.lu_det(lu, sign))
+        assert d == 0.0, f"singular det should be 0, got {d}"

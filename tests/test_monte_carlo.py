@@ -151,3 +151,46 @@ def test_until_early_stop_both_paths(monkeypatch):
     assert rh.ticks == 6
     assert rh.history["count"].shape[0] == 3  # emits actually recorded
     np.testing.assert_allclose(rh.history_times, [0.2, 0.4, 0.6])
+
+
+def test_until_cache_hits_across_fresh_lambdas(monkeypatch):
+    """The AOT-compile cache must key on the predicate's code+closure, not
+    callable identity: the natural usage passes a fresh lambda to each
+    run() call (examples/falcon9/batched.py does), and an identity key
+    re-lowers + re-compiles every time — the exact cost the cache exists
+    to avoid (round-4 advisor finding)."""
+    import typing as ty
+    from dataclasses import dataclass, field
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import elodin_tpu as el
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    Count = ty.Annotated[jax.Array, el.Component("cnt", el.ComponentType.F64)]
+
+    @dataclass
+    class A(el.Archetype):
+        cnt: Count = field(default_factory=lambda: jnp.float64(0.0))
+
+    @el.map
+    def inc(c: Count) -> Count:
+        return jnp.minimum(c + 1.0, 5.0)
+
+    w = el.World()
+    w.spawn(A(), name="e")
+    c = BatchedCampaign(w, inc, 4, {"e.cnt": np.zeros(4)},
+                        simulation_rate=10.0)
+
+    def make_until(lim):
+        return lambda cols: cols["cnt"] >= lim
+
+    c.run(8, until=make_until(5.0))
+    n_compiled = len(c._jit_cache)
+    c.run(8, until=make_until(5.0))  # fresh lambda, same code+closure
+    assert len(c._jit_cache) == n_compiled, "fresh identical lambda missed"
+    # a DIFFERENT closure value must NOT collide
+    c.run(8, until=make_until(3.0))
+    assert len(c._jit_cache) == n_compiled + 1

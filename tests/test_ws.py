@@ -73,3 +73,115 @@ def test_ws_upgrade_refused_without_headers(tmp_path):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_ws_upgrade_status_is_http11(tmp_path):
+    """RFC 6455 requires the 101 on HTTP/1.1 — browsers reject an
+    'HTTP/1.0 101' upgrade outright (BaseHTTPRequestHandler's default
+    protocol_version is 1.0; regression for the round-4 advisor finding)."""
+    import base64
+    import os as _os
+    import socket
+
+    srv = edb.Server.start(str(tmp_path / "db"))
+    try:
+        sock = socket.create_connection(("127.0.0.1", srv.port + 1))
+        try:
+            key = base64.b64encode(_os.urandom(16)).decode()
+            sock.sendall(
+                (f"GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                 f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                 "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+            status = sock.makefile("rb").readline()
+            assert status.startswith(b"HTTP/1.1 101"), status
+        finally:
+            sock.close()
+    finally:
+        srv.stop()
+
+
+def test_read_frame_control_frames_mid_fragment():
+    """RFC 6455 §5.4: PING/PONG may be interjected BETWEEN fragments of a
+    message; reassembly must answer them via on_control and keep waiting
+    for OP_CONT instead of raising."""
+    import io
+
+    from elodin_tpu.db import ws as W
+
+    def frame(fin, opcode, payload):
+        head = bytearray([(0x80 if fin else 0) | opcode])
+        head.append(len(payload))  # short payloads only, unmasked
+        return bytes(head) + payload
+
+    stream = io.BytesIO(
+        frame(False, W.OP_BINARY, b"hello ")
+        + frame(True, W.OP_PING, b"ping!")
+        + frame(True, W.OP_PONG, b"")
+        + frame(False, W.OP_CONT, b"world")
+        + frame(True, W.OP_CONT, b"!")
+    )
+    controls = []
+    op, payload = W.read_frame(stream, on_control=lambda o, p: controls.append((o, p)))
+    assert op == W.OP_BINARY
+    assert payload == b"hello world!"
+    assert controls == [(W.OP_PING, b"ping!"), (W.OP_PONG, b"")]
+
+
+def test_ws_bridge_answers_ping_mid_fragment(tmp_path):
+    """End-to-end: a client that pings in the middle of a fragmented send
+    gets a PONG and the bridged request still completes."""
+    import socket
+
+    from elodin_tpu.db import ws as W
+
+    srv = edb.Server.start(str(tmp_path / "db"))
+    try:
+        ws = WsClient("127.0.0.1", srv.port + 1)
+        try:
+            raw = M.DumpMetadata().packet(3)
+
+            def masked(fin, opcode, payload):
+                import os as _os
+
+                head = bytearray([(0x80 if fin else 0) | opcode])
+                head.append(0x80 | len(payload))
+                key = _os.urandom(4)
+                head += key
+                return bytes(head) + bytes(
+                    b ^ key[i % 4] for i, b in enumerate(payload))
+
+            ws.sock.sendall(
+                masked(False, W.OP_BINARY, raw[:4])
+                + masked(True, W.OP_PING, b"hb")
+                + masked(True, W.OP_CONT, raw[4:]))
+            # PONG must come back (possibly after data frames); then the
+            # metadata response proves the fragmented packet reassembled
+            got_pong = False
+            deadline = 50
+            buf = bytearray()
+            ws.sock.settimeout(10.0)
+            while deadline:
+                deadline -= 1
+                op, payload = W.read_frame(
+                    ws._rfile,
+                    on_control=lambda o, p: None,
+                )
+                if op == W.OP_PONG:
+                    assert payload == b"hb"
+                    got_pong = True
+                elif op == W.OP_BINARY:
+                    buf += payload
+                    if len(buf) >= 4:
+                        n = int.from_bytes(buf[:4], "little")
+                        if len(buf) - 4 >= n:
+                            pkt = M.parse_packet(bytes(buf[4:4 + n]))
+                            if pkt.ty == M.TY_MSG and got_pong:
+                                return  # both halves proven
+                if op == W.OP_CLOSE:
+                    break
+            raise AssertionError(
+                f"pong={got_pong}, response never completed")
+        finally:
+            ws.close()
+    finally:
+        srv.stop()
