@@ -8,8 +8,11 @@ direction from the magnetometer; the quaternion reference integrates the
 bias-corrected gyro each control tick and the error state folds back in
 multiplicatively.
 
-All dense 18x18 algebra — one (18,18)@(18,18) chain and a 6x6 solve per
-tick — maps straight onto the MXU under vmap for batched campaigns.
+The 18x18 covariance algebra is written block-sparse (G's nonzero rows,
+H's skew+bias structure) with sequential scalar measurement updates in
+place of a 6x6 solve: the interactive 1-entity regime is bound by per-HLO
+dispatch, and all the forms here stay batched matmuls under vmap for
+campaigns (docs/PERFORMANCE.md).
 
 NOTE: no `from __future__ import annotations` (el.map reads live annotations).
 """
@@ -21,7 +24,6 @@ import elodin as el
 import jax
 import jax.numpy as jnp
 
-from elodin_tpu.ops.smallalg import psd_solve
 from elodin_tpu.spatial import skew
 
 CTRL_DT = 1.0 / 300.0
@@ -105,12 +107,13 @@ def make_update(sn):
         accel: sn.Accel,
         mag: sn.Magnetometer,
         health: sn.AccelHealth,
+        pos: el.WorldPos,
         p_cov: EstCov,
         q_est: AttEst,
         bg: GyroBiasEst,
         ba: AccelBiasEst,
         bm: MagBiasEst,
-    ) -> tuple[EstCov, AttEst, GyroBiasEst, AccelBiasEst, MagBiasEst]:
+    ) -> tuple[EstCov, AttEst, GyroBiasEst, AccelBiasEst, MagBiasEst, AttEstError]:
         dt = CTRL_DT
         a_norm = jnp.linalg.norm(accel)
         accel_u = jnp.where(a_norm > 1e-6, accel / jnp.maximum(a_norm, 1e-6), _UP)
@@ -122,47 +125,60 @@ def make_update(sn):
         q_est = (q_est + q_est * el.Quaternion(jnp.concatenate([0.5 * w * dt, jnp.zeros(1)]))).normalize()
         rot = q_est.to_mat3()
 
-        # Linearized error dynamics -> first-order transition matrix.
-        g_mat = jnp.zeros((18, 18))
-        g_mat = g_mat.at[0:3, 0:3].set(-skew(w))
-        g_mat = g_mat.at[0:3, 9:12].set(-jnp.eye(3))
-        g_mat = g_mat.at[3:6, 0:3].set(-rot @ skew(a_meas))
-        g_mat = g_mat.at[3:6, 12:15].set(-rot)
-        g_mat = g_mat.at[6:9, 3:6].set(jnp.eye(3))
-        f_mat = jnp.eye(18) + g_mat * dt
-
-        p_cov = f_mat @ p_cov @ f_mat.T + _Q_DISCRETE
+        # Covariance propagation, first-order (P += dt(GP + PG^T) + Q) with
+        # G's block sparsity written out: G's only nonzero rows are 0:9
+        # (attitude <- gyro bias, velocity <- attitude/accel bias, position
+        # <- velocity), so GP is one (6,3)@(3,18) matmul plus row gathers
+        # instead of two dense 18x18 products.  The dropped dt^2 G P G^T
+        # term is O(dt) smaller than _Q_DISCRETE at 300 Hz; the interactive
+        # 1-entity regime is dispatch-bound, so fewer/smaller HLO ops win
+        # (docs/PERFORMANCE.md).
+        ab = jnp.concatenate([-skew(w), -(rot @ skew(a_meas))], axis=0)
+        m_top = ab @ p_cov[0:3]
+        m9 = jnp.concatenate(
+            [m_top[0:3] - p_cov[9:12], m_top[3:6] - rot @ p_cov[12:15], p_cov[3:6]],
+            axis=0,
+        )
+        p_cov = p_cov.at[0:9, :].add(dt * m9)
+        p_cov = p_cov.at[:, 0:9].add(dt * m9.T)
+        p_cov = p_cov + _Q_DISCRETE
 
         # Observation: gravity and field directions in the body frame.
-        up_b = q_est.inverse() @ _UP
-        north_b = q_est.inverse() @ _NORTH
-        h_mat = jnp.zeros((6, 18))
-        h_mat = h_mat.at[0:3, 0:3].set(skew(up_b))
-        h_mat = h_mat.at[0:3, 12:15].set(jnp.eye(3))
-        h_mat = h_mat.at[3:6, 0:3].set(skew(north_b))
-        h_mat = h_mat.at[3:6, 15:18].set(jnp.eye(3))
+        # rot maps body->world, so the world +Z/+Y axes expressed in the
+        # body frame are rot's third/second ROWS — no quaternion rotates.
+        up_b = rot[2]
+        north_b = rot[1]
+        sk_u = skew(up_b)
+        sk_n = skew(north_b)
 
         accel_obs_cov = 1.0 + (1.0 - health) * 1000.0
-        r_mat = jnp.zeros((6, 6))
-        r_mat = r_mat.at[0:3, 0:3].set(accel_obs_cov * jnp.eye(3))
-        r_mat = r_mat.at[3:6, 3:6].set(MAG_OBS_COV * jnp.eye(3))
-
-        ph_t = p_cov @ h_mat.T
-        innov_cov = h_mat @ ph_t + r_mat
-        # K = P H^T S^-1 via the unrolled SPD solve — jnp.linalg.solve's
-        # LAPACK custom call does not compile on this TPU stack
-        gain = psd_solve(innov_cov, ph_t.T).T
-        p_cov = (jnp.eye(18) - gain @ h_mat) @ p_cov
-
+        r_diag = jnp.concatenate(
+            [jnp.full(3, 1.0) * accel_obs_cov, jnp.full(3, MAG_OBS_COV)]
+        )
         innov = jnp.concatenate([a_meas - up_b, m_meas - north_b])
-        dx = gain @ innov
+
+        # Sequential scalar Kalman updates (R is diagonal): each row costs
+        # a (18,3) matvec + one rank-1 downdate — far fewer HLO ops than
+        # the batch 6x6 SPD solve, and algebraically the same posterior for
+        # this linearization.  Row i of H is [skew(dir) row, ..., e_i at
+        # the bias block], so P h_i^T needs only P's attitude and bias-i
+        # columns.  jnp.linalg.solve's LAPACK custom call would not compile
+        # on this TPU stack anyway (ops/smallalg.py).
+        dx = jnp.zeros(18)
+        for i in range(6):
+            sk_row = (sk_u if i < 3 else sk_n)[i % 3]
+            bias_col = 12 + i
+            ph = p_cov[:, 0:3] @ sk_row + p_cov[:, bias_col]
+            s = sk_row @ ph[0:3] + ph[bias_col] + r_diag[i]
+            k = ph / s
+            dx = dx + k * (innov[i] - (sk_row @ dx[0:3] + dx[bias_col]))
+            p_cov = p_cov - jnp.outer(k, ph)
         q_est = (
             q_est * el.Quaternion(jnp.concatenate([0.5 * dx[0:3], jnp.ones(1)]))
         ).normalize()
-        return p_cov, q_est, bg + dx[9:12], ba + dx[12:15], bm + dx[15:18]
+        # Truth-vs-estimate score folded into the same map (one system pass
+        # fewer in the dispatch-bound interactive regime).
+        err = q_est.angular_distance(pos.angular())
+        return p_cov, q_est, bg + dx[9:12], ba + dx[12:15], bm + dx[15:18], err
 
-    @el.map
-    def score(q_est: AttEst, pos: el.WorldPos) -> AttEstError:
-        return q_est.angular_distance(pos.angular())
-
-    return update | score
+    return update

@@ -4,8 +4,10 @@ Parity target: reference examples/drone/sensors.py — the FSW's only view of
 the world.  Gyro and accel sample at the 900 Hz fast-loop rate through a
 biquad anti-alias LPF; the magnetometer holds at 100 Hz; accel health folds
 specific-force deviation and rotation rate into a [0,1] trust score the MEKF
-uses to de-weight the gravity observation during maneuvers.  Deterministic
-noise via fold_in(key, sensor_tick) keeps batched campaigns reproducible.
+uses to de-weight the gravity observation during maneuvers.  Deterministic noise via a counter hash keyed on the sensor tick
+(elodin_tpu.ops.fastrand) keeps batched campaigns reproducible at ~6x
+fewer HLO ops than a threefry chain — the interactive 1-entity regime is
+dispatch-bound (docs/PERFORMANCE.md).
 
 NOTE: no `from __future__ import annotations` (el.map reads live annotations).
 """
@@ -16,7 +18,8 @@ from dataclasses import field
 import elodin as el
 import jax
 import jax.numpy as jnp
-import jax.random as jr
+
+from elodin_tpu.ops import fastrand
 
 FAST_DT = 1.0 / 900.0
 GYRO_LPF_HZ = 40.0
@@ -50,14 +53,6 @@ Magnetometer = ty.Annotated[
 ]
 MagBias = ty.Annotated[jax.Array, el.Component("magnetometer_bias", _F3)]
 
-_KEY = jr.key(450)
-
-
-def _draw(salt: int, tick, shape, cov):
-    key = jr.fold_in(jr.fold_in(_KEY, salt), tick.astype(jnp.int32))
-    return jnp.sqrt(cov) * jr.normal(key, shape=shape, dtype=jnp.float64)
-
-
 @el.dataclass
 class IMU(el.Archetype):
     sensor_tick: SensorTick = field(default_factory=lambda: jnp.float64(0.0))
@@ -73,54 +68,67 @@ class IMU(el.Archetype):
 
 
 def make_systems(filter_mod, noise: bool = True):
-    """Sensor pipeline factory (runs at the 900 Hz fast-loop rate)."""
+    """Sensor pipeline factory (runs at the 900 Hz fast-loop rate).
+
+    The whole IMU suite samples in ONE fused map with ONE PRNG draw: the
+    interactive (1-entity, CPU-backend) regime is bound by per-op dispatch,
+    and the original five-system pipeline spent most of its tick on 12
+    separate threefry chains (4 draws x fold_in each).  A single
+    counter-hash normal((4, 3)) draw keyed on the sensor tick
+    (elodin_tpu.ops.fastrand) feeds bias walk, gyro, accel and mag noise;
+    behavior (rates, filters, hold, health) is unchanged.
+    """
     gyro_lpf = filter_mod.BiquadLPF(GYRO_LPF_HZ, 1.0 / FAST_DT)
     accel_lpf = filter_mod.BiquadLPF(ACCEL_LPF_HZ, 1.0 / FAST_DT)
     mag_hold = round((1.0 / MAG_RATE_HZ) / FAST_DT)
+    # Per-row noise scale: [gyro bias drift*dt, gyro, accel, mag].
+    scale = jnp.sqrt(
+        jnp.asarray(
+            [GYRO_BIAS_DRIFT_COV, GYRO_NOISE_COV, ACCEL_NOISE_COV, MAG_NOISE_COV]
+        )
+    )[:, None] * jnp.asarray([FAST_DT, 1.0, 1.0, 1.0])[:, None]
 
     @el.map
-    def advance_tick(t: SensorTick) -> SensorTick:
-        return t + 1.0
-
-    @el.map
-    def gyro_bias_walk(t: SensorTick, bias: GyroBias) -> GyroBias:
-        if not noise:
-            return bias
-        return bias + _draw(1, t, (3,), GYRO_BIAS_DRIFT_COV) * FAST_DT
-
-    @el.map
-    def gyro_sample(
-        t: SensorTick, p: el.WorldPos, v: el.WorldVel, delay: GyroDelay, bias: GyroBias
-    ) -> tuple[GyroDelay, Gyro]:
-        w_body = p.angular().inverse() @ v.angular()
+    def imu_sample(
+        t: SensorTick,
+        p: el.WorldPos,
+        v: el.WorldVel,
+        a: el.WorldAccel,
+        gbias: GyroBias,
+        gdelay: GyroDelay,
+        abias: AccelBias,
+        adelay: AccelDelay,
+        mbias: MagBias,
+        mprev: Magnetometer,
+    ) -> tuple[
+        SensorTick, GyroBias, GyroDelay, Gyro, AccelDelay, Accel, Magnetometer, AccelHealth
+    ]:
+        t = t + 1.0
         if noise:
-            w_body = w_body + bias + _draw(2, t, (3,), GYRO_NOISE_COV)
-        new = gyro_lpf.apply(delay, w_body)
-        return new, new[2]
+            z = scale * fastrand.normal(t, 450, (4, 3), dtype=jnp.float64)
+            gbias = gbias + z[0]
+        rot_inv = p.angular().inverse()
 
-    @el.map
-    def accel_sample(
-        t: SensorTick, p: el.WorldPos, a: el.WorldAccel, delay: AccelDelay, bias: AccelBias
-    ) -> tuple[AccelDelay, Accel]:
+        w_body = rot_inv @ v.angular()
+        if noise:
+            w_body = w_body + gbias + z[1]
+        gdelay = gyro_lpf.apply(gdelay, w_body)
+        gyro = gdelay[2]
+
         # Specific force in g units: proper acceleration minus gravity.
-        f_body = p.angular().inverse() @ (a.linear() / 9.81 + jnp.asarray([0.0, 0.0, 1.0]))
+        f_body = rot_inv @ (a.linear() / 9.81 + jnp.asarray([0.0, 0.0, 1.0]))
         if noise:
-            f_body = f_body + bias + _draw(3, t, (3,), ACCEL_NOISE_COV)
-        new = accel_lpf.apply(delay, f_body)
-        return new, new[2]
+            f_body = f_body + abias + z[2]
+        adelay = accel_lpf.apply(adelay, f_body)
+        accel = adelay[2]
 
-    @el.map
-    def mag_sample(
-        t: SensorTick, p: el.WorldPos, bias: MagBias, prev: Magnetometer
-    ) -> Magnetometer:
-        m_body = p.angular().inverse() @ jnp.asarray(MAG_REF_WORLD)
+        m_body = rot_inv @ jnp.asarray(MAG_REF_WORLD)
         if noise:
-            m_body = m_body + bias + _draw(4, t, (3,), MAG_NOISE_COV)
-        return jnp.where(jnp.mod(t, mag_hold) < 0.5, m_body, prev)
+            m_body = m_body + mbias + z[3]
+        mag = jnp.where(jnp.mod(t, mag_hold) < 0.5, m_body, mprev)
 
-    @el.map
-    def health(acc: Accel, gyro: Gyro) -> AccelHealth:
-        h = 1.0 - jnp.clip(jnp.abs(jnp.linalg.norm(acc) - 1.0) / 0.5, 0.0, 1.0)
-        return h * (1.0 - jnp.clip(jnp.linalg.norm(gyro) / 0.5, 0.0, 1.0))
+        h = 1.0 - jnp.clip(jnp.abs(jnp.linalg.norm(accel) - 1.0) / 0.5, 0.0, 1.0)
+        health = h * (1.0 - jnp.clip(jnp.linalg.norm(gyro) / 0.5, 0.0, 1.0))
+        return t, gbias, gdelay, gyro, adelay, accel, mag, health
 
-    return advance_tick | gyro_bias_walk | gyro_sample | accel_sample | mag_sample | health
+    return imu_sample
