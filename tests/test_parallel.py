@@ -193,3 +193,126 @@ def test_entity_sharding_mesh_without_ep_axis():
     cols = {"x": jax.numpy.zeros((4, 8, 3))}
     placed = shard_cols(mesh, cols, sample_axis=True)
     assert placed["x"].shape == (4, 8, 3)
+
+
+def test_until_early_stop_sharded_matches_unsharded(mesh, monkeypatch):
+    """run(until=) latches across shards: the all-samples-terminal
+    reduction is a cross-shard jnp.all over the dp axis, and the sharded
+    campaign must stop at the same segment boundary with identical state."""
+    import typing as ty
+    from dataclasses import dataclass, field
+
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    Count = ty.Annotated[jax.Array, el.Component("count", el.ComponentType.F64)]
+
+    @dataclass
+    class A(el.Archetype):
+        count: Count = field(default_factory=lambda: jnp.float64(0.0))
+
+    @el.map
+    def inc(c: Count) -> Count:
+        return jnp.minimum(c + 1.0, 5.0)
+
+    def mk(use_mesh):
+        w = el.World()
+        w.spawn(A(), name="e")
+        # staggered starts: shards latch at different ticks, so the
+        # all-reduce really has to see every shard before stopping
+        starts = np.arange(16) % 3
+        return BatchedCampaign(w, inc, 16, {"e.count": starts},
+                               simulation_rate=10.0,
+                               mesh=mesh if use_mesh else None)
+
+    monkeypatch.setenv("ELODIN_MC_SEGMENT_TICKS", "3")
+    until = lambda cols: cols["count"] >= 5.0  # noqa: E731
+
+    plain = mk(False).run(20, until=until)
+    shard = mk(True).run(20, until=until)
+    assert shard.ticks == plain.ticks
+    np.testing.assert_array_equal(shard.component("e.count"),
+                                  plain.component("e.count"))
+
+    # history path: emits recorded up to the same early-stop boundary
+    ph = mk(False).run(20, history_every=2, history_components=["e.count"],
+                       until=until)
+    sh = mk(True).run(20, history_every=2, history_components=["e.count"],
+                      until=until)
+    assert sh.ticks == ph.ticks
+    np.testing.assert_array_equal(np.asarray(sh.history["count"]),
+                                  np.asarray(ph.history["count"]))
+
+
+def test_every_sharded_matches_unsharded(mesh):
+    """el.every rate groups under dp sharding: the lifted scalar gate (and
+    the full_rate_when any()-reduction, a cross-shard collective) schedule
+    identically to the unsharded campaign."""
+    import typing as ty
+    from dataclasses import dataclass, field
+
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    Runs = ty.Annotated[jax.Array, el.Component("gnc_runs", el.ComponentType.F64)]
+    Fast = ty.Annotated[jax.Array, el.Component("fast_runs", el.ComponentType.F64)]
+
+    @dataclass
+    class A(el.Archetype):
+        gnc_runs: Runs = field(default_factory=lambda: jnp.float64(0.0))
+        fast_runs: Fast = field(default_factory=lambda: jnp.float64(0.0))
+
+    @el.map
+    def gnc(r: Runs) -> Runs:
+        return r + 1.0
+
+    @el.map
+    def fast(f: Fast) -> Fast:
+        return f + 1.0
+
+    def mk(use_mesh, system):
+        w = el.World()
+        w.spawn(A(), name="e")
+        return BatchedCampaign(w, system, 16, {"e.gnc_runs": np.zeros(16)},
+                               simulation_rate=10.0,
+                               mesh=mesh if use_mesh else None)
+
+    sys_ = el.every(3, gnc) | fast
+    plain = mk(False, sys_).run(9)
+    shard = mk(True, sys_).run(9)
+    np.testing.assert_array_equal(shard.component("e.gnc_runs"),
+                                  plain.component("e.gnc_runs"))
+    np.testing.assert_array_equal(shard.component("e.fast_runs"),
+                                  plain.component("e.fast_runs"))
+
+    # full_rate_when: only SOME samples (on some shards) satisfy the
+    # predicate — the any()-reduce must escalate every shard identically
+    esc = el.every(4, gnc, full_rate_when=lambda cols: cols["fast_runs"] >= 6.0)
+    plain = mk(False, esc | fast).run(10)
+    shard = mk(True, esc | fast).run(10)
+    np.testing.assert_array_equal(shard.component("e.gnc_runs"),
+                                  plain.component("e.gnc_runs"))
+
+
+def test_mixed_float_policy_sharded_matches_unsharded(mesh):
+    """The per-component mixed float policy composes with dp sharding:
+    policy-cast columns shard cleanly and the physics is bit-identical to
+    the unsharded mixed run."""
+    from elodin_tpu import _config
+    from elodin_tpu.monte_carlo import BatchedCampaign
+
+    prev = _config._FLOAT_POLICY
+    _config.set_float_policy("mixed")
+    try:
+        world, system = build_batched_sixdof(8)
+        plain = BatchedCampaign(world, system, 16, simulation_rate=120.0)
+        r_plain = plain.run(50)
+        world2, system2 = build_batched_sixdof(8)
+        shard = BatchedCampaign(world2, system2, 16, simulation_rate=120.0,
+                                mesh=mesh)
+        r_shard = shard.run(50)
+    finally:
+        _config.set_float_policy(prev)
+    for k in r_plain.final:
+        np.testing.assert_array_equal(
+            np.asarray(r_shard.final[k]), np.asarray(r_plain.final[k]),
+            err_msg=k,
+        )
