@@ -1172,9 +1172,49 @@ def bench_lockstep(ticks: int | None = None) -> dict:
     ticks = ticks or (4000 if backend == "cpu" else 400)
     mod = _load_example("betaflight-sitl", "main")
     rate = mod.run(ticks)
-    return {
+    out = {
         f"lockstep_hz_{backend}": round(rate, 1),
         f"lockstep_ticks_{backend}": ticks,
+    }
+    if backend != "cpu":
+        out.update(_bench_lockstep_batched(mod))
+    return out
+
+
+def _bench_lockstep_batched(mod, hold: int = 64, trips: int = 40) -> dict:
+    """Device-resident batched lockstep (SURVEY §7(d)): each round-trip
+    zero-order-holds the controls and advances `hold` plant ticks in one
+    compiled launch, so the tunnel's fixed per-exchange latency amortizes
+    over the window.  The external controller (host PD closing the hover
+    altitude loop on the window's LAST telemetry row) runs at
+    sim_rate/hold — the named fidelity tradeoff vs the hz_tpu row above."""
+    import elodin as el
+    import numpy as np
+
+    w = el.World()
+    w.spawn(mod.Hover(), name="craft")
+    ex = w.build(mod.integrate, simulation_rate=mod.SIM_RATE)
+    ex.record_history = False
+    session = ex.lockstep_session(
+        ["craft.z_pos", "craft.z_vel"], ["craft.thrust_cmd"], hold_ticks=hold
+    )
+
+    def control(z, v):  # PD altitude hold at 2 m
+        return float(np.clip(9.81 + 4.0 * (2.0 - z) - 2.0 * v, 0.0, 30.0))
+
+    session.cmd_bufs["thrust_cmd"][0] = control(2.0, 0.0)
+    tele = session.tick()  # warm compile
+    t0 = time.perf_counter()
+    for _ in range(trips):
+        z, v = float(tele[-1, 0]), float(tele[-1, 1])
+        session.cmd_bufs["thrust_cmd"][0] = control(z, v)
+        tele = session.tick()
+    wall = time.perf_counter() - t0
+    assert abs(float(tele[-1, 0]) - 2.0) < 0.5, "hover loop diverged"
+    return {
+        "lockstep_hz_tpu_batched": round(trips * hold / wall, 1),
+        "lockstep_batched_hold_ticks": hold,
+        "lockstep_batched_ctrl_hz": round(mod.SIM_RATE / hold, 1),
     }
 
 

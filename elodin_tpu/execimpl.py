@@ -228,17 +228,30 @@ class _TelemetryPump:
 
 
 class _LockstepSession:
-    """Compiled one-tick step for kHz-rate external lockstep.
+    """Compiled step for kHz-rate external lockstep.
 
     Program shape: (state_cols [donated], command_cols) -> (new state, the
     send components gathered into one flat f64 vector, optional emit stack).
     The caller owns the command buffers (numpy, written in place between
     ticks); the output vector is fetched with a single host transfer per
     tick.  Parity anchor: the reference's native betaflight-SITL lockstep
-    (4-8 kHz, docs changelog / feature catalog §19)."""
+    (4-8 kHz, docs changelog / feature catalog §19).
 
-    def __init__(self, exec_: "Exec", send: list[str], recv: list[str]):
+    ``hold_ticks > 1`` is the batched (TPU-resident) mode: each exchange
+    applies the commands once, advances ``hold_ticks`` plant ticks in-graph
+    (``lax.scan``), and returns the send vector for EVERY intermediate tick
+    as a (hold_ticks, len) stack.  Controls are zero-order-held across the
+    window — the controller effectively runs at sim_rate / hold_ticks, the
+    standard decimated-FSW fidelity tradeoff (SURVEY §7(d)); the per-
+    round-trip tunnel latency amortizes over the window, which is what
+    makes a device-resident SITL rate defensible."""
+
+    def __init__(self, exec_: "Exec", send: list[str], recv: list[str],
+                 hold_ticks: int = 1):
+        if hold_ticks < 1:
+            raise ValueError(f"hold_ticks must be >= 1, got {hold_ticks}")
         self.exec = exec_
+        self.hold_ticks = hold_ticks
         self.send_specs = [exec_._history.resolve(q) for q in send]
         self.recv_comps = tuple(
             sorted({exec_._history.resolve(q)[0] for q in recv})
@@ -253,17 +266,35 @@ class _LockstepSession:
         send_specs = self.send_specs
         recv_comps = self.recv_comps
 
-        def run1(cols, cmds):
-            cols = dict(cols)
-            for c in recv_comps:
-                cols[c] = cmds[c]
-            new = step(cols)
-            out = jnp.concatenate(
+        def gather(new):
+            return jnp.concatenate(
                 [jnp.ravel(new[c][row]).astype(jnp.float64) for c, row in send_specs]
             )
-            if emit:
-                return new, out, jax.tree_util.tree_map(lambda x: x[None], new)
-            return new, out, None
+
+        if hold_ticks == 1:
+            def run1(cols, cmds):
+                cols = dict(cols)
+                for c in recv_comps:
+                    cols[c] = cmds[c]
+                new = step(cols)
+                out = gather(new)
+                if emit:
+                    return new, out, jax.tree_util.tree_map(lambda x: x[None], new)
+                return new, out, None
+        else:
+            def run1(cols, cmds):
+                cols = dict(cols)
+                for c in recv_comps:
+                    cols[c] = cmds[c]
+
+                def body(carry, _):
+                    new = step(carry)
+                    return new, (gather(new), new if emit else None)
+
+                new, (outs, states) = jax.lax.scan(
+                    body, cols, None, length=hold_ticks
+                )
+                return new, outs, states  # outs: (hold_ticks, send_len)
 
         t0 = time.perf_counter()
         fn = jax.jit(run1, donate_argnums=0)
@@ -281,8 +312,9 @@ class _LockstepSession:
             )
 
     def tick(self) -> np.ndarray:
-        """Advance one tick with the current command buffers; returns the
-        packed post-step send vector."""
+        """Advance with the current command buffers; returns the packed
+        post-step send vector — (len,) at hold_ticks=1, (hold_ticks, len)
+        in batched mode (one row per intermediate tick)."""
         ex = self.exec
         with ex._cols_lock:
             # flush pending write_component calls first: the compiled fn
@@ -292,10 +324,13 @@ class _LockstepSession:
             ex._apply_host_writes()
             final, out, stacked = self._fn(ex.cols, dict(self.cmd_bufs))
             ex.cols = dict(final)
-        ex._tick += 1
-        ex.profiler.ticks += 1
+        ex._tick += self.hold_ticks
+        ex.profiler.ticks += self.hold_ticks
         if stacked is not None:
-            ts = np.asarray([ex._tick * ex.sim_time_step])
+            base = (ex._tick - self.hold_ticks + 1) * ex.sim_time_step
+            ts = np.asarray(
+                [base + i * ex.sim_time_step for i in range(self.hold_ticks)]
+            )
             ex._ensure_pump().submit(ts, dict(stacked))
         return np.asarray(out)
 
@@ -457,7 +492,8 @@ class Exec:
                 self.cols[comp] = jnp.asarray(buf)
             self._host_writes.clear()
 
-    def lockstep_session(self, send: list[str], recv: list[str]):
+    def lockstep_session(self, send: list[str], recv: list[str],
+                         hold_ticks: int = 1):
         """One-tick fast path for external lockstep bridges (SITL co-sims).
 
         The generic per-tick path pays a jnp.asarray dispatch per written
@@ -469,10 +505,17 @@ class Exec:
         compiled call.  Telemetry still pumps off-thread when history
         recording is on.
 
+        ``hold_ticks > 1`` selects the batched device-resident mode: each
+        exchange zero-order-holds the commands, advances that many plant
+        ticks in one compiled launch, and returns a (hold_ticks, len)
+        telemetry stack — amortizing the per-round-trip device latency at
+        the cost of running the external controller at sim_rate/hold_ticks
+        (see _LockstepSession).
+
         ``record_history`` is frozen into the compiled program at session
         creation (exposed as ``session.emit``); toggle it on the exec and
         create a new session to change telemetry behavior."""
-        return _LockstepSession(self, send, recv)
+        return _LockstepSession(self, send, recv, hold_ticks)
 
     # -- running -------------------------------------------------------------
 

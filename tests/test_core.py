@@ -816,6 +816,85 @@ def test_lockstep_pipelined_runt_packets_and_wire_tick():
     assert data_ticks == [1, 2, 3, 4, 5, 6], data_ticks
 
 
+def test_lockstep_session_batched_hold():
+    """hold_ticks=N batched lockstep: one exchange advances N plant ticks
+    with the command zero-order-held, returns the (N, len) per-tick
+    telemetry stack, and the final state matches N single-tick exchanges
+    holding the same command (the fidelity contract of the TPU-resident
+    SITL mode)."""
+    Ctrl = ty.Annotated[
+        jax.Array,
+        el.Component("ctrl", el.ComponentType.F64,
+                     metadata={"external_control": "true"}),
+    ]
+
+    @el.map
+    def apply_ctrl(x: X, c: Ctrl) -> X:
+        return x + c
+
+    @dataclass
+    class T(el.Archetype):
+        x: X
+        ctrl: Ctrl
+
+    def fresh():
+        w = el.World()
+        w.spawn(T(numpy.float64(0.0), numpy.float64(0.0)), "v")
+        return w.build(apply_ctrl)
+
+    ex_b, ex_1 = fresh(), fresh()
+    batched = ex_b.lockstep_session(["v.x"], ["v.ctrl"], hold_ticks=4)
+    single = ex_1.lockstep_session(["v.x"], ["v.ctrl"])
+
+    batched.cmd_bufs["ctrl"][0] = 2.0
+    out = batched.tick()
+    assert out.shape == (4, 1), out.shape
+    single.cmd_bufs["ctrl"][0] = 2.0
+    singles = [single.tick()[0] for _ in range(4)]
+    numpy.testing.assert_allclose(out[:, 0], singles, rtol=0, atol=0)
+    assert ex_b.tick() == ex_1.tick() == 4
+
+    # controller acts once per window on the LAST row — second exchange
+    batched.cmd_bufs["ctrl"][0] = -1.0
+    out2 = batched.tick()
+    assert abs(float(out2[-1, 0]) - (8.0 - 4.0)) < 1e-12
+    assert ex_b.tick() == 8
+
+    with pytest.raises(ValueError, match="hold_ticks"):
+        fresh().lockstep_session(["v.x"], ["v.ctrl"], hold_ticks=0)
+
+
+def test_lockstep_session_batched_history_emit():
+    """Batched lockstep with record_history on: every intermediate tick is
+    emitted with correct timestamps (not just the window boundary)."""
+    Ctrl = ty.Annotated[
+        jax.Array,
+        el.Component("ctrl", el.ComponentType.F64,
+                     metadata={"external_control": "true"}),
+    ]
+
+    @el.map
+    def apply_ctrl(x: X, c: Ctrl) -> X:
+        return x + c
+
+    @dataclass
+    class T(el.Archetype):
+        x: X
+        ctrl: Ctrl
+
+    w = el.World()
+    w.spawn(T(numpy.float64(0.0), numpy.float64(1.0)), "v")
+    ex = w.build(apply_ctrl, simulation_rate=10.0)
+    ex.record_history = True
+    session = ex.lockstep_session(["v.x"], ["v.ctrl"], hold_ticks=3)
+    session.cmd_bufs["ctrl"][0] = 1.0
+    session.tick()
+    session.tick()
+    df = ex.history("v.x")
+    xs = df["v.x"].to_numpy().ravel()
+    numpy.testing.assert_allclose(xs[-6:], [1, 2, 3, 4, 5, 6])
+
+
 def test_lockstep_session_applies_pending_host_writes():
     """write_component calls made before session ticks must be applied by
     the session (and must NOT be replayed by a later generic run(), which
