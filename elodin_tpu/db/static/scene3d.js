@@ -1,14 +1,18 @@
 "use strict";
-// WebGL scene viewer for /api/scene — the browser-side replacement for the
-// reference's Bevy 3D viewport (libs/elodin-editor/src/object_3d.rs,
-// ui/tiles.rs): object_3d GLB/sphere/box/cylinder meshes posed live from
-// telemetry, line_3d trajectories, vector arrows, follow-entity camera.
+// WebGL scene viewer — the browser-side replacement for the reference's
+// Bevy 3D viewport (libs/elodin-editor/src/object_3d.rs, ui/tiles.rs):
+// object_3d GLB/sphere/box/cylinder meshes posed live from telemetry,
+// line_3d trajectories, vector arrows, follow-entity camera.
 //
-// Layout: a pure-math/pure-parse section (namespace S3D — no DOM, no GL;
-// exercised by the contract tests) followed by the renderer + poll loop.
+// This file is a THIN RENDERER.  All scene logic — GLB parsing, unit
+// geometry, scene -> draw-list assembly, camera framing — executes
+// server-side in db/scenemath.py (the single, pytest-executed
+// implementation) and arrives pre-digested from /api/drawlist, /api/glb
+// and /api/geoms.  Only camera interaction math (S3D below) and WebGL
+// upload/draw live here.
 
 // ---------------------------------------------------------------------------
-// S3D: pure math + GLB parsing (no DOM access in this section)
+// S3D: camera math (no DOM access in this section)
 // ---------------------------------------------------------------------------
 const S3D = {};
 
@@ -34,24 +38,6 @@ S3D.m4perspective = function (fovY, aspect, near, far) {
   o[0] = f / aspect; o[5] = f;
   o[10] = (far + near) * nf; o[11] = -1;
   o[14] = 2 * far * near * nf;
-  return o;
-};
-
-// quaternion {x,y,z,w} (+ position [3], uniform-ish scale [3]) -> mat4
-S3D.m4fromQuatPosScale = function (q, p, s) {
-  const x = q.x, y = q.y, z = q.z, w = q.w;
-  const sx = s[0], sy = s[1], sz = s[2];
-  const o = new Float32Array(16);
-  o[0]  = (1 - 2*(y*y + z*z)) * sx;
-  o[1]  = 2*(x*y + w*z) * sx;
-  o[2]  = 2*(x*z - w*y) * sx;
-  o[4]  = 2*(x*y - w*z) * sy;
-  o[5]  = (1 - 2*(x*x + z*z)) * sy;
-  o[6]  = 2*(y*z + w*x) * sy;
-  o[8]  = 2*(x*z + w*y) * sz;
-  o[9]  = 2*(y*z - w*x) * sz;
-  o[10] = (1 - 2*(x*x + y*y)) * sz;
-  o[12] = p[0]; o[13] = p[1]; o[14] = p[2]; o[15] = 1;
   return o;
 };
 
@@ -81,296 +67,21 @@ S3D.m4orbitView = function (target, yaw, pitch, dist) {
   return o;
 };
 
-// glTF node TRS -> mat4 (column-major, matches the glTF "matrix" field)
-S3D.m4fromTRS = function (node) {
-  if (node.matrix) return new Float32Array(node.matrix);
-  const t = node.translation || [0, 0, 0];
-  const r = node.rotation || [0, 0, 0, 1];
-  const s = node.scale || [1, 1, 1];
-  return S3D.m4fromQuatPosScale({x: r[0], y: r[1], z: r[2], w: r[3]}, t, s);
+// -- base64 little-endian blobs -> typed arrays (scenemath's wire format) --
+S3D.b64bytes = function (b64) {
+  const raw = atob(b64);
+  const out = new Uint8Array(raw.length);
+  for (let i = 0; i < raw.length; i++) out[i] = raw.charCodeAt(i);
+  return out.buffer;
 };
-
-// -- minimal binary-glTF (GLB) parser --------------------------------------
-// Triangle meshes only: POSITION (+NORMAL if present, else flat normals),
-// indices of any component type, node hierarchy flattened to world
-// matrices, color from pbrMetallicRoughness.baseColorFactor.  Textures,
-// skins, animations and sparse accessors are ignored.
-const GLB_MAGIC = 0x46546C67, CH_JSON = 0x4E4F534A, CH_BIN = 0x004E4942;
-const CT_BYTES = {5120: 1, 5121: 1, 5122: 2, 5123: 2, 5125: 4, 5126: 4};
-const TYPE_N = {SCALAR: 1, VEC2: 2, VEC3: 3, VEC4: 4, MAT4: 16};
-
-S3D.parseGLB = function (buf) {
-  const dv = new DataView(buf);
-  if (dv.getUint32(0, true) !== GLB_MAGIC) throw new Error("not a GLB");
-  let off = 12, json = null, bin = null;
-  while (off + 8 <= buf.byteLength) {
-    const len = dv.getUint32(off, true), ty = dv.getUint32(off + 4, true);
-    const body = buf.slice(off + 8, off + 8 + len);
-    if (ty === CH_JSON) json = JSON.parse(new TextDecoder().decode(body));
-    else if (ty === CH_BIN) bin = body;
-    off += 8 + len + (len % 4 ? 4 - len % 4 : 0);
-  }
-  if (!json) throw new Error("GLB: no JSON chunk");
-
-  function accessor(i) {
-    const a = json.accessors[i];
-    const n = TYPE_N[a.type], m = a.count * n;
-    const bv = json.bufferViews[a.bufferView];
-    const base = (bv.byteOffset || 0) + (a.byteOffset || 0);
-    const stride = bv.byteStride || 0;
-    const eb = CT_BYTES[a.componentType];
-    const mk = {
-      5126: Float32Array, 5125: Uint32Array, 5123: Uint16Array,
-      5121: Uint8Array, 5122: Int16Array, 5120: Int8Array,
-    }[a.componentType];
-    if (!stride || stride === n * eb) {
-      return new mk(bin, base, m);
-    }
-    // interleaved: gather element-by-element
-    const out = new mk(m);
-    for (let e = 0; e < a.count; e++) {
-      const src = new mk(bin, base + e * stride, n);
-      out.set(src, e * n);
-    }
-    return out;
-  }
-
-  function flatNormals(pos, idx) {
-    const norm = new Float32Array(pos.length);
-    const nTri = (idx ? idx.length : pos.length / 3) / 3;
-    for (let t = 0; t < nTri; t++) {
-      const i0 = idx ? idx[3*t] : 3*t, i1 = idx ? idx[3*t+1] : 3*t+1,
-            i2 = idx ? idx[3*t+2] : 3*t+2;
-      const ax = pos[3*i1]-pos[3*i0], ay = pos[3*i1+1]-pos[3*i0+1],
-            az = pos[3*i1+2]-pos[3*i0+2];
-      const bx = pos[3*i2]-pos[3*i0], by = pos[3*i2+1]-pos[3*i0+1],
-            bz = pos[3*i2+2]-pos[3*i0+2];
-      const nx = ay*bz - az*by, ny = az*bx - ax*bz, nz = ax*by - ay*bx;
-      for (const i of [i0, i1, i2]) {
-        norm[3*i] += nx; norm[3*i+1] += ny; norm[3*i+2] += nz;
-      }
-    }
-    return norm;
-  }
-
-  const prims = [];
-  function walk(nodeIdx, parent) {
-    const node = json.nodes[nodeIdx];
-    const world = S3D.m4mul(parent, S3D.m4fromTRS(node));
-    if (node.mesh !== undefined) {
-      for (const p of json.meshes[node.mesh].primitives || []) {
-        if ((p.mode !== undefined && p.mode !== 4) ||
-            p.attributes.POSITION === undefined) continue;
-        const pos = accessor(p.attributes.POSITION);
-        let idx = p.indices !== undefined ? accessor(p.indices) : null;
-        if (idx && !(idx instanceof Uint16Array) &&
-            !(idx instanceof Uint32Array)) idx = Uint32Array.from(idx);
-        const norm = p.attributes.NORMAL !== undefined
-          ? accessor(p.attributes.NORMAL) : flatNormals(pos, idx);
-        let color = [0.72, 0.72, 0.74, 1];
-        if (p.material !== undefined) {
-          const pbr = (json.materials[p.material] || {}).pbrMetallicRoughness;
-          if (pbr && pbr.baseColorFactor) color = pbr.baseColorFactor;
-        }
-        prims.push({pos, norm, idx, color, matrix: world});
-      }
-    }
-    for (const c of node.children || []) walk(c, world);
-  }
-  const scene = json.scenes ? json.scenes[json.scene || 0] : null;
-  const roots = scene ? scene.nodes : (json.nodes || []).map((_, i) => i);
-  for (const r of roots) walk(r, S3D.m4ident());
-  return prims;
-};
-
-// -- unit primitive geometry (unit radius / unit edge, axis per Foxglove) --
-S3D.geomCube = function () {
-  // 6 faces x 4 verts, unit cube centered at origin
-  const p = [], n = [], idx = [];
-  const faces = [
-    [[1,0,0], [0,1,0], [0,0,1]], [[-1,0,0], [0,0,1], [0,1,0]],
-    [[0,1,0], [0,0,1], [1,0,0]], [[0,-1,0], [1,0,0], [0,0,1]],
-    [[0,0,1], [1,0,0], [0,1,0]], [[0,0,-1], [0,1,0], [1,0,0]],
-  ];
-  for (const [nf, u, v] of faces) {
-    const base = p.length / 3;
-    for (const [su, sv] of [[-1,-1], [1,-1], [1,1], [-1,1]]) {
-      for (let k = 0; k < 3; k++) {
-        p.push(0.5 * (nf[k] + su * u[k] + sv * v[k]));
-      }
-      n.push(nf[0], nf[1], nf[2]);
-    }
-    idx.push(base, base+1, base+2, base, base+2, base+3);
-  }
-  return {pos: new Float32Array(p), norm: new Float32Array(n),
-          idx: new Uint16Array(idx)};
-};
-
-S3D.geomSphere = function (lat, lon) {
-  const p = [], n = [], idx = [];
-  for (let i = 0; i <= lat; i++) {
-    const th = Math.PI * i / lat, st = Math.sin(th), ct = Math.cos(th);
-    for (let j = 0; j <= lon; j++) {
-      const ph = 2 * Math.PI * j / lon;
-      const x = st * Math.cos(ph), y = st * Math.sin(ph), z = ct;
-      p.push(x, y, z); n.push(x, y, z);
-    }
-  }
-  for (let i = 0; i < lat; i++) {
-    for (let j = 0; j < lon; j++) {
-      const a = i * (lon + 1) + j, b = a + lon + 1;
-      idx.push(a, b, a+1, b, b+1, a+1);
-    }
-  }
-  return {pos: new Float32Array(p), norm: new Float32Array(n),
-          idx: new Uint16Array(idx)};
-};
-
-// unit cylinder: radius 1, z in [-0.5, 0.5] (Foxglove cylinder axis = z)
-S3D.geomCylinder = function (seg) {
-  const p = [], n = [], idx = [];
-  for (let j = 0; j <= seg; j++) {
-    const ph = 2 * Math.PI * j / seg, c = Math.cos(ph), s = Math.sin(ph);
-    p.push(c, s, -0.5); n.push(c, s, 0);
-    p.push(c, s, 0.5);  n.push(c, s, 0);
-  }
-  for (let j = 0; j < seg; j++) {
-    const a = 2 * j;
-    idx.push(a, a+2, a+1, a+1, a+2, a+3);
-  }
-  // caps
-  for (const [z, nz] of [[-0.5, -1], [0.5, 1]]) {
-    const center = p.length / 3;
-    p.push(0, 0, z); n.push(0, 0, nz);
-    for (let j = 0; j <= seg; j++) {
-      const ph = 2 * Math.PI * j / seg;
-      p.push(Math.cos(ph), Math.sin(ph), z); n.push(0, 0, nz);
-    }
-    for (let j = 0; j < seg; j++) {
-      if (nz > 0) idx.push(center, center+1+j, center+2+j);
-      else idx.push(center, center+2+j, center+1+j);
-    }
-  }
-  return {pos: new Float32Array(p), norm: new Float32Array(n),
-          idx: new Uint16Array(idx)};
-};
-
-// unit cone: base radius 1 at x=0, apex at x=1 (arrows point along +x)
-S3D.geomCone = function (seg) {
-  const p = [], n = [], idx = [];
-  const inv = 1 / Math.sqrt(2);
-  for (let j = 0; j <= seg; j++) {
-    const ph = 2 * Math.PI * j / seg, c = Math.cos(ph), s = Math.sin(ph);
-    p.push(0, c, s); n.push(inv, c * inv, s * inv);
-    p.push(1, 0, 0); n.push(inv, c * inv, s * inv);
-  }
-  for (let j = 0; j < seg; j++) idx.push(2*j, 2*j+2, 2*j+1);
-  const center = p.length / 3;
-  p.push(0, 0, 0); n.push(-1, 0, 0);
-  for (let j = 0; j <= seg; j++) {
-    const ph = 2 * Math.PI * j / seg;
-    p.push(0, Math.cos(ph), Math.sin(ph)); n.push(-1, 0, 0);
-  }
-  for (let j = 0; j < seg; j++) idx.push(center, center+2+j, center+1+j);
-  return {pos: new Float32Array(p), norm: new Float32Array(n),
-          idx: new Uint16Array(idx)};
-};
-
-// arrow primitive -> the two TRS mat4s (shaft cylinder + head cone), in the
-// arrow's local frame (+x); pure so the contract tests can pin the layout.
-S3D.arrowMats = function (a) {
-  const sl = a.shaft_length, sd = a.shaft_diameter / 2;
-  const hl = a.head_length, hd = a.head_diameter / 2;
-  // cylinder: z-axis unit -> rotate z->x (quat about y by 90deg), scale
-  const qzx = {x: 0, y: Math.SQRT1_2, z: 0, w: Math.SQRT1_2};
-  const shaft = S3D.m4fromQuatPosScale(qzx, [sl / 2, 0, 0], [sd, sd, sl]);
-  const head = S3D.m4fromQuatPosScale(
-    {x: 0, y: 0, z: 0, w: 1}, [sl, 0, 0], [hl, hd, hd]);
-  return [shaft, head];
-};
-
-// entity JSON -> flat draw-list descriptors (geometry kind + model matrix
-// + color); models (GLBs) are returned as references for the async loader.
-// Frame-locked entities are premultiplied by their frame's live transform
-// (scene.transforms, baked by /api/scene from the *.world_pos series).
-S3D.buildDrawList = function (scene) {
-  const out = {solids: [], lines: [], glbs: []};
-  const rawPose2mat = (pose, size) => S3D.m4fromQuatPosScale(
-    pose.orientation, [pose.position.x, pose.position.y, pose.position.z],
-    size);
-  for (const ent of scene.entities || []) {
-    const tf = (scene.transforms || {})[ent.frame_id];
-    const parent = tf ? rawPose2mat(tf, [1, 1, 1]) : null;
-    const pose2mat = (pose, size) => {
-      const m = rawPose2mat(pose, size);
-      return parent ? S3D.m4mul(parent, m) : m;
-    };
-    for (const sp of ent.spheres || []) {
-      out.solids.push({kind: "sphere", color: sp.color,
-        mat: pose2mat(sp.pose, [sp.size.x/2, sp.size.y/2, sp.size.z/2])});
-    }
-    for (const cb of ent.cubes || []) {
-      out.solids.push({kind: "cube", color: cb.color,
-        mat: pose2mat(cb.pose, [cb.size.x, cb.size.y, cb.size.z])});
-    }
-    for (const cy of ent.cylinders || []) {
-      out.solids.push({kind: "cylinder", color: cy.color,
-        mat: pose2mat(cy.pose, [cy.size.x/2, cy.size.y/2, cy.size.z])});
-    }
-    for (const ar of ent.arrows || []) {
-      const base = pose2mat(ar.pose, [1, 1, 1]);
-      const [shaft, head] = S3D.arrowMats(ar);
-      out.solids.push({kind: "cylinder", color: ar.color,
-                       mat: S3D.m4mul(base, shaft)});
-      out.solids.push({kind: "cone", color: ar.color,
-                       mat: S3D.m4mul(base, head)});
-    }
-    for (const ln of ent.lines || []) {
-      const pts = new Float32Array((ln.points || []).length * 3);
-      (ln.points || []).forEach((pt, i) => {
-        pts[3*i] = pt.x; pts[3*i+1] = pt.y; pts[3*i+2] = pt.z;
-      });
-      out.lines.push({pts, color: ln.color,
-                      mat: pose2mat(ln.pose || {position: {x:0,y:0,z:0},
-                        orientation: {x:0,y:0,z:0,w:1}}, [1,1,1])});
-    }
-    for (const md of ent.models || []) {
-      out.glbs.push({
-        url: md.url || "", data: md.data || "",
-        color: md.override_color ? md.color : null,
-        mat: pose2mat(md.pose, [md.scale.x, md.scale.y, md.scale.z]),
-      });
-    }
-  }
-  return out;
-};
-
-// scene bounding radius + center for initial camera framing
-S3D.frameScene = function (dl) {
-  let n = 0; const c = [0, 0, 0];
-  const acc = (m) => { c[0] += m[12]; c[1] += m[13]; c[2] += m[14]; n++; };
-  for (const s of dl.solids) acc(s.mat);
-  for (const g of dl.glbs) acc(g.mat);
-  for (const l of dl.lines) {
-    for (let i = 0; i + 2 < l.pts.length; i += 3) {
-      c[0] += l.pts[i]; c[1] += l.pts[i+1]; c[2] += l.pts[i+2]; n++;
-    }
-  }
-  if (!n) return {center: [0, 0, 0], radius: 10};
-  c[0] /= n; c[1] /= n; c[2] /= n;
-  let r2 = 1;
-  const far = (x, y, z) => {
-    const d = (x-c[0])**2 + (y-c[1])**2 + (z-c[2])**2;
-    if (d > r2) r2 = d;
+S3D.decodeGeom = function (g) {
+  const idxBuf = g.idx_b64 ? S3D.b64bytes(g.idx_b64) : null;
+  return {
+    pos: new Float32Array(S3D.b64bytes(g.pos_b64)),
+    norm: new Float32Array(S3D.b64bytes(g.norm_b64)),
+    idx: idxBuf ? (g.idx_u32 ? new Uint32Array(idxBuf)
+                             : new Uint16Array(idxBuf)) : null,
   };
-  for (const s of dl.solids) far(s.mat[12], s.mat[13], s.mat[14]);
-  for (const g of dl.glbs) far(g.mat[12], g.mat[13], g.mat[14]);
-  for (const l of dl.lines) {
-    for (let i = 0; i + 2 < l.pts.length; i += 3) {
-      far(l.pts[i], l.pts[i+1], l.pts[i+2]);
-    }
-  }
-  return {center: c, radius: Math.sqrt(r2)};
 };
 
 // ---------------------------------------------------------------------------
@@ -399,7 +110,7 @@ void main() {
 }`;
 
 let sceneView = null;   // {card, canvas, gl, bufs, cam, drawList, ...}
-const glbCache = {};    // url/data-key -> {prims:[...]} | {error} | {loading}
+const glbCache = {};    // url-key -> {prims:[...]} | {error} | {loading}
 
 function compileProgram(gl) {
   const mk = (ty, src) => {
@@ -492,24 +203,28 @@ function toggleScene3d() {
     uColor: gl.getUniformLocation(prog, "uColor"),
     uUnlit: gl.getUniformLocation(prog, "uUnlit"),
   };
-  const geoms = {
-    cube: uploadGeom(gl, S3D.geomCube()),
-    sphere: uploadGeom(gl, S3D.geomSphere(18, 28)),
-    cylinder: uploadGeom(gl, S3D.geomCylinder(24)),
-    cone: uploadGeom(gl, S3D.geomCone(24)),
-  };
   const gridPts = gridGeom(100, 10);
   const gridBuf = gl.createBuffer();
   gl.bindBuffer(gl.ARRAY_BUFFER, gridBuf);
   gl.bufferData(gl.ARRAY_BUFFER, gridPts, gl.STATIC_DRAW);
 
   sceneView = {
-    card, canvas, gl, prog, loc, geoms, gridBuf,
+    card, canvas, gl, prog, loc, geoms: null, gridBuf,
     gridCount: gridPts.length / 3, status,
     cam: {yaw: 0.8, pitch: 0.5, dist: 40, target: [0, 0, 0]},
     drawList: {solids: [], lines: [], glbs: []},
     lineBufs: [], framed: false, closed: false,
   };
+  const me = sceneView;
+  // unit geometry comes pre-tessellated from the server (scenemath)
+  fetch("/api/geoms").then((r) => r.json()).then((gj) => {
+    if (sceneView !== me || me.closed) return;
+    me.geoms = {};
+    for (const k of Object.keys(gj)) {
+      me.geoms[k] = uploadGeom(gl, S3D.decodeGeom(gj[k]));
+    }
+    drawScene3d();
+  }).catch((e) => { status.textContent = `geoms fetch failed: ${e}`; });
 
   let drag = null;
   canvas.addEventListener("pointerdown", (e) => {
@@ -555,30 +270,27 @@ async function pollScene3d() {
         typeof scrubUs !== "undefined" && scrubUs != null) {
       q = "?ts_us=" + Math.round(scrubUs);
     }
-    const r = await fetch("/api/scene" + q);
-    const scene = await r.json();
+    const r = await fetch("/api/drawlist" + q);
+    const dl = await r.json();
     if (sceneView !== me || me.closed) return;  // closed/reopened mid-fetch
-    me.drawList = S3D.buildDrawList(scene);
+    for (const l of dl.lines) l.pts = new Float32Array(l.pts);
+    me.drawList = dl;
     loadGlbs(me);
     if (!me.framed) {
-      const fr = S3D.frameScene(me.drawList);
-      me.cam.target = fr.center;
-      me.cam.dist = Math.max(fr.radius * 2.5, 5);
-      me.framed = me.drawList.solids.length + me.drawList.glbs.length +
-        me.drawList.lines.length > 0;
+      me.cam.target = dl.frame.center;
+      me.cam.dist = Math.max(dl.frame.radius * 2.5, 5);
+      me.framed = dl.solids.length + dl.glbs.length + dl.lines.length > 0;
     }
     // follow camera (editor parity): track the follow entity's frame
     // unless the user has panned away
-    const ftf = scene.follow_entity &&
-      (scene.transforms || {})[scene.follow_entity];
-    if (ftf && !me.userPanned) {
-      me.cam.target = [ftf.position.x, ftf.position.y, ftf.position.z];
+    if (dl.follow && !me.userPanned) {
+      me.cam.target = dl.follow;
     }
     me.status.textContent =
-      `${me.drawList.solids.length} solids · ${me.drawList.glbs.length} ` +
-      `models · ${me.drawList.lines.length} lines` +
-      (scene.warnings && scene.warnings.length
-        ? ` · ${scene.warnings[0]}` : "");
+      `${dl.solids.length} solids · ${dl.glbs.length} ` +
+      `models · ${dl.lines.length} lines` +
+      (dl.warnings && dl.warnings.length ? ` · ${dl.warnings[0]}` : "") +
+      (dl.error ? ` · ${dl.error}` : "");
     uploadLines(me);
     drawScene3d();
   } catch (e) {
@@ -594,30 +306,20 @@ function glbKey(md) {
 function loadGlbs(me) {
   for (const md of me.drawList.glbs) {
     const key = glbKey(md);
-    if (glbCache[key]) continue;
+    if (glbCache[key] || !md.url) continue;
     glbCache[key] = {loading: true};
-    const done = (buf) => {
-      try {
-        const prims = S3D.parseGLB(buf).map((p) => ({
-          geom: uploadGeom(me.gl, p), color: p.color, matrix: p.matrix,
-        }));
-        glbCache[key] = {prims};
-      } catch (e) {
-        glbCache[key] = {error: String(e)};
-      }
+    // parsed server-side (scenemath.parse_glb) — the client only uploads
+    fetch("/api/glb?url=" + encodeURIComponent(md.url)).then((r) => {
+      if (!r.ok) throw new Error(`HTTP ${r.status}`);
+      return r.json();
+    }).then((pj) => {
+      const prims = pj.prims.map((p) => ({
+        geom: uploadGeom(me.gl, S3D.decodeGeom(p)),
+        color: p.color, matrix: new Float32Array(p.matrix),
+      }));
+      glbCache[key] = {prims};
       drawScene3d();
-    };
-    if (md.url) {
-      fetch(md.url).then((r) => {
-        if (!r.ok) throw new Error(`HTTP ${r.status}`);
-        return r.arrayBuffer();
-      }).then(done).catch((e) => { glbCache[key] = {error: String(e)}; });
-    } else if (md.data) {
-      const raw = atob(md.data);
-      const buf = new Uint8Array(raw.length);
-      for (let i = 0; i < raw.length; i++) buf[i] = raw.charCodeAt(i);
-      done(buf.buffer);
-    }
+    }).catch((e) => { glbCache[key] = {error: String(e)}; });
   }
 }
 
@@ -634,7 +336,7 @@ function uploadLines(me) {
 
 function drawScene3d() {
   const me = sceneView;
-  if (!me || me.closed) return;
+  if (!me || me.closed || !me.geoms) return;
   const {gl, canvas, loc, geoms} = me;
   const dpr = window.devicePixelRatio || 1;
   const w = canvas.clientWidth, h = canvas.clientHeight || 480;

@@ -17,6 +17,13 @@ browser can attach to any running sim or recorded DB:
 - ``GET /api/scene``         — the MCAP exporter's SceneUpdate entities,
   live (object_3d models, line_3d trajectories, vector arrows, follow
   entity) for 3D clients
+- ``GET /api/drawlist``      — the scene pre-digested into flat draw
+  descriptors + camera framing (db/scenemath.py — the server-side single
+  implementation of the viewer's scene logic; scene3d.js renders it
+  verbatim)
+- ``GET /api/glb?url=``      — a GLB asset parsed into upload-ready
+  primitives (base64 vertex blobs)
+- ``GET /api/geoms``         — unit cube/sphere/cylinder/cone tessellations
 - ``GET /api/videos``        — H.264 msg logs playable in the browser
 - ``GET /api/video?id=``     — one log muxed to MP4 on demand (the
   browser's own hardware decoder replaces the reference's editor-side
@@ -197,6 +204,70 @@ def register_routes(routes: dict, db) -> None:
             scene = {"entities": [], "error": str(e)}
         return _json_resp(scene)
 
+    def api_drawlist(path, query):
+        """The scene pre-digested into flat draw descriptors + camera
+        framing (db/scenemath.py — the server-side single implementation
+        of the viewer's scene-assembly logic).  The client renders this
+        verbatim; ``?ts_us=`` scrubs like /api/scene."""
+        from . import scenemath
+        from .export_mcap import build_scene_json
+
+        ts_us = _qint(query, "ts_us", 0)
+        try:
+            with db.lock:
+                scene = build_scene_json(
+                    db, ts_ns=ts_us * 1000 if ts_us > 0 else None)
+        except Exception as e:  # noqa: BLE001 — surface, don't 500
+            return _json_resp({"solids": [], "lines": [], "glbs": [],
+                               "frame": {"center": [0, 0, 0], "radius": 10},
+                               "error": str(e)})
+        dl = scenemath.build_draw_list(scene)
+        dl["frame"] = scenemath.frame_scene(dl)
+        ftf = scene.get("transforms", {}).get(scene.get("follow_entity"))
+        if ftf:
+            dl["follow"] = [ftf["position"]["x"], ftf["position"]["y"],
+                            ftf["position"]["z"]]
+        if scene.get("warnings"):
+            dl["warnings"] = scene["warnings"]
+        return _json_resp(dl)
+
+    _geom_cache: list = []
+
+    def api_geoms(path, query):
+        """Unit primitive geometry (cube/sphere/cylinder/cone) generated by
+        scenemath — one tested implementation; the client only uploads."""
+        from . import scenemath
+
+        if not _geom_cache:
+            _geom_cache.append(json.dumps(scenemath.geoms_to_json()).encode())
+        return 200, "application/json", _geom_cache[0]
+
+    _glb_cache: dict = {}
+
+    def api_glb(path, query):
+        """A GLB asset parsed server-side (scenemath.parse_glb) into
+        upload-ready primitives; vertex data rides as base64 blobs.
+        ``?url=/assets/<key>`` — the reference the live /api/scene hands
+        out for models."""
+        from . import scenemath
+
+        url = query.get("url", "")
+        if not url.startswith("/assets/"):
+            return 404, "text/plain", b"expected url=/assets/<key>"
+        key = url[len("/assets/"):]
+        cached = _glb_cache.get(key)
+        if cached is not None:
+            return 200, "application/json", cached
+        raw = db.assets.get(key)
+        if raw is None:
+            return 404, "text/plain", b"unknown asset"
+        try:
+            body = json.dumps(scenemath.glb_to_json(raw)).encode()
+        except Exception as e:  # noqa: BLE001
+            return 415, "text/plain", f"GLB parse failed: {e}".encode()
+        _glb_cache[key] = body
+        return 200, "application/json", body
+
     def api_msg_logs(path, query):
         out = []
         with db.lock:
@@ -325,6 +396,9 @@ def register_routes(routes: dict, db) -> None:
     routes["/api/latest"] = api_latest
     routes["/api/schematic"] = api_schematic
     routes["/api/scene"] = api_scene
+    routes["/api/drawlist"] = api_drawlist
+    routes["/api/glb"] = api_glb
+    routes["/api/geoms"] = api_geoms
     routes["/api/msg-logs"] = api_msg_logs
     routes["/api/msgs"] = api_msgs
     routes["/api/videos"] = api_videos

@@ -373,11 +373,14 @@ def test_scene3d_js_served_and_contract(tmp_path):
 
         register_routes(routes, _FakeDb())
         fetched = set(re.findall(r'fetch\(["`]((?:/api|/static)[^"`?]*)', js))
-        assert "/api/scene" in fetched
+        # the scene logic executes server-side (db/scenemath.py,
+        # tests/test_scenemath.py); the client fetches pre-digested results
+        assert {"/api/drawlist", "/api/geoms", "/api/glb"} <= fetched
         for url in fetched:
             assert url in routes, f"scene3d.js fetches unregistered {url}"
-        # GLB fetches go to /assets/<key> (dynamic) — via fetch(md.url)
-        assert "fetch(md.url)" in js
+        # no client-side GLB parsing / draw-list assembly remains
+        for gone in ("parseGLB", "buildDrawList", "frameScene", "geomCube"):
+            assert gone not in js, f"client still carries {gone}"
 
         # pure section boundary: no DOM/WebGL below the banner until the
         # renderer section starts
@@ -389,5 +392,81 @@ def test_scene3d_js_served_and_contract(tmp_path):
         poll = js[js.index("async function pollScene3d"):]
         poll = poll[: poll.index("\nfunction")]
         assert "sceneView !== me" in poll[poll.index("await"):]
+    finally:
+        srv.stop()
+
+
+def test_webui_drawlist_glb_geoms_endpoints(tmp_path):
+    """The scene3d data plane: /api/drawlist (scene pre-digested by
+    scenemath, scrubbable), /api/glb (server-parsed GLB primitives), and
+    /api/geoms (unit geometry) — the client renders these verbatim."""
+    import base64
+
+    from elodin_tpu.db import Client, Server
+    from tests.test_scenemath import tri_glb
+
+    srv = Server.start(str(tmp_path / "db"))
+    try:
+        base = f"http://127.0.0.1:{srv.port + 1}"
+        c = Client.connect(srv.addr)
+        c.send("sat.world_pos", np.array([0, 0, 0, 1, 1.0, 2.0, 3.0]),
+               timestamp_us=1_000_000)
+        c.send("sat.world_pos", np.array([0, 0, 0, 1, 1.5, 2.0, 3.0]),
+               timestamp_us=1_010_000)
+        time.sleep(0.3)
+        srv.db.assets.put("m.glb", tri_glb())
+        srv.db.assets.put("schematic.kdl", b"""
+line_3d sat.world_pos color=yellow
+object_3d sat.world_pos {
+    sphere radius=0.5 { material base_color=red }
+}
+object_3d sat.world_pos {
+    glb path="m.glb"
+}
+""")
+        dl = json.loads(_get(base + "/api/drawlist")[2])
+        assert dl.get("error") is None, dl
+        kinds = [s["kind"] for s in dl["solids"]]
+        assert "sphere" in kinds
+        assert dl["lines"] and dl["lines"][0]["pts"][:3] == [1.0, 2.0, 3.0]
+        # live frame transform premultiplied into the solid's matrix
+        sph = next(s for s in dl["solids"] if s["kind"] == "sphere")
+        assert sph["mat"][12] == 1.5
+        assert dl["follow"] == [1.5, 2.0, 3.0]
+        assert dl["frame"]["radius"] > 0
+
+        # scrubbed: ?ts_us poses the drawlist at/before that time
+        dl0 = json.loads(_get(base + "/api/drawlist?ts_us=1000000")[2])
+        sph0 = next(s for s in dl0["solids"] if s["kind"] == "sphere")
+        assert sph0["mat"][12] == 1.0
+
+        # the model reference resolves through /api/glb (parsed server-side)
+        glb_url = dl["glbs"][0]["url"]
+        status, ctype, body = _get(base + "/api/glb?url=" + glb_url)
+        assert status == 200 and "json" in ctype
+        prims = json.loads(body)["prims"]
+        pos = np.frombuffer(base64.b64decode(prims[0]["pos_b64"]), "<f4")
+        np.testing.assert_array_equal(pos, [0, 0, 0, 1, 0, 0, 0, 1, 0])
+        assert prims[0]["color"] == [1, 0, 0, 1]
+        # cache path + error paths (urlopen raises on non-2xx)
+        import urllib.error
+
+        def code_of(url):
+            try:
+                return _get(url)[0]
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert code_of(base + "/api/glb?url=" + glb_url) == 200
+        assert code_of(base + "/api/glb?url=/assets/missing.glb") == 404
+        assert code_of(base + "/api/glb?url=/etc/passwd") == 404
+        srv.db.assets.put("bad.glb", b"not a glb at all")
+        assert code_of(base + "/api/glb?url=/assets/bad.glb") == 415
+
+        status, _, gb = _get(base + "/api/geoms")
+        assert status == 200
+        geoms = json.loads(gb)
+        assert set(geoms) == {"cube", "sphere", "cylinder", "cone"}
+        c.close()
     finally:
         srv.stop()
