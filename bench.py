@@ -619,11 +619,13 @@ def main() -> None:
             # deadline = warm projection x3, but never less than
             # projection + a cold-compile allowance (a first-ever
             # compile through the tunnel runs minutes; round-4 runs
-            # lost f9_mixed/lockstep/rocket/nbody to est*3 alone);
-            # the -15 keeps the parent alive to print the final merged
-            # line before any external watchdog fires at ~budget
+            # lost f9_mixed/lockstep/rocket/nbody to est*3 alone, and
+            # the round-5 full capture lost mc to a 375 s cap while its
+            # cold compile was still going — hence 480); the -15 keeps
+            # the parent alive to print the final merged line before
+            # any external watchdog fires at ~budget
             e = est or 60
-            timeout_s = max(min(max(e * 3, e + 360), remaining() - 15), 10)
+            timeout_s = max(min(max(e * 3, e + 480), remaining() - 15), 10)
             out = _run_subprocess_stage(name, timeout_s, extra_env)
             result.update(out)
             stages_done.append(name)
