@@ -123,6 +123,62 @@ def _bench_entity_steps_inner(n_bodies: int, ticks: int, dtype: str) -> dict:
     return out
 
 
+def bench_entity_steps_dyn(n_bodies: int, ticks: int) -> dict:
+    """f64 6-dof rate through a DYNAMIC-trip-count program: the tick count
+    is a runtime argument, so the remote compiler cannot unroll the loop —
+    cold compile is ~15 s regardless of ticks, vs ~1.3 s/tick for the
+    static-trip form (round-5 measurement: 200 static ticks = 254-386 s
+    cold).  This is what makes a fresh TPU headline land inside the
+    driver's 520 s budget on a stone-cold tunnel (VERDICT r4 item 1).
+    Rate is measured differentially (500-tick vs ticks+500 launches) so
+    launch + host-read overhead cancels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from elodin_tpu.models import build_batched_sixdof
+    from elodin_tpu.six_dof import increment_sim_tick_system
+    from elodin_tpu.system import Pipe, SystemBuilder, as_system
+
+    world, system = build_batched_sixdof(n_bodies)
+    meta, cols = world.snapshot()
+    full = Pipe(increment_sim_tick_system, as_system(system))
+
+    def step(state):
+        b = SystemBuilder(meta, dict(state))
+        full.call(b)
+        return b.cols
+
+    def run(state, n):
+        return jax.lax.fori_loop(0, n, lambda _i, s: step(s), state)
+
+    state = {k: jnp.asarray(v) for k, v in cols.items()}
+    t0 = time.perf_counter()
+    fn = jax.jit(run, donate_argnums=0).lower(
+        state, jnp.int32(0)).compile()
+    compile_s = time.perf_counter() - t0
+
+    state = fn(state, jnp.int32(500))  # warm + donation check
+    _ = np.asarray(state["world_pos"])
+    t0 = time.perf_counter()
+    state = fn(state, jnp.int32(500))
+    _ = np.asarray(state["world_pos"])
+    t_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state = fn(state, jnp.int32(ticks + 500))
+    pos = np.asarray(state["world_pos"])
+    wall = max(time.perf_counter() - t0 - t_base, 1e-9)
+
+    assert np.isfinite(pos).all(), "non-finite state after bench"
+    return {
+        "entity_steps_per_sec": n_bodies * ticks / wall,
+        "wall_s": wall,
+        "compile_s": compile_s,
+        "n_bodies": n_bodies,
+        "ticks": ticks,
+    }
+
+
 # -- roofline peaks (TPU v5e / "v5 lite") -------------------------------------
 # HBM bandwidth and MXU peak from the public v5e spec sheet; the VPU f32
 # peak is the elementwise (non-matmul) ceiling: ~4 ALU ops x (8,128) lanes
@@ -196,15 +252,18 @@ def stage_value() -> dict:
 
 def stage_value_small() -> dict:
     """Micro-headline sized to compile COLD through the axon tunnel in tens
-    of seconds (the full 8192-body value stage compiled 207 s cold in the
-    round-4 driver run and faulted the chip).  Runs FIRST: its success is
-    the strongest possible tunnel probe, and its number is a fresh
-    driver-verified TPU measurement even when everything after it dies."""
+    of seconds.  Uses the DYNAMIC-trip-count program: the round-4/5
+    postmortems showed the remote compiler unrolls static-trip loops, so
+    even the 1024-body/200-tick static form cost 254-386 s cold — the
+    dynamic form compiles in ~15 s and then runs any tick count at full
+    rate.  Runs FIRST: its success is the strongest possible tunnel probe,
+    and its number is a fresh driver-verified TPU measurement even when
+    everything after it dies."""
     import jax
 
     n_bodies = int(os.environ.get("BENCH_BODIES_SMALL", "1024"))
-    ticks = int(os.environ.get("BENCH_TICKS_SMALL", "200"))
-    f64 = bench_entity_steps(n_bodies, ticks, "f64")
+    ticks = int(os.environ.get("BENCH_TICKS_SMALL", "1000"))
+    f64 = bench_entity_steps_dyn(n_bodies, ticks)
     value = f64["entity_steps_per_sec"]
     out = {
         "small_entity_steps_per_sec": round(value, 1),
@@ -212,9 +271,10 @@ def stage_value_small() -> dict:
         "small_n_bodies": n_bodies,
         "small_ticks": ticks,
         "small_wall_s": round(f64["wall_s"], 4),
+        "small_compile_s": round(f64["compile_s"], 1),
         "device": str(jax.devices()[0]),
     }
-    out.update(_hbm_peak("value_small stage (1024-body f64 6dof)"))
+    out.update(_hbm_peak("value_small stage (1024-body f64 6dof, dyn trip)"))
     return out
 
 
@@ -222,14 +282,15 @@ def stage_verify_small() -> dict:
     """Three-body-only TPU-vs-CPU trajectory gate + the f64 const-fusion
     canary: the cheapest-to-compile fresh CORRECTNESS evidence, ordered
     right after value_small so a driver run on a cold tunnel still lands
-    one live verify row (round-4 postmortem: the full verify needs 350+ s
-    cold and never ran live)."""
+    one live verify row.  dynamic_trip keeps the accel compile ~15 s cold
+    (the static 100-tick form took 142 s in the round-5 full capture)."""
     from elodin_tpu.verify import verify_trajectory
 
     out = _const_fusion_canary()
     tb = _load_example("three-body", "main")
     rep = verify_trajectory(tb.w, tb.sys, ticks=100,
-                            simulation_rate=1.0 / tb.SIM_TIME_STEP)
+                            simulation_rate=1.0 / tb.SIM_TIME_STEP,
+                            dynamic_trip=True)
     rel = rep["_summary"]["metric_rel"]
     out["f64_vs_cpu_max_rel_three_body"] = rel
     assert rel <= 1e-6, f"TPU-vs-CPU three-body mismatch: {rel}"

@@ -121,7 +121,8 @@ def _assert_tol(report: dict, rtol: float, atol: float) -> None:
 
 
 def verify_trajectory(world, system, ticks: int = 100, rtol: float = 1e-6,
-                      atol: float = 1e-6, simulation_rate: float | None = None) -> dict:
+                      atol: float = 1e-6, simulation_rate: float | None = None,
+                      dynamic_trip: bool = False) -> dict:
     """Run ``ticks`` ticks of the same jitted program on the accelerator and
     on CPU f64 and diff the FINAL state — the BASELINE.json "trajectories
     matching CPU to 1e-6" gate, following the cranelift checkpoint-verifier
@@ -133,14 +134,35 @@ def verify_trajectory(world, system, ticks: int = 100, rtol: float = 1e-6,
 
     Returns the per-component report plus an overall ``max_rel`` summary; if
     no non-CPU backend exists the run degenerates to a determinism check.
+
+    ``dynamic_trip=True`` passes the tick count as a runtime argument, so
+    the loop CANNOT be unrolled by the compiler: the axon remote compiler
+    unrolls static-trip fori_loops, making cold-compile time scale with
+    ``ticks`` (observed ~1.3 s/tick through the tunnel) — the dynamic form
+    compiles the body once (~15 s cold) regardless of ticks.  Same math,
+    same gate; used by bench.py's budget-critical verify_small stage.
     """
+    import jax.numpy as jnp
+
     if simulation_rate is not None:
         world.set_sim_time_step(1.0 / simulation_rate)
     meta, cols = world.snapshot()
     step = _step_fn(meta, system)
 
-    def run(state):
-        return jax.lax.fori_loop(0, ticks, lambda _i, s: step(s), state)
+    if dynamic_trip:
+        # the trip count must be a traced ARGUMENT at the jit boundary (a
+        # closed-over or nested-jit constant would fold and unroll anyway)
+        def run_n(state, n):
+            return jax.lax.fori_loop(0, n, lambda _i, s: step(s), state)
+
+        def execute(placed):
+            return jax.jit(run_n)(placed, jnp.int32(ticks))
+    else:
+        def run(state):
+            return jax.lax.fori_loop(0, ticks, lambda _i, s: step(s), state)
+
+        def execute(placed):
+            return jax.jit(run)(placed)
 
     try:
         cpu = jax.devices("cpu")[0]
@@ -155,13 +177,13 @@ def verify_trajectory(world, system, ticks: int = 100, rtol: float = 1e-6,
             continue
         placed = {k: jax.device_put(np.asarray(v), dev) for k, v in cols.items()}
         with jax.default_device(dev):
-            out = jax.jit(run)(placed)
+            out = execute(placed)
             jax.block_until_ready(out)
         outs[name] = {k: np.asarray(v) for k, v in out.items()}
     if len(outs) < 2:  # single-backend: determinism re-run
         only = next(iter(outs.values())) if outs else None
         placed = {k: np.asarray(v) for k, v in cols.items()}
-        out2 = jax.jit(run)(placed)
+        out2 = execute(placed)
         outs = {"a": only, "b": {k: np.asarray(v) for k, v in out2.items()}}
     report = _diff(outs[next(iter(outs))], outs[list(outs)[-1]], rtol)
     report["_summary"] = {

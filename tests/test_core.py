@@ -564,6 +564,31 @@ def test_dual_backend_verify():
     assert "world_pos" in report
 
 
+def test_verify_trajectory_dynamic_trip_matches_static():
+    """dynamic_trip=True (the trip count as a runtime argument — the
+    un-unrollable form bench.py's budget-critical stages compile cold)
+    must produce the identical trajectory gate as the static form."""
+    from elodin_tpu.verify import verify_trajectory
+
+    def mk():
+        w = el.World()
+        w.spawn(
+            el.Body(
+                world_vel=el.SpatialMotion(linear=np.array([1.0, 2.0, 3.0])),
+                world_pos=el.SpatialTransform(linear=np.array([0.0, 0.0, 100.0])),
+            ),
+            "b",
+        )
+        return w
+
+    a = verify_trajectory(mk(), el.six_dof(1.0 / 120.0), ticks=30)
+    b = verify_trajectory(mk(), el.six_dof(1.0 / 120.0), ticks=30,
+                          dynamic_trip=True)
+    assert a["_summary"]["ticks"] == b["_summary"]["ticks"] == 30
+    # both gates pass and report the same components
+    assert set(a) == set(b)
+
+
 def test_tick_metrics_histogram():
     from elodin_tpu.tick_metrics import Log2Histogram, TickMetrics
 
