@@ -59,7 +59,15 @@ import elodin_tpu  # noqa: E402,F401
 BASELINE_ENTITY_STEPS = 1.1e6  # three-body derived, BASELINE.md
 
 
-def bench_entity_steps(n_bodies: int, ticks: int, dtype: str) -> dict:
+def bench_entity_steps(n_bodies: int, ticks: int, dtype: str,
+                       dynamic: bool = False) -> dict:
+    """``dynamic=True`` uses the dynamic-trip-count program (tick count as
+    a runtime argument): the remote compiler unrolls static-trip loops, so
+    the static form pays ~1.3 s/tick cold compile AND runs ~1.2-1.9x
+    slower per tick (the unrolled executable measured 23.4M vs 27.1M f64
+    and 180M vs 344M f32 steps/s at the same shapes — code-size bloat).
+    The static form is kept for the roofline columns' historical
+    comparability and the no-argument program shape."""
     import elodin_tpu as el
     from elodin_tpu import _config
 
@@ -67,6 +75,8 @@ def bench_entity_steps(n_bodies: int, ticks: int, dtype: str) -> dict:
     if dtype in ("f32", "mixed"):
         el.set_float_policy(dtype)
     try:
+        if dynamic:
+            return _bench_entity_steps_dyn_inner(n_bodies, ticks, dtype)
         return _bench_entity_steps_inner(n_bodies, ticks, dtype)
     finally:
         el.set_float_policy(prev)
@@ -124,14 +134,19 @@ def _bench_entity_steps_inner(n_bodies: int, ticks: int, dtype: str) -> dict:
 
 
 def bench_entity_steps_dyn(n_bodies: int, ticks: int) -> dict:
-    """f64 6-dof rate through a DYNAMIC-trip-count program: the tick count
-    is a runtime argument, so the remote compiler cannot unroll the loop —
-    cold compile is ~15 s regardless of ticks, vs ~1.3 s/tick for the
-    static-trip form (round-5 measurement: 200 static ticks = 254-386 s
-    cold).  This is what makes a fresh TPU headline land inside the
-    driver's 520 s budget on a stone-cold tunnel (VERDICT r4 item 1).
-    Rate is measured differentially (500-tick vs ticks+500 launches) so
-    launch + host-read overhead cancels."""
+    """f64 dynamic-trip rate (see bench_entity_steps(dynamic=True))."""
+    return bench_entity_steps(n_bodies, ticks, "f64", dynamic=True)
+
+
+def _bench_entity_steps_dyn_inner(n_bodies: int, ticks: int,
+                                  dtype: str) -> dict:
+    """DYNAMIC-trip-count 6-dof rate: the tick count is a runtime argument,
+    so the remote compiler cannot unroll the loop — cold compile is ~15 s
+    regardless of ticks (vs ~1.3 s/tick static, round-5 measurement:
+    200 static ticks = 254-386 s cold), which is what makes a fresh TPU
+    headline land inside the driver's 520 s budget on a stone-cold tunnel
+    (VERDICT r4 item 1).  Rate is measured differentially (a 500-tick
+    launch vs a ticks+500 launch) so launch + host-read overhead cancels."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -170,13 +185,20 @@ def bench_entity_steps_dyn(n_bodies: int, ticks: int) -> dict:
     wall = max(time.perf_counter() - t0 - t_base, 1e-9)
 
     assert np.isfinite(pos).all(), "non-finite state after bench"
-    return {
+    out = {
         "entity_steps_per_sec": n_bodies * ticks / wall,
         "wall_s": wall,
         "compile_s": compile_s,
         "n_bodies": n_bodies,
         "ticks": ticks,
     }
+    if dtype in ("f64", "f32"):
+        # cost_analysis counts the while body ONCE; the timed window is the
+        # `ticks` marginal trips, so trips=ticks is the right scale
+        state_bytes = sum(int(v.nbytes) for v in state.values())
+        out.update(_cost_fields(fn, wall, f"sixdof_{dtype}", trips=ticks,
+                                state_bytes=state_bytes))
+    return out
 
 
 # -- roofline peaks (TPU v5e / "v5 lite") -------------------------------------
@@ -233,7 +255,7 @@ def stage_value() -> dict:
 
     n_bodies = int(os.environ.get("BENCH_BODIES", "8192"))
     ticks = int(os.environ.get("BENCH_TICKS", "1000"))
-    f64 = bench_entity_steps(n_bodies, ticks, "f64")
+    f64 = bench_entity_steps(n_bodies, ticks, "f64", dynamic=True)
     value = f64["entity_steps_per_sec"]
     out = {
         "metric": "entity_steps_per_sec_batched_6dof_rk4_f64",
@@ -304,7 +326,8 @@ def stage_verify() -> dict:
 def stage_f32() -> dict:
     ticks = int(os.environ.get("BENCH_TICKS", "1000"))
     f32 = bench_entity_steps(
-        int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks, "f32"
+        int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks, "f32",
+        dynamic=True,
     )
     out = {
         "f32_entity_steps_per_sec": round(f32["entity_steps_per_sec"], 1),
@@ -805,7 +828,7 @@ def bench_mixed(n_bodies: int, ticks: int) -> dict:
     from elodin_tpu import _config
     from elodin_tpu.verify import verify_trajectory
 
-    out = bench_entity_steps(n_bodies, ticks, "mixed")
+    out = bench_entity_steps(n_bodies, ticks, "mixed", dynamic=True)
 
     prev = _config._FLOAT_POLICY
     el.set_float_policy("mixed")
@@ -813,7 +836,8 @@ def bench_mixed(n_bodies: int, ticks: int) -> dict:
         f9 = _load_example("falcon9", "sim")
         world, system = f9.build(None)
         rep = verify_trajectory(world, system, ticks=100,
-                                simulation_rate=f9.SIM_RATE_HZ)
+                                simulation_rate=f9.SIM_RATE_HZ,
+                                dynamic_trip=True)
         rel = rep["_summary"]["metric_rel"]
         out["mixed_vs_cpu_max_rel"] = rel
         assert rel <= 1e-6, f"mixed TPU-vs-CPU falcon9 mismatch: {rel}"
