@@ -1268,41 +1268,56 @@ def bench_lockstep(ticks: int | None = None) -> dict:
     return out
 
 
-def _bench_lockstep_batched(mod, hold: int = 64, trips: int = 40) -> dict:
+def _bench_lockstep_batched(mod, holds: tuple = (64, 128, 256),
+                            trips: int = 40) -> dict:
     """Device-resident batched lockstep (SURVEY §7(d)): each round-trip
     zero-order-holds the controls and advances `hold` plant ticks in one
     compiled launch, so the tunnel's fixed per-exchange latency amortizes
     over the window.  The external controller (host PD closing the hover
     altitude loop on the window's LAST telemetry row) runs at
-    sim_rate/hold — the named fidelity tradeoff vs the hz_tpu row above."""
+    sim_rate/hold — the named fidelity tradeoff vs the hz_tpu row above.
+    The sweep quantifies that tradeoff: the exchange cost is a fixed
+    tunnel round-trip, so plant rate scales ~linearly with hold depth
+    while control bandwidth drops with it.  `lockstep_hz_tpu_batched`
+    stays the hold=64 row for cross-round comparability; each sweep leg
+    lands as `..._h<hold>` and every leg must still close the hover loop
+    (the PD's 0.32 Hz closed-loop poles keep ~12 samples/cycle even at
+    hold=256 on the 1 kHz plant)."""
     import elodin as el
     import numpy as np
-
-    w = el.World()
-    w.spawn(mod.Hover(), name="craft")
-    ex = w.build(mod.integrate, simulation_rate=mod.SIM_RATE)
-    ex.record_history = False
-    session = ex.lockstep_session(
-        ["craft.z_pos", "craft.z_vel"], ["craft.thrust_cmd"], hold_ticks=hold
-    )
 
     def control(z, v):  # PD altitude hold at 2 m
         return float(np.clip(9.81 + 4.0 * (2.0 - z) - 2.0 * v, 0.0, 30.0))
 
-    session.cmd_bufs["thrust_cmd"][0] = control(2.0, 0.0)
-    tele = session.tick()  # warm compile
-    t0 = time.perf_counter()
-    for _ in range(trips):
-        z, v = float(tele[-1, 0]), float(tele[-1, 1])
-        session.cmd_bufs["thrust_cmd"][0] = control(z, v)
-        tele = session.tick()
-    wall = time.perf_counter() - t0
-    assert abs(float(tele[-1, 0]) - 2.0) < 0.5, "hover loop diverged"
-    return {
-        "lockstep_hz_tpu_batched": round(trips * hold / wall, 1),
-        "lockstep_batched_hold_ticks": hold,
-        "lockstep_batched_ctrl_hz": round(mod.SIM_RATE / hold, 1),
-    }
+    out: dict = {}
+    for hold in holds:
+        w = el.World()
+        w.spawn(mod.Hover(), name="craft")
+        ex = w.build(mod.integrate, simulation_rate=mod.SIM_RATE)
+        ex.record_history = False
+        session = ex.lockstep_session(
+            ["craft.z_pos", "craft.z_vel"], ["craft.thrust_cmd"],
+            hold_ticks=hold,
+        )
+        session.cmd_bufs["thrust_cmd"][0] = control(2.0, 0.0)
+        tele = session.tick()  # warm compile
+        t0 = time.perf_counter()
+        for _ in range(trips):
+            z, v = float(tele[-1, 0]), float(tele[-1, 1])
+            session.cmd_bufs["thrust_cmd"][0] = control(z, v)
+            tele = session.tick()
+        wall = time.perf_counter() - t0
+        assert abs(float(tele[-1, 0]) - 2.0) < 0.5, (
+            f"hover loop diverged at hold={hold}")
+        rate = round(trips * hold / wall, 1)
+        out[f"lockstep_hz_tpu_batched_h{hold}"] = rate
+        out[f"lockstep_batched_ctrl_hz_h{hold}"] = round(
+            mod.SIM_RATE / hold, 1)
+        if hold == 64:
+            out["lockstep_hz_tpu_batched"] = rate
+            out["lockstep_batched_hold_ticks"] = hold
+            out["lockstep_batched_ctrl_hz"] = round(mod.SIM_RATE / hold, 1)
+    return out
 
 
 def bench_falcon9(n: int = 1250) -> dict:
