@@ -1335,7 +1335,16 @@ def bench_monte_carlo(n: int = 10000, ticks: int = 2400) -> dict:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
-        # subprocess-isolation entry: run ONE stage, print its JSON line
-        print(json.dumps(STAGE_FNS[sys.argv[2]]()), flush=True)
+        # subprocess-isolation entry: run ONE stage, print its JSON line.
+        # attach_s separates tunnel/backend attach from the stage's own
+        # work: the 2026-08-19 capture saw a 2 s compile inside a 372 s
+        # stage — all of it backend attach, invisible without this field.
+        t_at = time.perf_counter()
+        import jax.numpy as _jnp
+        _jnp.zeros(1).block_until_ready()
+        attach_s = round(time.perf_counter() - t_at, 1)
+        out = STAGE_FNS[sys.argv[2]]()
+        out[f"bench_{sys.argv[2]}_attach_s"] = attach_s
+        print(json.dumps(out), flush=True)
     else:
         main()
