@@ -283,6 +283,17 @@ def test_betaflight_sitl_lockstep():
     assert rate > 100, f"lockstep too slow: {rate:.0f} Hz"
 
 
+def test_betaflight_sitl_batched_deep_hold():
+    """Deep-hold batched lockstep (hold=256 on the 1 kHz plant, controller
+    decimated to 3.9 Hz): the PD hover loop must still close — the
+    stability floor behind bench.py's hold-depth sweep legs
+    (`lockstep_hz_tpu_batched_h256`), where plant rate scales with hold
+    depth only while the loop stays convergent at the decimated rate."""
+    mod = load_module("betaflight-sitl", "main")
+    rate = mod.run_batched(trips=10, hold=256)  # asserts |z - 2| < 0.5
+    assert rate > 0
+
+
 def test_apollo_lander_soft_landing():
     """In-graph ZEM/ZEV guided lunar descent: soft pinpoint touchdown."""
     mod = load_module("apollo-lander", "main")
