@@ -960,8 +960,15 @@ def bench_rtf() -> dict:
             # d2h read costs a large fixed latency that would swamp fast
             # examples — time one N-tick run and two back-to-back N-tick
             # runs; the difference cancels the read and dispatch overheads.
-            t1 = timed(1)
-            t2 = timed(2)
+            # The shared 1-core host's load swings run-to-run (observed
+            # three-body spread 0.53-1.13x ref across captures), so take
+            # the MIN of each leg over BENCH_RTF_REPS repeats: interference
+            # only ever ADDS time, so min-of-N estimates the unloaded
+            # machine — the same quiet-runner condition the reference CI
+            # numbers were taken under.
+            reps = int(os.environ.get("BENCH_RTF_REPS", "5"))
+            t1 = min(timed(1) for _ in range(reps))
+            t2 = min(timed(2) for _ in range(reps))
             wall = max(t2 - t1, 1e-9)
             rtf = ticks / rate / wall
             out[f"{pre}_{example.replace('-', '_')}"] = round(rtf, 1)
