@@ -941,6 +941,21 @@ def bench_rtf() -> dict:
     backend = jax.default_backend()
     pre = "rtf_cpu" if backend == "cpu" else "rtf"
     out = {}
+    # Host slowdowns come in minute-scale waves (observed drone 0.44x in
+    # the same stage run where ball posted 1.35x), so one example's ~20 s
+    # rep window can sit entirely inside a wave.  Passes > 1 repeats the
+    # whole sweep and keeps each example's best — spreading its samples
+    # across the stage duration.  Default 1 keeps the driver-budget cost;
+    # full captures set BENCH_RTF_PASSES=3.
+    passes = int(os.environ.get("BENCH_RTF_PASSES", "1"))
+    for _pass in range(passes):
+        _bench_rtf_pass(pre, out)
+    return out
+
+
+def _bench_rtf_pass(pre: str, out: dict) -> None:
+    import numpy as np
+
     for example, ref in REF_RTF.items():
         ticks = RTF_TICKS[example]
         try:
@@ -971,15 +986,16 @@ def bench_rtf() -> dict:
             t2 = min(timed(2) for _ in range(reps))
             wall = max(t2 - t1, 1e-9)
             rtf = ticks / rate / wall
-            out[f"{pre}_{example.replace('-', '_')}"] = round(rtf, 1)
-            out[f"{pre}_{example.replace('-', '_')}_vs_ref"] = round(rtf / ref, 2)
+            key = f"{pre}_{example.replace('-', '_')}"
+            if rtf > out.get(key, 0.0):
+                out[key] = round(rtf, 1)
+                out[f"{key}_vs_ref"] = round(rtf / ref, 2)
         except Exception as e:  # noqa: BLE001
             out[f"{pre}_{example.replace('-', '_')}_error"] = str(e)[:200]
         # cumulative flush: a cold-compile sweep can blow the stage
         # deadline (round-4 capture: >450 s cold vs ~150 s warm); the
         # parent salvages the last line, so finished examples survive
         print(json.dumps(out), flush=True)
-    return out
 
 
 def _const_fusion_canary() -> dict:
