@@ -325,8 +325,11 @@ def stage_verify() -> dict:
 
 def stage_f32() -> dict:
     ticks = int(os.environ.get("BENCH_TICKS", "1000"))
+    # 32768 measured ~10-15% over 16384 across repeated runs (395-402M vs
+    # 297-384M); f64 peaks at 8192 (27.1M vs 25.3M at 16384) — scanned
+    # 2026-08-19, HBM working-set pressure differs by dtype
     f32 = bench_entity_steps(
-        int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks, "f32",
+        int(os.environ.get("BENCH_BODIES_F32", "32768")), ticks, "f32",
         dynamic=True,
     )
     out = {
