@@ -342,6 +342,96 @@ def stage_f32() -> dict:
     return out
 
 
+def stage_pallas() -> dict:
+    """Whole-rollout Pallas 6-dof kernel (ops/sixdof_kernel.py): the entire
+    tick loop runs inside ONE pallas_call with VMEM-resident state, so HBM
+    is touched twice per rollout and every RK4 stage is pure VPU work.
+    Measured differentially like the dyn stages (ticks is a runtime SMEM
+    scalar; a 200-tick launch cancels launch + host-read overhead), best of
+    3 reps.  Config from the 2026-08-19 scan: 131072 bodies x block_rows=32
+    was the plateau peak (5.74B steps/s; br=8 5.02B, 524288 bodies 5.54B).
+    Includes a fresh on-hardware correctness gate: Mosaic output vs the
+    Pallas interpreter on the CPU backend (the interpreter is the form
+    tests/test_sixdof_kernel.py pins against the production XLA path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from elodin_tpu.models.sixdof_batch import batched_sixdof_init
+    from elodin_tpu.ops import sixdof_kernel as sk
+
+    n = int(os.environ.get("BENCH_BODIES_PALLAS", "131072"))
+    ticks = int(os.environ.get("BENCH_TICKS_PALLAS", "60000"))
+    br = int(os.environ.get("BENCH_PALLAS_BLOCK_ROWS", "32"))
+    dt = 1.0 / 120.0  # the model's time_step (models/sixdof_batch.py)
+
+    # same body population as the XLA stages, WITHOUT the 131k-entity ECS
+    # spawn (measured 140 s of host time — the kernel bypasses the World)
+    wp, wv, inertia = batched_sixdof_init(n)
+    pos = np.asarray(wp, np.float32)
+    vel = np.asarray(wv, np.float32)
+    inertia = np.asarray(inertia, np.float32)
+
+    u, par, _n = sk.pack_state(pos, vel, inertia, br)
+    with sk._x64_off():
+        uj, pj = jnp.asarray(u), jnp.asarray(par)
+        t0 = time.perf_counter()
+        fn = sk._rollout.lower(
+            uj, pj, jnp.asarray([[0]], jnp.int32),
+            dt=dt, block_rows=br, interpret=False,
+        ).compile()
+        compile_s = time.perf_counter() - t0
+
+        base = jnp.asarray([[200]], jnp.int32)
+        big = jnp.asarray([[200 + ticks]], jnp.int32)
+        out = fn(uj, pj, base)
+        _ = np.asarray(out)  # warm (host-read sync; see bench header)
+        best = 0.0
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            out = fn(uj, pj, base)
+            _ = np.asarray(out)
+            t_base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = fn(uj, pj, big)
+            final = np.asarray(out)
+            wall = max(time.perf_counter() - t0 - t_base, 1e-9)
+            best = max(best, n * ticks / wall)
+    assert np.isfinite(final).all(), "non-finite state after pallas rollout"
+
+    # fresh correctness evidence on the same hardware: a short Mosaic
+    # rollout vs the Pallas interpreter on the CPU backend (identical f32
+    # program, two compilers — only rounding may differ)
+    gn = 4096
+    m_pos, m_vel = sk.sixdof_rollout(
+        pos[:gn], vel[:gn], inertia[:gn], dt=dt, ticks=100,
+        block_rows=8, interpret=False,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        i_pos, i_vel = sk.sixdof_rollout(
+            pos[:gn], vel[:gn], inertia[:gn], dt=dt, ticks=100,
+            block_rows=8, interpret=True,
+        )
+    rel = max(
+        np.abs(m_pos - i_pos).max() / np.abs(i_pos).max(),
+        np.abs(m_vel - i_vel).max() / np.abs(i_vel).max(),
+    )
+    assert rel < 1e-3, f"Mosaic-vs-interpreter divergence: {rel}"
+
+    out = {
+        "pallas_entity_steps_per_sec": round(best, 1),
+        "pallas_vs_baseline": round(best / BASELINE_ENTITY_STEPS, 1),
+        "pallas_n_bodies": n,
+        "pallas_block_rows": br,
+        "pallas_ticks": ticks,
+        "pallas_compile_s": round(compile_s, 2),
+        "pallas_mosaic_vs_interpret_max_rel": float(f"{rel:.3g}"),
+        "device": str(jax.devices()[0]),
+    }
+    out.update(_hbm_peak("pallas stage (131072-body f32 VMEM rollout)"))
+    return out
+
+
 def stage_mixed() -> dict:
     ticks = int(os.environ.get("BENCH_TICKS", "1000"))
     mx = bench_mixed(int(os.environ.get("BENCH_BODIES_F32", "16384")), ticks)
@@ -524,6 +614,7 @@ STAGES: list[tuple] = [
     ("verify_small", "BENCH_VERIFY", 45, None, True),
     ("value", "BENCH_VALUE", 40, None, True),
     ("f32", "BENCH_F32", 15, None, True),
+    ("pallas", "BENCH_PALLAS", 90, None, True),
     ("mc", "BENCH_MC", 15, None, True),
     # cheap, headline-adjacent rows land BEFORE the compile-heavy verify:
     # a cold-tunnel verify can eat 350+ s (observed 2026-08-19) and must
@@ -560,7 +651,7 @@ STAGES: list[tuple] = [
 STAGE_FNS = {
     "value": stage_value, "value_small": stage_value_small,
     "verify": stage_verify, "verify_small": stage_verify_small,
-    "f32": stage_f32,
+    "f32": stage_f32, "pallas": stage_pallas,
     "mixed": stage_mixed, "f9": stage_f9, "f9_mixed": stage_f9_mixed,
     "f9_10k_mixed": stage_f9_10k, "mc": stage_mc,
     "mc_100k": stage_mc_100k, "rtf": stage_rtf, "rtf_cpu": stage_rtf,

@@ -61,16 +61,14 @@ def _gravity_thrust_drag(builder):
     )
 
 
-def build_batched_sixdof(n_bodies: int, seed: int = 0) -> tuple:
-    """Returns (world, system) with n_bodies dispersed LEO-ish bodies.
+def batched_sixdof_init(n_bodies: int, seed: int = 0):
+    """The flagship model's initial conditions as plain numpy columns:
+    (world_pos (N,7) quat+pos, world_vel (N,6) omega+vel, inertia (N,7)).
 
-    Column dtypes follow the DECLARED component types (f64 here, or f32
-    under ``set_float_policy("f32")``) — a dtype parameter could not be
-    honored, so none is offered; cast the snapshot columns for ad-hoc
-    f32 runs (bench.py does exactly this)."""
+    Split out of build_batched_sixdof so consumers that bypass the ECS
+    World (the whole-rollout Pallas kernel bench, ops/sixdof_kernel.py)
+    draw the SAME body population without paying the 131k-entity spawn."""
     rng = np.random.default_rng(seed)
-    w = el.World()
-
     alt = R0 + 400e3 + rng.uniform(-50e3, 50e3, n_bodies)
     theta = rng.uniform(0, 2 * np.pi, n_bodies)
     pos = np.stack(
@@ -94,14 +92,27 @@ def build_batched_sixdof(n_bodies: int, seed: int = 0) -> tuple:
         ],
         axis=-1,
     )
+    return (
+        np.concatenate([quat, pos], axis=-1),
+        np.concatenate([omega, vel], axis=-1),
+        inertia,
+    )
+
+
+def build_batched_sixdof(n_bodies: int, seed: int = 0) -> tuple:
+    """Returns (world, system) with n_bodies dispersed LEO-ish bodies.
+
+    Column dtypes follow the DECLARED component types (f64 here, or f32
+    under ``set_float_policy("f32")``) — a dtype parameter could not be
+    honored, so none is offered; cast the snapshot columns for ad-hoc
+    f32 runs (bench.py does exactly this)."""
+    w = el.World()
+    world_pos, world_vel, inertia = batched_sixdof_init(n_bodies, seed)
+    n_bodies = world_pos.shape[0]
 
     body = el.Body(
-        world_pos=el.SpatialTransform.from_array(
-            np.concatenate([quat, pos], axis=-1)
-        ),
-        world_vel=el.SpatialMotion.from_array(
-            np.concatenate([omega, vel], axis=-1)
-        ),
+        world_pos=el.SpatialTransform.from_array(world_pos),
+        world_vel=el.SpatialMotion.from_array(world_vel),
         inertia=el.SpatialInertia.from_array(inertia),
         force=el.SpatialForce.from_array(np.zeros((n_bodies, 6))),
         world_accel=el.SpatialMotion.from_array(np.zeros((n_bodies, 6))),
