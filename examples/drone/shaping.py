@@ -57,37 +57,34 @@ def quat_dist(q1: el.Quaternion, q2: el.Quaternion) -> jnp.ndarray:
     return 2.0 * jnp.arccos(jnp.clip(d, -1.0, 1.0))
 
 
-def _euler_rate_matrix(roll, pitch):
-    """T such that euler_rate = T @ omega_body for the 3-2-1 sequence."""
+def angular_to_euler_rate(att: el.Quaternion, omega_body: jnp.ndarray) -> jnp.ndarray:
+    """euler_rate = T(roll, pitch) @ omega_body for the 3-2-1 sequence,
+    written component-wise: building the 3x3 then dotting costs a concat +
+    a standalone dot thunk on the CPU backend, and the interactive drone
+    tick is bound by per-thunk dispatch (docs/PERFORMANCE.md)."""
+    roll, pitch, _ = quat_to_euler(att)
     cr, sr = jnp.cos(roll), jnp.sin(roll)
     cp = jnp.clip(jnp.cos(pitch), 1e-6, None)
     tp = jnp.sin(pitch) / cp
-    return jnp.asarray(
-        [
-            [1.0, sr * tp, cr * tp],
-            [0.0, cr, -sr],
-            [0.0, sr / cp, cr / cp],
-        ]
-    )
-
-
-def angular_to_euler_rate(att: el.Quaternion, omega_body: jnp.ndarray) -> jnp.ndarray:
-    roll, pitch, _ = quat_to_euler(att)
-    return _euler_rate_matrix(roll, pitch) @ omega_body
+    w0, w1, w2 = omega_body[0], omega_body[1], omega_body[2]
+    return jnp.stack([
+        w0 + sr * tp * w1 + cr * tp * w2,
+        cr * w1 - sr * w2,
+        (sr * w1 + cr * w2) / cp,
+    ])
 
 
 def euler_to_angular_rate(att: el.Quaternion, euler_rate: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of angular_to_euler_rate, same component-wise form."""
     roll, pitch, _ = quat_to_euler(att)
     cr, sr = jnp.cos(roll), jnp.sin(roll)
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
-    t_inv = jnp.asarray(
-        [
-            [1.0, 0.0, -sp],
-            [0.0, cr, sr * cp],
-            [0.0, -sr, cr * cp],
-        ]
-    )
-    return t_inv @ euler_rate
+    r, p, y = euler_rate[0], euler_rate[1], euler_rate[2]
+    return jnp.stack([
+        r - sp * y,
+        cr * p + sr * cp * y,
+        -sr * p + cr * cp * y,
+    ])
 
 
 # --- sqrt-controller input shaping -------------------------------------------
