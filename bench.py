@@ -401,15 +401,19 @@ def stage_pallas() -> dict:
 
     # fresh correctness evidence on the same hardware: a short Mosaic
     # rollout vs the Pallas interpreter on the CPU backend (identical f32
-    # program, two compilers — only rounding may differ)
-    gn = 4096
+    # program, two compilers — only rounding may differ).  Kept SMALL (one
+    # grid block, 50 ticks): the interpreter leg dominated the stage's cold
+    # cost at 4096 bodies/100 ticks (~290 s of the 300 s stage, 2026-08-19
+    # capture); the exhaustive equivalence suite is tests/test_sixdof_kernel.py
+    gn = 1024
+    gt = 50
     m_pos, m_vel = sk.sixdof_rollout(
-        pos[:gn], vel[:gn], inertia[:gn], dt=dt, ticks=100,
+        pos[:gn], vel[:gn], inertia[:gn], dt=dt, ticks=gt,
         block_rows=8, interpret=False,
     )
     with jax.default_device(jax.devices("cpu")[0]):
         i_pos, i_vel = sk.sixdof_rollout(
-            pos[:gn], vel[:gn], inertia[:gn], dt=dt, ticks=100,
+            pos[:gn], vel[:gn], inertia[:gn], dt=dt, ticks=gt,
             block_rows=8, interpret=True,
         )
     rel = max(

@@ -260,6 +260,44 @@ def unpack_state(u, n):
     return pos, vel
 
 
+def sixdof_rollout_sharded(pos, vel, inertia, dt: float, ticks,
+                           mesh, axis: str = "dp", block_rows: int = 8,
+                           interpret: bool | None = None):
+    """Multi-chip `sixdof_rollout`: the padded row axis shards over
+    ``mesh[axis]`` with ``shard_map`` and each device runs the SAME
+    whole-rollout kernel on its slice — bodies are independent, so there
+    are zero collectives and scaling is linear over ICI (the dp axis of
+    parallel/mesh.py; SURVEY 2 parallelism item 1).  Returns the same
+    (pos (N,7), vel (N,6)) numpy arrays as the single-chip path."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_shards = mesh.shape[axis]
+    # every shard needs whole (block_rows, 128) tiles: pad to the lcm
+    u, par, n = pack_state(pos, vel, inertia, block_rows * n_shards)
+    spec = P(None, axis, None)
+
+    with _x64_off():
+        nticks = jnp.asarray([[ticks]], jnp.int32)
+        shard_fn = shard_map(
+            functools.partial(_rollout, dt=float(dt),
+                              block_rows=block_rows, interpret=interpret),
+            mesh=mesh,
+            in_specs=(spec, spec, P(None, None)),
+            out_specs=spec,
+            check_vma=False,  # pallas_call has no vma rule; rows shard 1:1
+        )
+        sharding = NamedSharding(mesh, spec)
+        out = jax.jit(shard_fn)(
+            jax.device_put(jnp.asarray(u), sharding),
+            jax.device_put(jnp.asarray(par), sharding),
+            jnp.asarray(nticks),
+        )
+    return unpack_state(out, n)
+
+
 def sixdof_rollout(pos, vel, inertia, dt: float, ticks,
                    block_rows: int = 8, interpret: bool | None = None):
     """Run `ticks` RK4 ticks of the flagship batched 6-dof model in one

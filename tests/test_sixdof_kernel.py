@@ -131,6 +131,32 @@ def test_zero_ticks_is_identity():
     np.testing.assert_array_equal(pvel, vel)
 
 
+def test_sharded_rollout_matches_unsharded():
+    """shard_map over the row axis (8-device CPU mesh from conftest) is
+    bitwise the single-device rollout: bodies are independent, so the
+    sharded kernel runs the identical program per slice with zero
+    collectives (SURVEY 2 parallelism item 1)."""
+    from elodin_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, dp=8)
+    rng = np.random.default_rng(11)
+    n = 500  # NOT a multiple of the 8-shard tile: exercises padding
+    pos = np.empty((n, 7), np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    pos[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    pos[:, 4:] = rng.normal(0, 1e4, (n, 3)) + np.array([6.771e6, 0, 0])
+    vel = rng.normal(0, 10.0, (n, 6)).astype(np.float32)
+    vel[:, 0:3] *= 1e-3
+    inertia = rng.uniform(1.0, 3.0, (n, 7)).astype(np.float32)
+
+    single = sk.sixdof_rollout(pos, vel, inertia, dt=DT, ticks=25,
+                               block_rows=8)
+    shard = sk.sixdof_rollout_sharded(pos, vel, inertia, dt=DT, ticks=25,
+                                      mesh=mesh, block_rows=8)
+    np.testing.assert_array_equal(shard[0], single[0])
+    np.testing.assert_array_equal(shard[1], single[1])
+
+
 def test_padding_bodies_stay_finite():
     """The pad-slot dummy orbit must survive long rollouts (a NaN in a pad
     lane would poison nothing today, but the bench asserts global
